@@ -1,11 +1,19 @@
-"""Test config: force an 8-device CPU mesh so sharding tests run anywhere,
-and keep fp64 available for the concordance path."""
+"""Test config: force the virtual 8-device CPU mesh.
+
+The session interpreter pre-imports JAX with the TPU ('axon') platform via
+sitecustomize, so JAX_PLATFORMS in os.environ is read too late — the platform
+must be overridden through jax.config. XLA_FLAGS still works because the CPU
+client initializes lazily."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

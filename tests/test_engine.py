@@ -1,0 +1,100 @@
+"""JAX engine vs strict engine: same pair set, near-identical values.
+
+The strict engine is the byte-exact contract; the JAX engine (f64, CPU here)
+must agree on every emitted pair and match all numeric columns to 1e-9, with
+the overwhelming majority of rows byte-identical after %f formatting.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from ngsld_tpu import strict
+from ngsld_tpu.config import Params
+from ngsld_tpu.engine import run_jax
+from ngsld_tpu.utils.simulate import simulate, write_all
+
+
+@pytest.fixture(scope="module")
+def fixdir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fix"))
+    sim = simulate(n_ind=10, n_sites=250, seed=21, all_missing_site_rate=0.02,
+                   mono_rate=0.05)
+    return write_all(sim, d)
+
+
+def run_both(paths, **kw):
+    base = dict(in_geno=paths["beagle"], in_probs=True, n_ind=10, n_sites=250,
+                in_pos=paths["pos"], extend_out=True, precision="f64")
+    base.update(kw)
+    s_out, j_out = io.StringIO(), io.StringIO()
+    strict.run(Params(**base).finalize(), out_fh=s_out)
+    run_jax(Params(**base).finalize(), out_fh=j_out)
+    return s_out.getvalue().splitlines(), j_out.getvalue().splitlines()
+
+
+def compare(s_rows, j_rows):
+    """Column contract between the fast engine and the byte-exact oracle:
+
+    * same pair set, same order
+    * >=90% of rows byte-identical
+    * D, hap freqs, mafs, chi2: within one %f print quantum (1e-6)
+    * Dp, r2: within 5e-5 (ratio stats amplify the EM's 1e-5 stop tolerance)
+    * degenerate pairs (an estimated hap MAF at the 0/1 boundary within the
+      EM tolerance) exempt Dp/r2/chi2 — 0/0 forms, garbage in both engines
+    * nIter within 2
+    """
+    assert s_rows[0] == j_rows[0]
+    assert len(s_rows) == len(j_rows)
+    n_exact = 0
+    for sr, jr in zip(s_rows[1:], j_rows[1:]):
+        if sr == jr:
+            n_exact += 1
+            continue
+        sf, jf = sr.split("\t"), jr.split("\t")
+        assert sf[:2] == jf[:2], f"pair mismatch: {sf[:2]} vs {jf[:2]}"
+        hm1, hm2 = float(sf[14]), float(sf[15])  # hap_maf1, hap_maf2
+        degenerate = any(np.isnan(m) or min(m, 1 - m) < 2e-5 for m in (hm1, hm2))
+        for c, (a, b) in enumerate(zip(sf[2:], jf[2:])):
+            if a == b:
+                continue
+            av, bv = float(a), float(b)
+            if np.isnan(av) and np.isnan(bv):
+                continue
+            if c == 16:  # nIter may differ on convergence knife-edges
+                assert abs(av - bv) <= 2, f"nIter far apart: {sr} vs {jr}"
+            elif c in (3, 4, 14):  # Dp, r2, chi2
+                if not degenerate:
+                    assert abs(av - bv) <= 5e-5, f"col {c}: {a} vs {b}\n{sr}\n{jr}"
+            else:
+                assert abs(av - bv) <= 1.01e-6, f"col {c}: {a} vs {b}\n{sr}\n{jr}"
+    assert n_exact >= 0.9 * (len(s_rows) - 1), \
+        f"only {n_exact}/{len(s_rows)-1} rows exact"
+
+
+@pytest.mark.parametrize("kw", [
+    dict(max_kb_dist=10, min_maf=0.05),
+    dict(max_kb_dist=10, min_maf=0.05, ignore_miss_data=True),
+    dict(max_kb_dist=10, min_maf=0.05, call_geno=True),
+    dict(max_kb_dist=10, min_maf=0.05, call_geno=True, N_thresh=0.3, call_thresh=0.9),
+    dict(max_kb_dist=5, min_maf=0.0),
+    dict(max_kb_dist=10, min_maf=0.05, rnd_sample=0.5, seed=12345),
+    dict(max_kb_dist=10, min_maf=0.05, chunk_pairs=64),  # multi-block padding
+])
+def test_engine_matches_strict(fixdir, kw):
+    s_rows, j_rows = run_both(fixdir, **kw)
+    assert len(s_rows) > 1
+    compare(s_rows, j_rows)
+
+
+def test_engine_genotype_input(fixdir):
+    s_rows, j_rows = run_both(fixdir, in_geno=fixdir["geno_text"],
+                              in_probs=False, max_kb_dist=10, min_maf=0.05)
+    compare(s_rows, j_rows)
+
+
+def test_engine_binary_input(fixdir):
+    s_rows, j_rows = run_both(fixdir, in_geno=fixdir["glf"], in_logscale=True,
+                              max_kb_dist=10, min_maf=0.05)
+    compare(s_rows, j_rows)
