@@ -1,0 +1,71 @@
+"""Sharded sweep on the virtual 8-device CPU mesh vs the single-device ops."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ngsld_tpu.ops.em import pair_em
+from ngsld_tpu.ops.stats import ld_stats, pearson_r2
+from ngsld_tpu.parallel.mesh import make_mesh
+from ngsld_tpu.parallel.sweep import sweep_step
+from tests.test_pallas_em import _case
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_sweep_matches_single_device(mesh_shape):
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    P, I = 64, 16
+    gn1, gn2, m1, m2 = _case(P, I, seed=5)
+    eg1 = gn1[..., 1] + 2 * gn1[..., 2]
+    eg2 = gn2[..., 1] + 2 * gn2[..., 2]
+
+    mesh = make_mesh(*mesh_shape)
+    step = sweep_step(mesh, ignore_miss_data=False, extend_out=True)
+    out = step(jnp.asarray(gn1), jnp.asarray(gn2), jnp.asarray(eg1),
+               jnp.asarray(eg2), jnp.asarray(m1), jnp.asarray(m2))
+    r2p, f, n_iter, n_used, hmaf0, hmaf1, D, Dp, r2, chi2 = map(np.asarray, out)
+
+    f_ref, it_ref, nu_ref = pair_em(jnp.asarray(gn1), jnp.asarray(gn2),
+                                    jnp.asarray(m1), jnp.asarray(m2), False)
+    r2p_ref = pearson_r2(jnp.asarray(eg1), jnp.asarray(eg2))
+
+    np.testing.assert_allclose(f, np.asarray(f_ref), atol=5e-5)
+    np.testing.assert_allclose(r2p, np.asarray(r2p_ref), atol=1e-5)
+    np.testing.assert_array_equal(n_used, np.asarray(nu_ref))
+    assert (np.abs(n_iter - np.asarray(it_ref)) <= 1).mean() > 0.95
+    _, _, D_ref, _, _ = ld_stats(f_ref)
+    np.testing.assert_allclose(D, np.asarray(D_ref), atol=5e-5)
+
+
+def test_ind_axis_psum_semantics():
+    """Splitting individuals across the mesh must not change results:
+    compare ind-sharded vs pair-sharded meshes directly."""
+    P, I = 32, 16
+    gn1, gn2, m1, m2 = _case(P, I, seed=9)
+    eg1 = gn1[..., 1] + 2 * gn1[..., 2]
+    eg2 = gn2[..., 1] + 2 * gn2[..., 2]
+    outs = []
+    for shape in [(8, 1), (1, 8)]:
+        step = sweep_step(make_mesh(*shape), False, True)
+        outs.append([np.asarray(x) for x in
+                     step(jnp.asarray(gn1), jnp.asarray(gn2), jnp.asarray(eg1),
+                          jnp.asarray(eg2), jnp.asarray(m1), jnp.asarray(m2))])
+    # psum order can shift convergence by one step on knife-edge pairs;
+    # those stop at different EM states, so compare values only where the
+    # iteration counts agree (and require that to be nearly all pairs)
+    it_a, it_b = outs[0][2], outs[1][2]
+    assert np.abs(it_a - it_b).max() <= 1
+    same = it_a == it_b
+    assert same.mean() >= 0.9
+    for i, (a, b) in enumerate(zip(*outs)):
+        if i == 2:
+            continue
+        a, b = (x[same] if x.shape[0] == len(same) else x for x in (a, b))
+        nan = np.isnan(a) & np.isnan(b)
+        # ratio stats (Dp, r2, chi2: indices 7, 8, 9) divide by near-zero
+        # margins on boundary pairs, amplifying psum-order drift
+        tol = 1e-2 if i in (7, 8, 9) else 2e-5
+        np.testing.assert_allclose(np.where(nan, 0, a), np.where(nan, 0, b),
+                                   atol=tol)
