@@ -1,0 +1,148 @@
+"""Tests for the post-processing toolchain (prune, fit_decay, ld_blocks)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------- prune ----
+
+def write_ld(path, rows):
+    with open(path, "w") as fh:
+        fh.write("site1\tsite2\tdist\tr2_ExpG\tD\tDp\tr2\n")
+        for a, b, dist, r2 in rows:
+            fh.write(f"{a}\t{b}\t{dist}\t0.0\t0.0\t0.0\t{r2}\n")
+
+
+def run_prune(ld_path, *extra):
+    out = subprocess.run(
+        [sys.executable, "-m", "ngsld_tpu.tools.prune", "--input", str(ld_path),
+         "--max_dist", "50000", "--min_weight", "0.5", *extra],
+        capture_output=True, text=True, check=True)
+    return [ln for ln in out.stdout.splitlines() if ln]
+
+
+def test_prune_drops_heaviest(tmp_path):
+    ld = tmp_path / "t.ld"
+    # hub chr1:2 connects to 3 others; pruning must drop the hub only
+    write_ld(ld, [("chr1:1", "chr1:2", 100, 0.9),
+                  ("chr1:2", "chr1:3", 100, 0.9),
+                  ("chr1:2", "chr1:4", 100, 0.9),
+                  ("chr1:5", "chr1:6", 100, 0.1)])  # below min_weight
+    kept = run_prune(ld)
+    assert kept == ["chr1:1", "chr1:3", "chr1:4", "chr1:5", "chr1:6"]
+
+
+def test_prune_keep_heavy(tmp_path):
+    ld = tmp_path / "t.ld"
+    write_ld(ld, [("chr1:1", "chr1:2", 100, 0.9),
+                  ("chr1:2", "chr1:3", 100, 0.9),
+                  ("chr1:2", "chr1:4", 100, 0.9)])
+    kept = run_prune(ld, "--keep_heavy")
+    assert kept == ["chr1:2"]
+
+
+def test_prune_tie_break_lowercase(tmp_path):
+    ld = tmp_path / "t.ld"
+    # equal weights: the lexicographically smallest lowercase label drops
+    write_ld(ld, [("chr1:20", "chr1:10", 100, 0.9)])
+    kept = run_prune(ld)
+    assert kept == ["chr1:20"]  # "chr1:10" < "chr1:20" -> dropped
+
+
+def test_prune_max_dist_filter(tmp_path):
+    ld = tmp_path / "t.ld"
+    write_ld(ld, [("chr1:1", "chr1:2", 100000, 0.9)])  # beyond max_dist
+    kept = run_prune(ld)
+    assert kept == ["chr1:1", "chr1:2"]
+
+
+def test_prune_no_edges_among_kept(tmp_path):
+    rng = np.random.default_rng(0)
+    rows = []
+    for _ in range(300):
+        a, b = rng.integers(0, 60, 2)
+        if a == b:
+            continue
+        rows.append((f"chr1:{a+1}", f"chr1:{b+1}", int(rng.integers(1, 2000)),
+                     float(rng.random())))
+    ld = tmp_path / "t.ld"
+    write_ld(ld, rows)
+    kept = set(run_prune(ld))
+    for a, b, dist, r2 in rows:
+        if dist <= 50000 and abs(r2) >= 0.5 and a != b:
+            assert not (a in kept and b in kept), f"edge {a}-{b} survived"
+
+
+# ------------------------------------------------------------ fit_decay ----
+
+def test_fit_decay_recovers_rate(tmp_path):
+    rng = np.random.default_rng(1)
+    rate, r2h, r2l = 2e-3, 0.8, 0.05
+    dist = rng.integers(1, 100000, 4000)
+    r2 = (r2h - r2l) / (1 + rate * dist) + r2l + rng.normal(0, 0.02, 4000)
+    ld = tmp_path / "t.ld"
+    with open(ld, "w") as fh:
+        fh.write("site1\tsite2\tdist\tr2_ExpG\tD\tDp\tr2\n")
+        for d, v in zip(dist, r2):
+            fh.write(f"chr1:1\tchr1:{1+d}\t{d}\t0\t0\t0\t{max(v,0):.6f}\n")
+    lst = tmp_path / "files.txt"
+    lst.write_text(str(ld) + "\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "ngsld_tpu.tools.fit_decay", "--ld_files",
+         str(lst), "--ld", "r2", "--fit_level", "3", "--seed", "7",
+         "--fit_bin_size", "1"],
+        capture_output=True, text=True, check=True)
+    lines = out.stdout.strip().splitlines()
+    hdr = lines[0].split("\t")
+    row = dict(zip(hdr, lines[1].split("\t")))
+    assert abs(float(row["DecayRate"]) - rate) / rate < 0.25
+    assert abs(float(row["LDmax"]) - r2h) < 0.1
+    assert abs(float(row["LDmin"]) - r2l) < 0.05
+
+
+def test_fit_decay_finite_sample_model(tmp_path):
+    rng = np.random.default_rng(2)
+    n_ind, rate = 50, 1e-3
+    dist = rng.integers(1, 80000, 3000)
+    C = rate * dist
+    r2 = (((10 + C) / ((2 + C) * (11 + C)))
+          * (1 + ((3 + C) * (12 + 12 * C + C ** 2)) / (n_ind * (2 + C) * (11 + C))))
+    r2 = np.clip(r2 + rng.normal(0, 0.01, len(C)), 0, 1)
+    ld = tmp_path / "t.ld"
+    with open(ld, "w") as fh:
+        fh.write("site1\tsite2\tdist\tr2_ExpG\tD\tDp\tr2\n")
+        for d, v in zip(dist, r2):
+            fh.write(f"chr1:1\tchr1:{1+d}\t{d}\t0\t0\t0\t{v:.6f}\n")
+    lst = tmp_path / "files.txt"
+    lst.write_text(str(ld) + "\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "ngsld_tpu.tools.fit_decay", "--ld_files",
+         str(lst), "--ld", "r2", "--n_ind", str(n_ind), "--fit_level", "3",
+         "--seed", "3"], capture_output=True, text=True, check=True)
+    lines = out.stdout.strip().splitlines()
+    row = dict(zip(lines[0].split("\t"), lines[1].split("\t")))
+    assert abs(float(row["DecayRate"]) - rate) / rate < 0.25
+
+
+# ------------------------------------------------------------ ld_blocks ----
+
+def test_ld_blocks_plots(tmp_path):
+    from ngsld_tpu import strict
+    from ngsld_tpu.config import Params
+    from ngsld_tpu.utils.simulate import simulate, write_all
+    paths = write_all(simulate(n_ind=8, n_sites=150, seed=4), str(tmp_path))
+    ld = tmp_path / "out.ld"
+    strict.run(Params(in_geno=paths["beagle"], in_probs=True, n_ind=8,
+                      n_sites=150, in_pos=paths["pos"], max_kb_dist=10,
+                      out=str(ld)).finalize())
+    chrom = open(paths["pos"]).readline().split("\t")[0]
+    out = subprocess.run(
+        [sys.executable, "-m", "ngsld_tpu.tools.ld_blocks", str(ld),
+         f"{chrom}:1-10000", "--out_prefix", str(tmp_path / "blk")],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert (tmp_path / "blk.r2.pdf").exists()
+    assert (tmp_path / "blk.Dp.pdf").exists()
