@@ -94,7 +94,9 @@ def run_jax(pars: Params, out_fh=None) -> None:
         maf = np.asarray(maf_d, np.float64)
         eg = np.asarray(eg_d)
 
-        out_fh.write(strict.header_line(pars.extend_out))
+        from .io.writer import RowWriter
+        writer = RowWriter(out_fh, labels, pars.extend_out)
+        writer.write_header()
 
         # ---- banded sweep in device-sized blocks
         from .plan.band import iter_pair_blocks
@@ -111,28 +113,16 @@ def run_jax(pars: Params, out_fh=None) -> None:
             s2 = np.concatenate([blk.s2, np.ones(pad, np.int64)
                                  * min(1, pars.n_sites - 1)])
             r2p, f, n_iter, n_used, hmaf0, hmaf1, D, Dp, r2, chi2 = [
-                np.asarray(x) for x in compute(
+                np.asarray(x)[:P] for x in compute(
                     jnp.asarray(gn[s1]), jnp.asarray(gn[s2]),
                     jnp.asarray(eg[s1]), jnp.asarray(eg[s2]),
                     jnp.asarray(maf[s1], dt), jnp.asarray(maf[s2], dt))]
-            _emit_rows(out_fh, pars, labels, blk, P, maf, r2p, f, n_iter,
-                       n_used, hmaf0, hmaf1, D, Dp, r2, chi2)
+            writer.write_block(
+                blk.s1, blk.s2, blk.dist, np.float64(r2p), np.float64(D),
+                np.float64(Dp), np.float64(r2), n_used=n_used,
+                maf1=maf[blk.s1], maf2=maf[blk.s2], hap=np.float64(f),
+                hmaf1=np.float64(hmaf0), hmaf2=np.float64(hmaf1),
+                chi2=chi2, n_iter=n_iter)
     finally:
         if close:
             out_fh.close()
-
-
-def _emit_rows(out_fh, pars, labels, blk, P, maf, r2p, f, n_iter, n_used,
-               hmaf0, hmaf1, D, Dp, r2, chi2) -> None:
-    fmt_f, fmt_f0 = strict.fmt_f, strict.fmt_f0
-    for j in range(P):
-        a, b = int(blk.s1[j]), int(blk.s2[j])
-        row = (f"{labels[a]}\t{labels[b]}\t{fmt_f0(blk.dist[j])}"
-               f"\t{fmt_f(r2p[j])}\t{fmt_f(D[j])}\t{fmt_f(Dp[j])}\t{fmt_f(r2[j])}")
-        if pars.extend_out:
-            row += ("\t%d\t%s\t%s\t%s\t%s\t%s\t%s\t%s\t%s\t%s\t%s\t%d"
-                    % (int(n_used[j]), fmt_f(maf[a]), fmt_f(maf[b]),
-                       fmt_f(f[j, 0]), fmt_f(f[j, 1]), fmt_f(f[j, 2]),
-                       fmt_f(f[j, 3]), fmt_f(hmaf0[j]), fmt_f(hmaf1[j]),
-                       fmt_f(np.float64(chi2[j])), fmt_f(0.0), int(n_iter[j])))
-        out_fh.write(row + "\n")

@@ -1,0 +1,159 @@
+"""Native host runtime: build-on-demand C++ library, ctypes bindings.
+
+Provides fast paths for the reference's host-native components (gz GL
+parsing, TSV formatting). Falls back silently to the pure-Python
+implementations when no compiler/zlib is available — correctness never
+depends on this module, only throughput.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "ngsld_native.cpp")
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _build() -> str | None:
+    """Compile the shared library next to the source (cached by mtime)."""
+    so = os.path.join(_HERE, "_ngsld_native.so")
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
+        return so
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-lz",
+           "-o", so + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(so + ".tmp", so)
+        return so
+    except Exception as e:  # no compiler / no zlib headers
+        sys.stderr.write(f"ngsld: native build unavailable ({e}); "
+                         "using pure-Python host path\n")
+        return None
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        i64 = ctypes.c_int64
+        lib.ngsld_read_geno_text.restype = ctypes.c_int
+        lib.ngsld_read_geno_text.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, i64, i64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_char_p, ctypes.c_long]
+        lib.ngsld_read_geno_bin.restype = ctypes.c_int
+        lib.ngsld_read_geno_bin.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, i64, i64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_char_p, ctypes.c_long]
+        lib.ngsld_format_rows.restype = i64
+        lib.ngsld_format_rows.argtypes = [
+            i64, ctypes.c_char_p, ctypes.POINTER(i64), ctypes.POINTER(i64),
+            ctypes.POINTER(i64), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p, i64]
+        _LIB = lib
+        return _LIB
+
+
+def _dp(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def read_geno_native(path: str, in_bin: bool, in_probs: bool,
+                     in_logscale: bool, n_ind: int, n_sites: int):
+    """Native read_geno; returns (n_sites, n_ind, 3) float64 log-normalized
+    array, or None if the native library is unavailable. Raises StrictError
+    on malformed input (same messages as the Python reader)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..strict import StrictError
+    out = np.empty((n_sites, n_ind, 3), dtype=np.float64)
+    err = ctypes.create_string_buffer(256)
+    if in_bin:
+        rc = lib.ngsld_read_geno_bin(path.encode(), int(in_logscale),
+                                     n_ind, n_sites, _dp(out), err, 256)
+    else:
+        rc = lib.ngsld_read_geno_text(path.encode(), int(in_probs),
+                                      int(in_logscale), n_ind, n_sites,
+                                      _dp(out), err, 256)
+    if rc != 0:
+        raise StrictError("read_geno", err.value.decode())
+    return out
+
+
+def format_rows_native(labels_blob: bytes, label_off: np.ndarray,
+                       s1, s2, dist, r2p, D, Dp, r2, extend: bool,
+                       n_used=None, maf1=None, maf2=None, hap=None,
+                       hmaf1=None, hmaf2=None, chi2=None, n_iter=None):
+    """Bulk-format rows into bytes via the native printf path, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(s1)
+    i64 = ctypes.c_int64
+
+    def ip(a):
+        return np.ascontiguousarray(a, np.int64).ctypes.data_as(ctypes.POINTER(i64))
+
+    def i32p(a):
+        return np.ascontiguousarray(a, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32))
+
+    def dp(a):
+        return np.ascontiguousarray(a, np.float64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_double))
+
+    cap = max(4096, n * (2048 if extend else 1024))
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        null_i32 = i32p(np.zeros(1))
+        null_f = np.zeros(1, np.float32).ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        null_d = dp(np.zeros(1))
+        w = lib.ngsld_format_rows(
+            n, labels_blob, ip(label_off), ip(s1), ip(s2), dp(dist), dp(r2p),
+            dp(D), dp(Dp), dp(r2), int(extend),
+            i32p(n_used) if extend else null_i32,
+            dp(maf1) if extend else null_d, dp(maf2) if extend else null_d,
+            dp(hap.reshape(-1)) if extend else null_d,
+            dp(hmaf1) if extend else null_d, dp(hmaf2) if extend else null_d,
+            np.ascontiguousarray(chi2, np.float32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)) if extend else null_f,
+            i32p(n_iter) if extend else null_i32,
+            buf, cap)
+        if w >= 0:
+            return buf.raw[:w]
+        cap *= 2
+
+
+def make_labels_blob(labels):
+    """Concatenate labels with NULs; returns (bytes, offsets int64)."""
+    off = np.empty(len(labels), dtype=np.int64)
+    parts = []
+    pos = 0
+    for i, lab in enumerate(labels):
+        b = lab.encode()
+        off[i] = pos
+        parts.append(b + b"\0")
+        pos += len(b) + 1
+    return b"".join(parts), off

@@ -406,7 +406,18 @@ def read_geno(path: str, in_bin: bool, in_probs: bool, in_logscale: bool,
               n_ind: int, n_sites: int) -> np.ndarray:
     """read_geno (read_data.cpp:13-116): returns (n_sites, n_ind, 3) float64
     log-scale normalized GLs (the reference transposes after load,
-    ngsLD.cpp:88; we build site-major directly)."""
+    ngsLD.cpp:88; we build site-major directly).
+
+    Dispatches to the native C++ reader when available (same libm, same
+    tokenizer rules — bit-identical, ~100x faster); NGSLD_NO_NATIVE=1
+    forces this pure-Python path."""
+    if os.environ.get("NGSLD_NO_NATIVE") != "1":
+        from .native import read_geno_native
+        native = read_geno_native(path, in_bin, in_probs, in_logscale,
+                                  n_ind, n_sites)
+        if native is not None:
+            return native
+
     geno = np.full((n_sites, n_ind, 3), _NEG_INF_SENTINEL, dtype=np.float64)
     n_geno = N_GENO if in_probs else 1
 
@@ -699,7 +710,9 @@ def run(pars, out_fh=None) -> None:
             # gen_func.cpp:749-772); reproduce that output contract.
             labels = ["(null)"] * pars.n_sites
 
-        out_fh.write(header_line(pars.extend_out))
+        from .io.writer import RowWriter
+        writer = RowWriter(out_fh, labels, pars.extend_out)
+        writer.write_header()
 
         pairs = enumerate_pairs(pars, maf, pos_dist)
 
@@ -708,29 +721,18 @@ def run(pars, out_fh=None) -> None:
             batch = pairs[lo:lo + chunk]
             s1_idx = np.array([p[0] for p in batch], dtype=np.int64)
             s2_idx = np.array([p[1] for p in batch], dtype=np.int64)
-            dists = [p[2] for p in batch]
+            dists = np.array([p[2] for p in batch], dtype=np.float64)
 
             r2pear = pearson_r2_batch(expected_geno[s1_idx], expected_geno[s2_idx])
             f, n_iter, n_used = pair_em_batch(gn[s1_idx], gn[s2_idx],
                                               maf[s1_idx], maf[s2_idx],
                                               pars.ignore_miss_data)
             hmaf0, hmaf1, D, Dp, r2 = ld_stats_batch(f)
-            if pars.extend_out:
-                chi2 = chi2_batch(f)
-
-            for j in range(len(batch)):
-                s1, s2 = int(s1_idx[j]), int(s2_idx[j])
-                row = (f"{labels[s1]}\t{labels[s2]}\t{fmt_f0(dists[j])}"
-                       f"\t{fmt_f(r2pear[j])}\t{fmt_f(D[j])}\t{fmt_f(Dp[j])}"
-                       f"\t{fmt_f(r2[j])}")
-                if pars.extend_out:
-                    row += ("\t%d\t%s\t%s\t%s\t%s\t%s\t%s\t%s\t%s\t%s\t%s\t%d"
-                            % (int(n_used[j]), fmt_f(maf[s1]), fmt_f(maf[s2]),
-                               fmt_f(f[j, 0]), fmt_f(f[j, 1]), fmt_f(f[j, 2]),
-                               fmt_f(f[j, 3]), fmt_f(hmaf0[j]), fmt_f(hmaf1[j]),
-                               fmt_f(np.float64(chi2[j])), fmt_f(0.0),
-                               int(n_iter[j])))
-                out_fh.write(row + "\n")
+            chi2 = chi2_batch(f) if pars.extend_out else None
+            writer.write_block(s1_idx, s2_idx, dists, r2pear, D, Dp, r2,
+                               n_used=n_used, maf1=maf[s1_idx],
+                               maf2=maf[s2_idx], hap=f, hmaf1=hmaf0,
+                               hmaf2=hmaf1, chi2=chi2, n_iter=n_iter)
     finally:
         if close:
             out_fh.close()

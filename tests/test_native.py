@@ -1,0 +1,92 @@
+"""Native C++ host runtime vs pure-Python paths: bit-identical."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ngsld_tpu import strict
+from ngsld_tpu.native import (format_rows_native, get_lib, make_labels_blob,
+                              read_geno_native)
+from ngsld_tpu.utils.simulate import simulate, write_all
+
+
+@pytest.fixture(scope="module")
+def fixdir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nat"))
+    sim = simulate(n_ind=9, n_sites=200, seed=31, all_missing_site_rate=0.02)
+    return write_all(sim, d)
+
+
+def _python_read(path, in_bin, in_probs, in_logscale, n_ind, n_sites):
+    os.environ["NGSLD_NO_NATIVE"] = "1"
+    try:
+        return strict.read_geno(path, in_bin, in_probs, in_logscale,
+                                n_ind, n_sites)
+    finally:
+        del os.environ["NGSLD_NO_NATIVE"]
+
+
+@pytest.mark.parametrize("fmt,kw", [
+    ("beagle", dict(in_bin=False, in_probs=True, in_logscale=False)),
+    ("geno_text", dict(in_bin=False, in_probs=False, in_logscale=False)),
+    ("glf", dict(in_bin=True, in_probs=True, in_logscale=True)),
+])
+def test_native_reader_bit_identical(fixdir, fmt, kw):
+    if get_lib() is None:
+        pytest.skip("no native toolchain")
+    a = read_geno_native(fixdir[fmt], n_ind=9, n_sites=200, **kw)
+    b = _python_read(fixdir[fmt], n_ind=9, n_sites=200, **kw)
+    # bit-exact, NaN-aware
+    np.testing.assert_array_equal(a.view(np.int64), b.view(np.int64))
+
+
+def test_native_reader_error_messages(tmp_path):
+    if get_lib() is None:
+        pytest.skip("no native toolchain")
+    p = tmp_path / "short.glf"
+    p.write_bytes(b"\0" * 8 * 3 * 2)  # too short for 2 sites x 2 ind
+    with pytest.raises(strict.StrictError, match="premature EOF"):
+        read_geno_native(str(p), True, True, True, 2, 2)
+
+
+def test_native_formatter_matches_python():
+    if get_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    n = 64
+    labels = [f"chr{i%3}:{100+i}" for i in range(n + 1)]
+    blob, off = make_labels_blob(labels)
+    s1 = np.arange(n, dtype=np.int64)
+    s2 = s1 + 1
+    dist = rng.uniform(1, 1e5, n)
+    dist[0] = np.inf
+    vals = [rng.uniform(-1, 1, n) for _ in range(4)]
+    vals[1][1] = np.nan
+    vals[2][2] = np.float64(np.inf)
+    vals[3][3] = -np.float64("nan")
+    hap = rng.dirichlet([1, 1, 1, 1], n)
+    chi2 = rng.uniform(0, 5, n).astype(np.float32)
+    n_used = rng.integers(1, 10, n).astype(np.int32)
+    n_iter = rng.integers(0, 100, n).astype(np.int32)
+    maf1, maf2 = rng.uniform(0, 0.5, n), rng.uniform(0, 0.5, n)
+    hm1, hm2 = rng.uniform(0, 0.5, n), rng.uniform(0, 0.5, n)
+
+    native = format_rows_native(blob, off, s1, s2, dist, vals[0], vals[1],
+                                vals[2], vals[3], True, n_used, maf1, maf2,
+                                hap, hm1, hm2, chi2, n_iter).decode()
+
+    py_rows = []
+    for j in range(n):
+        row = (f"{labels[s1[j]]}\t{labels[s2[j]]}\t{strict.fmt_f0(dist[j])}"
+               f"\t{strict.fmt_f(vals[0][j])}\t{strict.fmt_f(vals[1][j])}"
+               f"\t{strict.fmt_f(vals[2][j])}\t{strict.fmt_f(vals[3][j])}")
+        row += ("\t%d\t%s\t%s\t%s\t%s\t%s\t%s\t%s\t%s\t%s\t%s\t%d"
+                % (n_used[j], strict.fmt_f(maf1[j]), strict.fmt_f(maf2[j]),
+                   strict.fmt_f(hap[j, 0]), strict.fmt_f(hap[j, 1]),
+                   strict.fmt_f(hap[j, 2]), strict.fmt_f(hap[j, 3]),
+                   strict.fmt_f(hm1[j]), strict.fmt_f(hm2[j]),
+                   strict.fmt_f(np.float64(chi2[j])), strict.fmt_f(0.0),
+                   n_iter[j]))
+        py_rows.append(row + "\n")
+    assert native == "".join(py_rows)
