@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="EM precision for the JAX engine (auto: f32 on TPU, f64 on CPU)")
     p.add_argument("--chunk_pairs", type=int, default=1 << 17,
                    help="pairs per device batch for the JAX engine")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a JAX profiler trace of the run to DIR")
+    p.add_argument("--checkpoint", default=None, metavar="DIR",
+                   help="write per-block output shards to DIR; rerunning with "
+                        "the same config resumes, computing only missing blocks")
     return p
 
 
@@ -62,6 +67,7 @@ def params_from_args(argv) -> Params:
         rnd_sample=args.rnd_sample, seed=args.seed, extend_out=args.extend_out,
         out=args.out, n_threads=args.n_threads, verbose=args.verbose,
         engine=args.engine, precision=args.precision, chunk_pairs=args.chunk_pairs,
+        profile=args.profile, checkpoint=args.checkpoint,
     )
     if args.in_pos_header_file:
         pars.in_pos = args.in_pos_header_file
@@ -75,9 +81,6 @@ def main(argv=None) -> int:
     except ConfigError as e:
         sys.stderr.write(f"\n=====\nERROR: {e}\n=====\n\n")
         return 1
-
-    if pars.verbose >= 1:
-        sys.stderr.write(f"==> ngsld engine={pars.engine} seed={pars.seed}\n")
 
     try:
         if pars.engine == "strict":

@@ -43,6 +43,8 @@ class Params:
     engine: str = "auto"          # auto | jax | strict
     precision: str = "auto"       # auto | f32 | f64
     chunk_pairs: int = 1 << 17    # device batch size for the pair EM
+    profile: str = None           # JAX profiler trace dir
+    checkpoint: str = None        # per-block shard dir (resume support)
 
     # derived
     in_bin: bool = field(default=False, init=False)

@@ -1,7 +1,8 @@
 """JAX engine driver: the fast device path (TPU or CPU via XLA/Pallas).
 
 Pipeline (mirrors main(), ngsLD.cpp:27-223, re-architected for a device):
-  host: read GLs/positions (strict readers — exact reference semantics)
+  host: read GLs/positions (native/strict readers — exact reference
+        semantics)
   dev:  preprocess (call_geno, MAF, normal-space GLs, E[G])   [jit]
   host: banded pair plan (vectorized, RNG-exact)              [plan.band]
   dev:  per block: pair EM + D/D'/r2/chi2 + Pearson r2        [jit or Pallas]
@@ -10,19 +11,28 @@ Pipeline (mirrors main(), ngsLD.cpp:27-223, re-architected for a device):
 Precision: f64 on CPU (reference-grade), f32 on TPU (fast path; TPU f64 is
 software-emulated). Values agree with the strict engine to ~1e-12 (f64) /
 ~1e-4 (f32); the strict engine remains the byte-exact contract.
+
+Aux subsystems the reference lacks (SURVEY.md §5):
+  * phase timing + counters + EM-iteration histogram (--verbose)
+  * JAX profiler traces (--profile DIR)
+  * checkpoint/resume: per-block output shards + manifest (--checkpoint DIR);
+    a killed run re-runs only the missing blocks.
 """
 
 from __future__ import annotations
 
 import functools
+import hashlib
+import json
 import math
+import os
 import sys
 
 import numpy as np
 
 from . import strict
 from .config import Params
-from .constants import INF
+from .utils.logging import RunLog, echo_config
 
 
 def _resolve_precision(precision: str) -> str:
@@ -54,6 +64,65 @@ def _compute_block_fn(ignore_miss_data: bool, extend_out: bool, use_pallas: bool
     return jax.jit(compute)
 
 
+def _config_fingerprint(pars: Params) -> str:
+    """Identifies a run for checkpoint compatibility: anything that changes
+    the pair plan or the numbers invalidates existing shards."""
+    key = {k: getattr(pars, k) for k in (
+        "in_geno", "in_probs", "in_logscale", "n_ind", "n_sites", "in_pos",
+        "in_pos_header", "max_kb_dist", "max_snp_dist", "min_maf",
+        "ignore_miss_data", "call_geno", "N_thresh", "call_thresh",
+        "rnd_sample", "extend_out", "precision", "chunk_pairs")}
+    if pars.rnd_sample < 1.0:
+        # the seed shapes the pair plan only when sampling; with the default
+        # time-based seed and no sampling, resume must still work
+        key["seed"] = pars.seed
+    return hashlib.sha256(json.dumps(key, sort_keys=True).encode()).hexdigest()[:16]
+
+
+class _Checkpoint:
+    """Per-block output shards: part_NNNNNN.tsv written atomically; a
+    manifest pins the config fingerprint. Completed blocks are skipped on
+    resume; the final output is the in-order concatenation."""
+
+    def __init__(self, cdir: str, pars: Params, log: RunLog):
+        self.dir = cdir
+        self.log = log
+        os.makedirs(cdir, exist_ok=True)
+        fp = _config_fingerprint(pars)
+        mpath = os.path.join(cdir, "MANIFEST.json")
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                man = json.load(fh)
+            if man.get("fingerprint") != fp:
+                raise strict.StrictError(
+                    "checkpoint", f"checkpoint dir {cdir} belongs to a "
+                    "different run configuration; remove it or change --checkpoint")
+        else:
+            with open(mpath, "w") as fh:
+                json.dump({"fingerprint": fp}, fh)
+
+    def path(self, i: int) -> str:
+        return os.path.join(self.dir, f"part_{i:06d}.tsv")
+
+    def done(self, i: int) -> bool:
+        return os.path.exists(self.path(i))
+
+    def open_block(self, i: int):
+        return open(self.path(i) + ".tmp", "w")
+
+    def commit_block(self, i: int) -> None:
+        os.replace(self.path(i) + ".tmp", self.path(i))
+
+    def concatenate(self, out_fh, n_blocks: int) -> None:
+        for i in range(n_blocks):
+            with open(self.path(i)) as fh:
+                while True:
+                    chunk = fh.read(1 << 20)
+                    if not chunk:
+                        break
+                    out_fh.write(chunk)
+
+
 def run_jax(pars: Params, out_fh=None) -> None:
     import jax
 
@@ -64,6 +133,13 @@ def run_jax(pars: Params, out_fh=None) -> None:
     from .ops.preprocess import preprocess
 
     dt = jnp.float64 if prec == "f64" else jnp.float32
+    log = RunLog(pars.verbose)
+    if pars.verbose >= 1:
+        echo_config(pars, f"(jax, {jax.default_backend()}, {prec})")
+
+    profile_dir = getattr(pars, "profile", None)
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
 
     close = False
     if out_fh is None:
@@ -73,56 +149,98 @@ def run_jax(pars: Params, out_fh=None) -> None:
         else:
             out_fh = sys.stdout
 
-    try:
-        # ---- host: exact readers (shared with the strict engine)
-        geno_log = strict.read_geno(pars.in_geno, pars.in_bin, pars.in_probs,
-                                    pars.in_logscale, pars.n_ind, pars.n_sites)
-        if pars.in_pos:
-            pos_dist, labels = strict.read_pos(pars.in_pos, pars.in_pos_header,
-                                               pars.n_sites)
-        else:
-            pos_dist = np.full(pars.n_sites, math.inf)
-            labels = ["(null)"] * pars.n_sites
+    ckpt_dir = getattr(pars, "checkpoint", None)
+    ckpt = _Checkpoint(ckpt_dir, pars, log) if ckpt_dir else None
 
-        # ---- device: preprocessing
-        pre = jax.jit(functools.partial(
-            preprocess, call=pars.call_geno, N_thresh=pars.N_thresh,
-            call_thresh=pars.call_thresh,
-            ignore_miss_data=pars.ignore_miss_data))
-        gn_d, maf_d, eg_d = pre(jnp.asarray(geno_log, dt))
-        gn = np.asarray(gn_d)
-        maf = np.asarray(maf_d, np.float64)
-        eg = np.asarray(eg_d)
+    try:
+        with log.phase("Reading data from file"):
+            geno_log = strict.read_geno(pars.in_geno, pars.in_bin,
+                                        pars.in_probs, pars.in_logscale,
+                                        pars.n_ind, pars.n_sites)
+        with log.phase("Getting sites coordinates"):
+            if pars.in_pos:
+                pos_dist, labels = strict.read_pos(
+                    pars.in_pos, pars.in_pos_header, pars.n_sites)
+            else:
+                pos_dist = np.full(pars.n_sites, math.inf)
+                labels = ["(null)"] * pars.n_sites
+        if pars.verbose >= 6:
+            for s in range(min(10, pars.n_sites)):
+                log.log(6, f"{s}\t{pos_dist[s]:f}")
+
+        with log.phase("Preprocessing (call_geno, MAF, E[G]) on device"):
+            pre = jax.jit(functools.partial(
+                preprocess, call=pars.call_geno, N_thresh=pars.N_thresh,
+                call_thresh=pars.call_thresh,
+                ignore_miss_data=pars.ignore_miss_data))
+            gn_d, maf_d, eg_d = pre(jnp.asarray(geno_log, dt))
+            gn = np.asarray(gn_d)
+            maf = np.asarray(maf_d, np.float64)
+            eg = np.asarray(eg_d)
+        if pars.verbose >= 7:
+            log.log(7, "==> Geno data")
+            for s in range(min(10, pars.n_sites)):
+                log.log(7, f"{s}\t{labels[s]}\t{maf[s]:f} "
+                           f"({gn[s,0,0]:f} {gn[s,0,1]:f} {gn[s,0,2]:f})")
 
         from .io.writer import RowWriter
-        writer = RowWriter(out_fh, labels, pars.extend_out)
-        writer.write_header()
-
-        # ---- banded sweep in device-sized blocks
         from .plan.band import iter_pair_blocks
         use_pallas = jax.default_backend() == "tpu" and prec == "f32"
         compute = _compute_block_fn(pars.ignore_miss_data, pars.extend_out,
                                     use_pallas)
         chunk = int(pars.chunk_pairs)
 
-        for blk in iter_pair_blocks(pars, maf, pos_dist, block_pairs=chunk):
-            P = len(blk.s1)
-            # pad to the fixed chunk size to keep one compiled program
-            pad = chunk - P if P < chunk else 0
-            s1 = np.concatenate([blk.s1, np.zeros(pad, np.int64)])
-            s2 = np.concatenate([blk.s2, np.ones(pad, np.int64)
-                                 * min(1, pars.n_sites - 1)])
-            r2p, f, n_iter, n_used, hmaf0, hmaf1, D, Dp, r2, chi2 = [
-                np.asarray(x)[:P] for x in compute(
-                    jnp.asarray(gn[s1]), jnp.asarray(gn[s2]),
-                    jnp.asarray(eg[s1]), jnp.asarray(eg[s2]),
-                    jnp.asarray(maf[s1], dt), jnp.asarray(maf[s2], dt))]
-            writer.write_block(
-                blk.s1, blk.s2, blk.dist, np.float64(r2p), np.float64(D),
-                np.float64(Dp), np.float64(r2), n_used=n_used,
-                maf1=maf[blk.s1], maf2=maf[blk.s2], hap=np.float64(f),
-                hmaf1=np.float64(hmaf0), hmaf2=np.float64(hmaf1),
-                chi2=chi2, n_iter=n_iter)
+        writer = None
+        if ckpt is None:
+            writer = RowWriter(out_fh, labels, pars.extend_out)
+            writer.write_header()
+
+        n_blocks = 0
+        with log.phase("compute: banded pair sweep"):
+            for bi, blk in enumerate(
+                    iter_pair_blocks(pars, maf, pos_dist, block_pairs=chunk)):
+                n_blocks = bi + 1
+                if ckpt is not None and ckpt.done(bi):
+                    log.count("blocks_resumed")
+                    continue
+                P = len(blk.s1)
+                log.count("pairs_emitted", P)
+                log.count("blocks_computed")
+                if pars.verbose >= 3:
+                    log.log(3, f"> Block {bi}: anchors "
+                               f"{blk.s1[0]}..{blk.s1[-1]}, {P} pairs")
+                pad = chunk - P if P < chunk else 0
+                s1 = np.concatenate([blk.s1, np.zeros(pad, np.int64)])
+                s2 = np.concatenate([blk.s2, np.ones(pad, np.int64)
+                                     * min(1, pars.n_sites - 1)])
+                r2p, f, n_iter, n_used, hmaf0, hmaf1, D, Dp, r2, chi2 = [
+                    np.asarray(x)[:P] for x in compute(
+                        jnp.asarray(gn[s1]), jnp.asarray(gn[s2]),
+                        jnp.asarray(eg[s1]), jnp.asarray(eg[s2]),
+                        jnp.asarray(maf[s1], dt), jnp.asarray(maf[s2], dt))]
+                log.count("em_iterations", int(n_iter.astype(np.int64).sum()))
+                if ckpt is not None:
+                    bfh = ckpt.open_block(bi)
+                    bw = RowWriter(bfh, labels, pars.extend_out)
+                else:
+                    bfh, bw = None, writer
+                bw.write_block(
+                    blk.s1, blk.s2, blk.dist, np.float64(r2p), np.float64(D),
+                    np.float64(Dp), np.float64(r2), n_used=n_used,
+                    maf1=maf[blk.s1], maf2=maf[blk.s2], hap=np.float64(f),
+                    hmaf1=np.float64(hmaf0), hmaf2=np.float64(hmaf1),
+                    chi2=chi2, n_iter=n_iter)
+                if ckpt is not None:
+                    bfh.close()
+                    ckpt.commit_block(bi)
+
+        if ckpt is not None:
+            with log.phase("Merging checkpoint shards"):
+                out_fh.write(strict.header_line(pars.extend_out))
+                ckpt.concatenate(out_fh, n_blocks)
+        log.summary()
     finally:
+        if profile_dir:
+            jax.profiler.stop_trace()
         if close:
             out_fh.close()

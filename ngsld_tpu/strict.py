@@ -691,6 +691,9 @@ def run(pars, out_fh=None) -> None:
             out_fh = sys.stdout
 
     try:
+        if pars.verbose >= 1:
+            from .utils.logging import echo_config
+            echo_config(pars, "(strict, cpu, f64 bit-exact)")
         geno_log = read_geno(pars.in_geno, pars.in_bin, pars.in_probs,
                              pars.in_logscale, pars.n_ind, pars.n_sites)
         if pars.call_geno:

@@ -1,0 +1,82 @@
+"""Leveled stderr narration + phase timing.
+
+Mirrors the reference's --verbose contract (phase banners at >=1,
+progress at >=3, data dumps at >=6/7; ngsLD.cpp:46,86,102,118,151,194 and
+parse_args.cpp:135-161) and adds what it lacks: per-phase wall timing and
+run counters (pairs evaluated, EM iteration histogram, throughput).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from contextlib import contextmanager
+
+
+class RunLog:
+    def __init__(self, verbose: int = 1):
+        self.verbose = verbose
+        self.timings: list = []
+        self.counters: dict = {}
+
+    def log(self, level: int, msg: str) -> None:
+        if self.verbose >= level:
+            sys.stderr.write(msg + "\n")
+
+    @contextmanager
+    def phase(self, name: str, level: int = 1):
+        self.log(level, f"==> {name}")
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.timings.append((name, time.perf_counter() - t0))
+
+    def count(self, key: str, n: int = 1) -> None:
+        self.counters[key] = self.counters.get(key, 0) + n
+
+    def summary(self) -> None:
+        if self.verbose < 1:
+            return
+        total = sum(t for _, t in self.timings)
+        sys.stderr.write("==> Phase timings:\n")
+        for name, t in self.timings:
+            sys.stderr.write(f"\t{name}: {t:.3f}s ({100*t/max(total,1e-9):.0f}%)\n")
+        if self.counters:
+            sys.stderr.write("==> Counters:\n")
+            for k, v in sorted(self.counters.items()):
+                sys.stderr.write(f"\t{k}: {v}\n")
+        pairs = self.counters.get("pairs_emitted", 0)
+        compute_t = sum(t for n, t in self.timings if n.startswith("compute"))
+        if pairs and compute_t > 0:
+            sys.stderr.write(f"==> Throughput: {pairs/compute_t:.3g} pairs/s "
+                             "(compute phases)\n")
+
+
+def echo_config(pars, engine_info: str = "") -> None:
+    """Startup config echo, parse_args.cpp:135-159 style."""
+    from .. import __version__
+    lines = [
+        "==> Input Arguments:",
+        f"\tgeno: {pars.in_geno}",
+        f"\tprobs: {str(pars.in_probs).lower()}",
+        f"\tlog_scale: {str(pars.in_logscale).lower()}",
+        f"\tn_ind: {pars.n_ind}",
+        f"\tn_sites: {pars.n_sites}",
+        f"\tpos: {pars.in_pos} ({'WITH' if pars.in_pos_header else 'WITHOUT'} header)",
+        f"\tmax_kb_dist (kb): {pars.max_kb_dist}",
+        f"\tmax_snp_dist: {pars.max_snp_dist}",
+        f"\tmin_maf: {pars.min_maf:.6f}",
+        f"\tignore_miss_data: {str(pars.ignore_miss_data).lower()}",
+        f"\tcall_geno: {str(pars.call_geno).lower()}",
+        f"\tN_thresh: {pars.N_thresh:.6f}",
+        f"\tcall_thresh: {pars.call_thresh:.6f}",
+        f"\trnd_sample: {pars.rnd_sample:.6f}",
+        f"\tseed: {pars.seed}",
+        f"\textend_out: {str(pars.extend_out).lower()}",
+        f"\tout: {pars.out}",
+        f"\tengine: {pars.engine} {engine_info}",
+        f"\tversion: {__version__}",
+        "",
+    ]
+    sys.stderr.write("\n".join(lines))

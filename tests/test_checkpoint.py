@@ -1,0 +1,58 @@
+"""Checkpoint/resume: per-block shards, manifest guard, identical output."""
+
+import io
+import json
+import os
+
+import pytest
+
+from ngsld_tpu.config import Params
+from ngsld_tpu.engine import run_jax
+from ngsld_tpu.strict import StrictError
+from ngsld_tpu.utils.simulate import simulate, write_all
+
+
+@pytest.fixture(scope="module")
+def fixdir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ck"))
+    return write_all(simulate(n_ind=8, n_sites=200, seed=41), d)
+
+
+def base_pars(fixdir, **kw):
+    d = dict(in_geno=fixdir["beagle"], in_probs=True, n_ind=8, n_sites=200,
+             in_pos=fixdir["pos"], max_kb_dist=10, min_maf=0.05, seed=5,
+             extend_out=True, precision="f64", chunk_pairs=128, verbose=0)
+    d.update(kw)
+    return Params(**d).finalize()
+
+
+def test_checkpoint_output_identical(fixdir, tmp_path):
+    plain = io.StringIO()
+    run_jax(base_pars(fixdir), out_fh=plain)
+    ck = io.StringIO()
+    run_jax(base_pars(fixdir, checkpoint=str(tmp_path / "ck")), out_fh=ck)
+    assert plain.getvalue() == ck.getvalue()
+    parts = [p for p in os.listdir(tmp_path / "ck") if p.startswith("part_")]
+    assert len(parts) > 1  # actually sharded
+
+
+def test_resume_skips_completed_blocks(fixdir, tmp_path):
+    cdir = tmp_path / "ck"
+    first = io.StringIO()
+    run_jax(base_pars(fixdir, checkpoint=str(cdir)), out_fh=first)
+    # delete one shard; resume must recompute only that block
+    victim = sorted(p for p in os.listdir(cdir) if p.startswith("part_"))[1]
+    os.remove(cdir / victim)
+    second = io.StringIO()
+    run_jax(base_pars(fixdir, checkpoint=str(cdir)), out_fh=second)
+    assert first.getvalue() == second.getvalue()
+
+
+def test_manifest_guards_config_mismatch(fixdir, tmp_path):
+    cdir = tmp_path / "ck"
+    run_jax(base_pars(fixdir, checkpoint=str(cdir)), out_fh=io.StringIO())
+    with pytest.raises(StrictError, match="different run configuration"):
+        run_jax(base_pars(fixdir, checkpoint=str(cdir), min_maf=0.2),
+                out_fh=io.StringIO())
+    man = json.load(open(cdir / "MANIFEST.json"))
+    assert "fingerprint" in man
