@@ -44,12 +44,19 @@ def _resolve_precision(precision: str) -> str:
 
 @functools.lru_cache(maxsize=None)
 def _compute_block_fn(ignore_miss_data: bool, extend_out: bool, use_pallas: bool):
+    """Device-resident block step: the GL/E[G]/MAF tables stay on device and
+    the per-block pair GATHER happens there too — only the (s1, s2) index
+    vectors cross the host link per block (the host<->device link is the
+    scarcest resource: a tunneled TPU here measures ~15 MB/s)."""
     import jax
     import jax.numpy as jnp
     from .ops.em import pair_em
     from .ops.stats import chi2_stat, ld_stats, pearson_r2
 
-    def compute(gn1, gn2, eg1, eg2, maf1, maf2):
+    def compute(gn, eg, maf, s1, s2):
+        gn1, gn2 = jnp.take(gn, s1, axis=0), jnp.take(gn, s2, axis=0)
+        eg1, eg2 = jnp.take(eg, s1, axis=0), jnp.take(eg, s2, axis=0)
+        maf1, maf2 = jnp.take(maf, s1), jnp.take(maf, s2)
         r2p = pearson_r2(eg1, eg2)
         if use_pallas:
             from .kernels.pallas_em import pair_em_pallas
@@ -59,9 +66,22 @@ def _compute_block_fn(ignore_miss_data: bool, extend_out: bool, use_pallas: bool
             f, n_iter, n_used = pair_em(gn1, gn2, maf1, maf2, ignore_miss_data)
         hmaf0, hmaf1, D, Dp, r2 = ld_stats(f)
         chi2 = chi2_stat(f) if extend_out else jnp.zeros_like(r2p)
-        return r2p, f, n_iter, n_used, hmaf0, hmaf1, D, Dp, r2, chi2
+        # pack into two arrays: the host link pays per-transfer latency, so
+        # ship one float and one int matrix instead of ten vectors
+        fmat = jnp.stack([r2p, D, Dp, r2, hmaf0, hmaf1,
+                          chi2.astype(f.dtype)], axis=1)
+        fmat = jnp.concatenate([fmat, f], axis=1)  # (P, 11)
+        imat = jnp.stack([n_iter, n_used], axis=1)  # (P, 2)
+        return fmat, imat
 
     return jax.jit(compute)
+
+
+def _unpack(fmat, imat):
+    r2p, D, Dp, r2, hmaf0, hmaf1, chi2 = (fmat[:, i] for i in range(7))
+    f = fmat[:, 7:11]
+    return (r2p, f, imat[:, 0], imat[:, 1], hmaf0, hmaf1, D, Dp, r2,
+            chi2.astype(np.float32))
 
 
 def _config_fingerprint(pars: Params) -> str:
@@ -173,15 +193,22 @@ def run_jax(pars: Params, out_fh=None) -> None:
                 preprocess, call=pars.call_geno, N_thresh=pars.N_thresh,
                 call_thresh=pars.call_thresh,
                 ignore_miss_data=pars.ignore_miss_data))
-            gn_d, maf_d, eg_d = pre(jnp.asarray(geno_log, dt))
-            gn = np.asarray(gn_d)
+            # narrow on host first: GLs cross the host->device link once, at
+            # target precision
+            host_gl = np.asarray(geno_log, np.float64 if dt == jnp.float64
+                                 else np.float32)
+            del geno_log
+            gn_d, maf_d, eg_d = pre(jnp.asarray(host_gl))
+            del host_gl
+            # only MAF returns to the host (the plan needs it); GL/E[G]
+            # tables stay device-resident for the sweep
             maf = np.asarray(maf_d, np.float64)
-            eg = np.asarray(eg_d)
         if pars.verbose >= 7:
             log.log(7, "==> Geno data")
+            gn0 = np.asarray(gn_d[:min(10, pars.n_sites), 0, :])
             for s in range(min(10, pars.n_sites)):
                 log.log(7, f"{s}\t{labels[s]}\t{maf[s]:f} "
-                           f"({gn[s,0,0]:f} {gn[s,0,1]:f} {gn[s,0,2]:f})")
+                           f"({gn0[s,0]:f} {gn0[s,1]:f} {gn0[s,2]:f})")
 
         from .io.writer import RowWriter
         from .plan.band import iter_pair_blocks
@@ -195,7 +222,32 @@ def run_jax(pars: Params, out_fh=None) -> None:
             writer = RowWriter(out_fh, labels, pars.extend_out)
             writer.write_header()
 
+        def emit(bi, blk, dev_out):
+            """Pull one block's results to the host and write its rows."""
+            P = len(blk.s1)
+            r2p, f, n_iter, n_used, hmaf0, hmaf1, D, Dp, r2, chi2 = _unpack(
+                np.asarray(dev_out[0])[:P], np.asarray(dev_out[1])[:P])
+            n_iter = n_iter.astype(np.int32)
+            n_used = n_used.astype(np.int32)
+            log.count("em_iterations", int(n_iter.astype(np.int64).sum()))
+            if ckpt is not None:
+                bfh = ckpt.open_block(bi)
+                bw = RowWriter(bfh, labels, pars.extend_out)
+            else:
+                bfh, bw = None, writer
+            bw.write_block(
+                blk.s1, blk.s2, blk.dist, np.float64(r2p), np.float64(D),
+                np.float64(Dp), np.float64(r2), n_used=n_used,
+                maf1=maf[blk.s1], maf2=maf[blk.s2], hap=np.float64(f),
+                hmaf1=np.float64(hmaf0), hmaf2=np.float64(hmaf1),
+                chi2=chi2, n_iter=n_iter)
+            if ckpt is not None:
+                bfh.close()
+                ckpt.commit_block(bi)
+
         n_blocks = 0
+        pending = []  # depth-2 async pipeline: overlap device compute of
+        # block i+1 with host transfer + formatting of block i
         with log.phase("compute: banded pair sweep"):
             for bi, blk in enumerate(
                     iter_pair_blocks(pars, maf, pos_dist, block_pairs=chunk)):
@@ -213,26 +265,14 @@ def run_jax(pars: Params, out_fh=None) -> None:
                 s1 = np.concatenate([blk.s1, np.zeros(pad, np.int64)])
                 s2 = np.concatenate([blk.s2, np.ones(pad, np.int64)
                                      * min(1, pars.n_sites - 1)])
-                r2p, f, n_iter, n_used, hmaf0, hmaf1, D, Dp, r2, chi2 = [
-                    np.asarray(x)[:P] for x in compute(
-                        jnp.asarray(gn[s1]), jnp.asarray(gn[s2]),
-                        jnp.asarray(eg[s1]), jnp.asarray(eg[s2]),
-                        jnp.asarray(maf[s1], dt), jnp.asarray(maf[s2], dt))]
-                log.count("em_iterations", int(n_iter.astype(np.int64).sum()))
-                if ckpt is not None:
-                    bfh = ckpt.open_block(bi)
-                    bw = RowWriter(bfh, labels, pars.extend_out)
-                else:
-                    bfh, bw = None, writer
-                bw.write_block(
-                    blk.s1, blk.s2, blk.dist, np.float64(r2p), np.float64(D),
-                    np.float64(Dp), np.float64(r2), n_used=n_used,
-                    maf1=maf[blk.s1], maf2=maf[blk.s2], hap=np.float64(f),
-                    hmaf1=np.float64(hmaf0), hmaf2=np.float64(hmaf1),
-                    chi2=chi2, n_iter=n_iter)
-                if ckpt is not None:
-                    bfh.close()
-                    ckpt.commit_block(bi)
+                dev_out = compute(gn_d, eg_d, maf_d,
+                                  jnp.asarray(s1, jnp.int32),
+                                  jnp.asarray(s2, jnp.int32))  # async dispatch
+                pending.append((bi, blk, dev_out))
+                if len(pending) > 1:
+                    emit(*pending.pop(0))
+            for item in pending:
+                emit(*item)
 
         if ckpt is not None:
             with log.phase("Merging checkpoint shards"):

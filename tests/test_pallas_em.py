@@ -40,3 +40,42 @@ def test_kernel_matches_xla_path(n_pairs, n_ind, ignore_miss):
     # iteration counts match except convergence knife-edges
     it_diff = np.abs(np.asarray(it_ref) - np.asarray(it_k))
     assert (it_diff <= 1).mean() > 0.95
+
+
+@pytest.mark.parametrize("ignore_miss", [False, True])
+def test_phased_matches_single_pass(ignore_miss):
+    """Two-phase compaction must be exactly equivalent to the plain kernel
+    (same f, same nIter) — the phase boundary is semantically invisible."""
+    import jax.numpy as jnp
+    from ngsld_tpu.kernels.pallas_em import pair_em_pallas, pair_em_phased
+
+    gn1, gn2, m1, m2 = _case(200, 16, seed=77)
+    a = [jnp.asarray(x) for x in (gn1, gn2, m1, m2)]
+    f1, it1, nu1 = pair_em_pallas(*a, ignore_miss, pair_tile=128,
+                                  interpret=True)
+    f2, it2, nu2 = pair_em_phased(*a, ignore_miss, cap1=8, pair_tile=128,
+                                  interpret=True, bucket=128)
+    np.testing.assert_array_equal(np.asarray(it1), it2)
+    np.testing.assert_array_equal(np.asarray(nu1), nu2)
+    a1, a2 = np.asarray(f1), f2
+    nan = np.isnan(a1) & np.isnan(a2)
+    np.testing.assert_array_equal(np.where(nan, 0, a1), np.where(nan, 0, a2))
+
+
+@pytest.mark.parametrize("ignore_miss", [False, True])
+def test_sorted_matches_single_pass(ignore_miss):
+    """In-jit sorted two-phase must equal the plain kernel exactly."""
+    import jax.numpy as jnp
+    from ngsld_tpu.kernels.pallas_em import pair_em_pallas, pair_em_sorted
+
+    gn1, gn2, m1, m2 = _case(200, 16, seed=13)
+    a = [jnp.asarray(x) for x in (gn1, gn2, m1, m2)]
+    f1, it1, nu1 = pair_em_pallas(*a, ignore_miss, pair_tile=128,
+                                  interpret=True)
+    f2, it2, nu2 = pair_em_sorted(*a, ignore_miss, pair_tile=128,
+                                  interpret=True, cap1=8)
+    np.testing.assert_array_equal(np.asarray(it1), np.asarray(it2))
+    np.testing.assert_array_equal(np.asarray(nu1), np.asarray(nu2))
+    a1, a2 = np.asarray(f1), np.asarray(f2)
+    nan = np.isnan(a1) & np.isnan(a2)
+    np.testing.assert_array_equal(np.where(nan, 0, a1), np.where(nan, 0, a2))
