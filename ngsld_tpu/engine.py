@@ -128,23 +128,35 @@ class _Checkpoint:
         return os.path.exists(self.path(i))
 
     def open_block(self, i: int):
-        return open(self.path(i) + ".tmp", "w")
+        return open(self.path(i) + ".tmp", "wb")
 
     def commit_block(self, i: int) -> None:
         os.replace(self.path(i) + ".tmp", self.path(i))
 
     def concatenate(self, out_fh, n_blocks: int) -> None:
+        binary = not hasattr(out_fh, "encoding")
         for i in range(n_blocks):
-            with open(self.path(i)) as fh:
+            with open(self.path(i), "rb") as fh:
                 while True:
                     chunk = fh.read(1 << 20)
                     if not chunk:
                         break
-                    out_fh.write(chunk)
+                    out_fh.write(chunk if binary else chunk.decode())
 
 
 def run_jax(pars: Params, out_fh=None) -> None:
     import jax
+
+    # Persistent compilation cache: the CLI is a fresh process per run, and
+    # a cold Pallas/XLA compile costs seconds (tens of seconds through a
+    # tunneled device). Opt out with NGSLD_JAX_CACHE="".
+    cache_dir = os.environ.get("NGSLD_JAX_CACHE", "/tmp/ngsld_jax_cache")
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        except Exception:
+            pass
 
     prec = _resolve_precision(pars.precision)
     if prec == "f64":
@@ -164,10 +176,10 @@ def run_jax(pars: Params, out_fh=None) -> None:
     close = False
     if out_fh is None:
         if pars.out is not None:
-            out_fh = open(pars.out, "w")
+            out_fh = open(pars.out, "wb")
             close = True
         else:
-            out_fh = sys.stdout
+            out_fh = getattr(sys.stdout, "buffer", sys.stdout)
 
     ckpt_dir = getattr(pars, "checkpoint", None)
     ckpt = _Checkpoint(ckpt_dir, pars, log) if ckpt_dir else None
@@ -276,7 +288,9 @@ def run_jax(pars: Params, out_fh=None) -> None:
 
         if ckpt is not None:
             with log.phase("Merging checkpoint shards"):
-                out_fh.write(strict.header_line(pars.extend_out))
+                hdr = strict.header_line(pars.extend_out)
+                out_fh.write(hdr if hasattr(out_fh, "encoding")
+                             else hdr.encode())
                 ckpt.concatenate(out_fh, n_blocks)
         log.summary()
     finally:

@@ -2,7 +2,9 @@
 
 RowWriter formats blocks of result rows, preferring the native bulk
 formatter (bit-identical to the Python path; see tests/test_native.py) and
-falling back to per-row Python formatting.
+falling back to per-row Python formatting. It writes to either text or
+binary file handles; binary avoids a bytes->str->bytes round trip on the
+native path (the formatted block is pure ASCII).
 """
 
 from __future__ import annotations
@@ -27,8 +29,20 @@ class RowWriter:
             except Exception:
                 self.native = None
 
+    def _write_bytes(self, data: bytes) -> None:
+        try:
+            self.fh.write(data)
+        except TypeError:
+            self.fh.write(data.decode())
+
+    def _write_str(self, s: str) -> None:
+        try:
+            self.fh.write(s)
+        except TypeError:
+            self.fh.write(s.encode())
+
     def write_header(self):
-        self.fh.write(header_line(self.extend))
+        self._write_str(header_line(self.extend))
 
     def write_block(self, s1, s2, dist, r2p, D, Dp, r2, *, n_used=None,
                     maf1=None, maf2=None, hap=None, hmaf1=None, hmaf2=None,
@@ -40,9 +54,10 @@ class RowWriter:
                 np.asarray(s2, np.int64), dist, r2p, D, Dp, r2, self.extend,
                 n_used, maf1, maf2, hap, hmaf1, hmaf2, chi2, n_iter)
             if data is not None:
-                self.fh.write(data.decode())
+                self._write_bytes(data)
                 return
         labels = self.labels
+        rows = []
         for j in range(len(s1)):
             row = (f"{labels[int(s1[j])]}\t{labels[int(s2[j])]}"
                    f"\t{fmt_f0(dist[j])}\t{fmt_f(r2p[j])}\t{fmt_f(D[j])}"
@@ -55,4 +70,6 @@ class RowWriter:
                            fmt_f(hmaf1[j]), fmt_f(hmaf2[j]),
                            fmt_f(np.float64(chi2[j])), fmt_f(0.0),
                            int(n_iter[j])))
-            self.fh.write(row + "\n")
+            rows.append(row)
+        rows.append("")
+        self._write_str("\n".join(rows))

@@ -70,7 +70,7 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p, i64]
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_char), i64]
         _LIB = lib
         return _LIB
 
@@ -124,9 +124,18 @@ def format_rows_native(labels_blob: bytes, label_off: np.ndarray,
         return np.ascontiguousarray(a, np.float64).ctypes.data_as(
             ctypes.POINTER(ctypes.c_double))
 
-    cap = max(4096, n * (2048 if extend else 1024))
+    # Worst-case row budget: 2 labels + 17 numeric fields ("-0.000001",
+    # "inf", "%.0f" dists up to ~1e15) at <=24 bytes each, tabs + newline.
+    # The C path returns -1 on would-overflow and we double, so a tight
+    # estimate only risks one retry, never corruption. A zero-fill +
+    # double-copy ctypes buffer at 2 KB/row cost seconds per block.
+    max_lab = int(np.diff(np.r_[label_off, len(labels_blob)]).max()) \
+        if len(label_off) else 16
+    per_row = 2 * max_lab + (17 if extend else 5) * 24 + 32
+    cap = max(4096, n * per_row + 1024)
     while True:
-        buf = ctypes.create_string_buffer(cap)
+        buf = np.empty(cap, np.uint8)
+        bufp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char))
         null_i32 = i32p(np.zeros(1))
         null_f = np.zeros(1, np.float32).ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         null_d = dp(np.zeros(1))
@@ -140,9 +149,9 @@ def format_rows_native(labels_blob: bytes, label_off: np.ndarray,
             np.ascontiguousarray(chi2, np.float32).ctypes.data_as(
                 ctypes.POINTER(ctypes.c_float)) if extend else null_f,
             i32p(n_iter) if extend else null_i32,
-            buf, cap)
+            bufp, cap)
         if w >= 0:
-            return buf.raw[:w]
+            return buf[:w].tobytes()
         cap *= 2
 
 
