@@ -59,8 +59,8 @@ def _compute_block_fn(ignore_miss_data: bool, extend_out: bool, use_pallas: bool
         maf1, maf2 = jnp.take(maf, s1), jnp.take(maf, s2)
         r2p = pearson_r2(eg1, eg2)
         if use_pallas:
-            from .kernels.pallas_em import pair_em_pallas
-            f, n_iter, n_used = pair_em_pallas(gn1, gn2, maf1, maf2,
+            from .kernels.pallas_em import pair_em_sorted
+            f, n_iter, n_used = pair_em_sorted(gn1, gn2, maf1, maf2,
                                                ignore_miss_data)
         else:
             f, n_iter, n_used = pair_em(gn1, gn2, maf1, maf2, ignore_miss_data)
@@ -71,7 +71,10 @@ def _compute_block_fn(ignore_miss_data: bool, extend_out: bool, use_pallas: bool
         fmat = jnp.stack([r2p, D, Dp, r2, hmaf0, hmaf1,
                           chi2.astype(f.dtype)], axis=1)
         fmat = jnp.concatenate([fmat, f], axis=1)  # (P, 11)
-        imat = jnp.stack([n_iter, n_used], axis=1)  # (P, 2)
+        # nIter <= 100 and n_used <= n_ind: int16 halves the metadata bytes
+        # on the host link
+        imat = jnp.stack([n_iter.astype(jnp.int16),
+                          n_used.astype(jnp.int16)], axis=1)  # (P, 2)
         return fmat, imat
 
     return jax.jit(compute)
