@@ -45,18 +45,18 @@ from ..ops.preprocess import miss_mask
 
 _KBITS = ((0, 0), (0, 1), (1, 0), (1, 1))
 
-# The while body runs _UNROLL exact steps between scalar convergence
+# The while body runs `unroll` exact steps between scalar convergence
 # checks: a per-iteration `any(active)` forces a vector->scalar sync that
 # otherwise dominates; converged pairs stay frozen inside the unrolled
-# steps so the semantics (and nIter) are unchanged. Iteration caps must be
-# multiples of _UNROLL so loops never run past their budget.
+# steps so the semantics (and nIter) are unchanged. Each loop's iteration
+# cap must be a multiple of its unroll so it never runs past the budget.
 _UNROLL = 4
 assert ITER_MAX % _UNROLL == 0
 
 
 def _em_kernel(g1_ref, g2_ref, f0_ref, incf_ref, invx_ref,
                f_out, niter_out, epsl_out, epsp_out, active_ref,
-               *, iter_cap: int):
+               *, iter_cap: int, unroll: int = _UNROLL):
     """One grid step = one (I, PT) pair tile, EM to convergence or cap.
 
     Outputs: f (4,PT), n_iter (1,PT; == iter_cap when unconverged), and the
@@ -121,7 +121,7 @@ def _em_kernel(g1_ref, g2_ref, f0_ref, incf_ref, invx_ref,
         n_iter = niter_out[:]
         eps_prev = epsp_out[:]
         eps_last = epsl_out[:]
-        for u in range(_UNROLL):
+        for u in range(unroll):
             fs, active, n_iter, eps_prev, eps_last = em_step(
                 it + u, fs, active, n_iter, eps_prev, eps_last)
         for k in range(4):
@@ -130,14 +130,15 @@ def _em_kernel(g1_ref, g2_ref, f0_ref, incf_ref, invx_ref,
         epsp_out[:] = eps_prev
         epsl_out[:] = eps_last
         active_ref[:] = active.astype(jnp.float32)
-        return it + _UNROLL, jnp.logical_not(jnp.any(active))
+        return it + unroll, jnp.logical_not(jnp.any(active))
 
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
 
 
 def _run_kernel(g1, g2, f0, incf, invx, *, pair_tile: int, iter_cap: int,
-                interpret: bool):
+                interpret: bool, unroll: int = _UNROLL):
     """Invoke the EM kernel on pre-laid-out (3, Ip, Pp) tiles."""
+    assert iter_cap % unroll == 0, (iter_cap, unroll)
     _, Ip, Pp = g1.shape
     PT = pair_tile
     grid = (Pp // PT,)
@@ -146,7 +147,7 @@ def _run_kernel(g1, g2, f0, incf, invx, *, pair_tile: int, iter_cap: int,
     row = lambda h: pl.BlockSpec((h, PT), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_em_kernel, iter_cap=iter_cap),
+        functools.partial(_em_kernel, iter_cap=iter_cap, unroll=unroll),
         grid=grid,
         in_specs=[spec3, spec3, row(4), row(Ip), row(1)],
         out_specs=[row(4), row(1), row(1), row(1)],
