@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, metavar="DIR",
                    help="write per-block output shards to DIR; rerunning with "
                         "the same config resumes, computing only missing blocks")
+    p.add_argument("--shard", type=int, default=1, metavar="N",
+                   help="split each pair block across N local devices "
+                        "(0 = all; 1 = single-device) [1]")
     return p
 
 
@@ -67,7 +70,7 @@ def params_from_args(argv) -> Params:
         rnd_sample=args.rnd_sample, seed=args.seed, extend_out=args.extend_out,
         out=args.out, n_threads=args.n_threads, verbose=args.verbose,
         engine=args.engine, precision=args.precision, chunk_pairs=args.chunk_pairs,
-        profile=args.profile, checkpoint=args.checkpoint,
+        profile=args.profile, checkpoint=args.checkpoint, shard=args.shard,
     )
     if args.in_pos_header_file:
         pars.in_pos = args.in_pos_header_file

@@ -45,6 +45,7 @@ class Params:
     chunk_pairs: int = 1 << 17    # device batch size for the pair EM
     profile: str = None           # JAX profiler trace dir
     checkpoint: str = None        # per-block shard dir (resume support)
+    shard: int = 1                # devices for the pair sweep (0 = all local)
 
     # derived
     in_bin: bool = field(default=False, init=False)

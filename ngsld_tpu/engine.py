@@ -43,11 +43,17 @@ def _resolve_precision(precision: str) -> str:
 
 
 @functools.lru_cache(maxsize=None)
-def _compute_block_fn(ignore_miss_data: bool, extend_out: bool, use_pallas: bool):
+def _compute_block_fn(ignore_miss_data: bool, extend_out: bool,
+                      use_pallas: bool, n_shards: int = 1):
     """Device-resident block step: the GL/E[G]/MAF tables stay on device and
     the per-block pair GATHER happens there too — only the (s1, s2) index
     vectors cross the host link per block (the host<->device link is the
-    scarcest resource: a tunneled TPU here measures ~15 MB/s)."""
+    scarcest resource: a tunneled TPU here measures ~15 MB/s).
+
+    With n_shards > 1 the same step runs shard_map'ed over a 1-D 'pairs'
+    mesh: tables replicated, index vectors (and therefore the gather, the
+    EM, and the statistics) split across devices — the TPU-native
+    replacement for the reference's pthread pool (ngsLD.cpp:154-186)."""
     import jax
     import jax.numpy as jnp
     from .ops.em import pair_em
@@ -77,6 +83,17 @@ def _compute_block_fn(ignore_miss_data: bool, extend_out: bool, use_pallas: bool
                           n_used.astype(jnp.int16)], axis=1)  # (P, 2)
         return fmat, imat
 
+    if n_shards > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as PS
+
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(n_shards, 1, devices=jax.devices()[:n_shards])
+        rep, shd = PS(), PS("pairs")
+        compute = shard_map(
+            compute, mesh=mesh,
+            in_specs=(rep, rep, rep, shd, shd),
+            out_specs=(shd, shd), check_vma=False)
     return jax.jit(compute)
 
 
@@ -228,9 +245,14 @@ def run_jax(pars: Params, out_fh=None) -> None:
         from .io.writer import RowWriter
         from .plan.band import iter_pair_blocks
         use_pallas = jax.default_backend() == "tpu" and prec == "f32"
+        n_shards = getattr(pars, "shard", 1) or len(jax.devices())
+        if n_shards > len(jax.devices()):
+            raise strict.StrictError(
+                "shard", f"--shard {n_shards} > {len(jax.devices())} devices")
         compute = _compute_block_fn(pars.ignore_miss_data, pars.extend_out,
-                                    use_pallas)
-        chunk = int(pars.chunk_pairs)
+                                    use_pallas, n_shards)
+        # every device must receive the same per-shard shape
+        chunk = -(-int(pars.chunk_pairs) // n_shards) * n_shards
 
         writer = None
         if ckpt is None:

@@ -1,0 +1,124 @@
+"""Ring banded sweep: LD over a SITE-SHARDED genotype table.
+
+The replicated-table path (engine --shard / parallel.sweep) assumes the GL
+table fits on every device. At reference scale that fails: 5M sites x 500
+individuals is ~30 GB fp32 (SURVEY.md §7 "Memory at the 5M×500 config"),
+so the table must stay sharded by site-block. The banded pair space then
+needs pairs (a, b) whose blocks live on DIFFERENT devices — the
+"cross-block halo exchange" of SURVEY.md §2.
+
+This module implements the TPU-native pattern for that exchange: a ring
+pass of partner blocks over the mesh (ring-attention topology without the
+softmax state — pair results are independent, ngsLD's band is a banded
+attention mask over the SNP sequence). At ring step t each device holds
+
+  * its resident anchor block  i = axis_index('sites')
+  * a visiting partner block   j = (i + t) mod n_blocks
+
+received via jax.lax.ppermute from its ring neighbor, and computes the full
+(B x B) tile of pair statistics between them. Sites are block-cyclic: with
+a banded plan (max_kb_dist / max_snp_dist) only the first few ring steps
+carry in-band pairs, so `n_steps` is set from the band width and the ring
+terminates early — communication volume is O(band), not O(n_sites).
+
+Semantics per pair match ops.em.pair_em / ops.stats exactly (same jnp
+code); band and MAF filtering are per-pair masks the caller applies to the
+returned tiles (the reference's break-vs-skip distinction collapses to a
+mask over an precomputed band, plan/band.py).
+
+Reference mapping: replaces the shared-memory assumption of the pthread
+pool (ngsLD.cpp:159-186) where every thread reads the whole GL matrix.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..ops.em import pair_em
+from ..ops.stats import chi2_stat, ld_stats, pearson_r2
+
+
+def ring_sweep(mesh, n_steps: int, ignore_miss_data: bool = False,
+               extend_out: bool = True, row_chunk: int = 0):
+    """Build the jitted ring sweep over mesh axis 'sites'.
+
+    Returns fn(gn, eg, maf) where gn (S, I, 3), eg (S, I), maf (S,) are
+    sharded over 'sites' into n_devices blocks of B = S / n_devices rows.
+
+    Output: a dict of arrays of shape (n_steps, S, B) (hap 'f' adds a
+    trailing 4): entry [t, a, o] is the statistic for the pair
+    (site a, site partner_index(t, a, o)); see `partner_index`. Pairs where
+    partner <= a at t == 0 duplicate the symmetric triangle; callers mask
+    them along with out-of-band pairs.
+
+    row_chunk > 0 bounds peak memory: each anchor-row strip of the (B x B)
+    tile is computed in sequence via lax.map instead of one flat batch.
+    """
+    n_dev = mesh.shape["sites"]
+    perm = [(k, (k - 1) % n_dev) for k in range(n_dev)]  # j-blocks ride up
+
+    def tile_stats(gn_a, eg_a, maf_a, gn_b, eg_b, maf_b):
+        """All B_a x B_b pairs between an anchor and a partner block."""
+        Ba, Bb = gn_a.shape[0], gn_b.shape[0]
+
+        def strip(args):
+            g1, e1, m1 = args           # one anchor site
+            gn1 = jnp.broadcast_to(g1[None], gn_b.shape)
+            eg1 = jnp.broadcast_to(e1[None], eg_b.shape)
+            maf1 = jnp.broadcast_to(m1[None], maf_b.shape)
+            f, n_iter, n_used = pair_em(gn1, gn_b, maf1, maf_b,
+                                        ignore_miss_data)
+            r2p = pearson_r2(eg1, eg_b)
+            hmaf0, hmaf1, D, Dp, r2 = ld_stats(f)
+            chi2 = (chi2_stat(f) if extend_out
+                    else jnp.zeros_like(r2p, jnp.float32))
+            return dict(r2p=r2p, f=f, n_iter=n_iter, n_used=n_used,
+                        hmaf1=hmaf0, hmaf2=hmaf1, D=D, Dp=Dp, r2=r2,
+                        chi2=chi2)
+
+        xs = (gn_a, eg_a, maf_a)
+        if row_chunk and row_chunk < Ba:
+            return jax.lax.map(strip, xs, batch_size=row_chunk)
+        return jax.lax.map(strip, xs)
+
+    def local(gn, eg, maf):
+        # resident anchor block stays; partner copies ride the ring
+        vis = (gn, eg, maf)
+        outs = []
+        for t in range(n_steps):
+            outs.append(tile_stats(gn, eg, maf, *vis))
+            if t + 1 < n_steps:
+                vis = tuple(jax.lax.ppermute(v, "sites", perm) for v in vis)
+        return {k: jnp.stack([o[k] for o in outs], axis=0) for k in outs[0]}
+
+    spec3 = P("sites", None, None)
+    out_specs = {k: (P(None, "sites", None, None) if k == "f"
+                     else P(None, "sites", None))
+                 for k in ("r2p", "f", "n_iter", "n_used", "hmaf1", "hmaf2",
+                           "D", "Dp", "r2", "chi2")}
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec3, P("sites", None), P("sites")),
+        out_specs=out_specs, check_vma=False)
+    return jax.jit(mapped)
+
+
+def partner_index(t: int, a, block_size: int, n_sites: int):
+    """Global site index of out[t, a, o]'s partner for o in [0, B): the
+    sites of block (block(a) + t) mod n_blocks."""
+    import numpy as np
+    blk = (a // block_size + t) % (n_sites // block_size)
+    return blk * block_size + np.arange(block_size)
+
+
+def steps_for_band(hi, block_size: int) -> int:
+    """Ring steps needed so every in-band pair (s1, s2 < hi[s1]) is covered:
+    1 + max blocks spanned by any anchor's band."""
+    import numpy as np
+    n = len(hi)
+    a = np.arange(n)
+    span = np.maximum(hi - 1, a) // block_size - a // block_size
+    return int(span.max()) + 1 if n else 1

@@ -69,3 +69,70 @@ def test_ind_axis_psum_semantics():
         tol = 1e-2 if i in (7, 8, 9) else 2e-5
         np.testing.assert_allclose(np.where(nan, 0, a), np.where(nan, 0, b),
                                    atol=tol)
+
+
+def test_run_jax_sharded_matches_single(tmp_path):
+    """The full file->TSV driver with --shard 8 must produce byte-identical
+    output to --shard 1 (per-pair math is untouched by the pairs split)."""
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    sim = simulate(n_ind=10, n_sites=300, seed=21)
+    files = write_all(sim, str(tmp_path / "fix"))
+    outs = []
+    for shard in (1, 8):
+        out = tmp_path / f"out_{shard}.ld"
+        pars = params_from_args([
+            "--geno", files["beagle"], "--probs", "--n_ind", "10",
+            "--n_sites", "300", "--pos", files["pos"], "--max_kb_dist", "5",
+            "--min_maf", "0.03", "--extend_out", "--engine", "jax",
+            "--shard", str(shard), "--chunk_pairs", "1000",
+            "--out", str(out), "--verbose", "0"])
+        run_jax(pars)
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1]
+    assert outs[0].count(b"\n") > 100
+
+
+def test_ring_sweep_matches_pairwise():
+    """Every in-band pair computed by the site-sharded ring sweep must match
+    the single-device pair_em/stats on that pair."""
+    from ngsld_tpu.parallel.ring import partner_index, ring_sweep, steps_for_band
+
+    S, I, B = 32, 12, 4   # 8 blocks over the 8-device mesh
+    rng = np.random.default_rng(4)
+    gl = rng.dirichlet([2.0, 1.5, 1.0], size=(S, I)).astype(np.float64)
+    eg = gl[..., 1] + 2 * gl[..., 2]
+    maf = (eg.mean(axis=1) / 2).astype(np.float64)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("sites",))
+    n_steps = 3
+    fn = ring_sweep(mesh, n_steps=n_steps, ignore_miss_data=False)
+    out = {k: np.asarray(v) for k, v in
+           fn(jnp.asarray(gl), jnp.asarray(eg), jnp.asarray(maf)).items()}
+    assert out["r2p"].shape == (n_steps, S, B)
+    assert out["f"].shape == (n_steps, S, B, 4)
+
+    # oracle on a sample of (t, a) strips
+    for t in (0, 1, 2):
+        for a in (0, 5, 17, 31):
+            partners = partner_index(t, a, B, S)
+            f_ref, it_ref, nu_ref = pair_em(
+                jnp.asarray(np.broadcast_to(gl[a], (B, I, 3))),
+                jnp.asarray(gl[partners]),
+                jnp.asarray(np.full(B, maf[a])), jnp.asarray(maf[partners]),
+                False)
+            np.testing.assert_allclose(out["f"][t, a], np.asarray(f_ref),
+                                       atol=1e-9)
+            np.testing.assert_array_equal(out["n_iter"][t, a],
+                                          np.asarray(it_ref))
+            r2p_ref = pearson_r2(jnp.asarray(np.broadcast_to(eg[a], (B, I))),
+                                 jnp.asarray(eg[partners]))
+            np.testing.assert_allclose(out["r2p"][t, a], np.asarray(r2p_ref),
+                                       atol=1e-9)
+
+    # band coverage accounting
+    from ngsld_tpu.plan.band import band_limits
+    hi = np.minimum(np.arange(S) + 9, S)  # max_snp_dist=8-ish band
+    assert steps_for_band(hi, B) <= 1 + (8 // B) + 1
