@@ -282,13 +282,19 @@ def run_jax(pars: Params, out_fh=None) -> None:
                 bfh.close()
                 ckpt.commit_block(bi)
 
+        from .utils.signals import GracefulStop
+
         n_blocks = 0
+        interrupted = False
         pending = []  # depth-2 async pipeline: overlap device compute of
         # block i+1 with host transfer + formatting of block i
-        with log.phase("compute: banded pair sweep"):
+        with log.phase("compute: banded pair sweep"), GracefulStop(log) as gs:
             for bi, blk in enumerate(
                     iter_pair_blocks(pars, maf, pos_dist, block_pairs=chunk)):
                 n_blocks = bi + 1
+                if gs.stopped:
+                    interrupted = True
+                    break
                 if ckpt is not None and ckpt.done(bi):
                     log.count("blocks_resumed")
                     continue
@@ -310,6 +316,14 @@ def run_jax(pars: Params, out_fh=None) -> None:
                     emit(*pending.pop(0))
             for item in pending:
                 emit(*item)
+
+        if interrupted:
+            hint = (f"resume with the same --checkpoint {ckpt.dir}"
+                    if ckpt is not None else
+                    "rerun with --checkpoint DIR to make runs resumable")
+            log.log(0, f"==> Interrupted before block {n_blocks - 1}; "
+                       f"completed blocks are flushed. {hint}")
+            raise SystemExit(130)
 
         if ckpt is not None:
             with log.phase("Merging checkpoint shards"):

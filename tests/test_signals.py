@@ -1,0 +1,64 @@
+"""Graceful SIGINT: finish the in-flight block, flush, resume cleanly."""
+
+import os
+import signal
+
+import numpy as np
+import pytest
+
+import ngsld_tpu.plan.band as band_mod
+from ngsld_tpu.cli import params_from_args
+from ngsld_tpu.engine import run_jax
+from ngsld_tpu.utils.simulate import simulate, write_all
+
+
+def _pars(files, out, ckpt):
+    return params_from_args([
+        "--geno", files["beagle"], "--probs", "--n_ind", "8",
+        "--n_sites", "500", "--pos", files["pos"], "--max_kb_dist", "5",
+        "--extend_out", "--engine", "jax", "--chunk_pairs", "700",
+        "--checkpoint", ckpt, "--out", out, "--verbose", "0"])
+
+
+def test_sigint_then_resume(tmp_path, monkeypatch):
+    sim = simulate(n_ind=8, n_sites=500, seed=33)
+    files = write_all(sim, str(tmp_path / "fix"))
+    ckpt = str(tmp_path / "ckpt")
+
+    # straight run for the expected bytes
+    straight = tmp_path / "straight.ld"
+    run_jax(_pars(files, str(straight), str(tmp_path / "ckpt_straight")))
+    expected = straight.read_bytes()
+
+    # interrupt: deliver SIGINT right after the second block is planned;
+    # the sweep must finish in-flight work, commit shards, and exit 130
+    real_iter = band_mod.iter_pair_blocks
+
+    def iter_with_sigint(*a, **kw):
+        for i, blk in enumerate(real_iter(*a, **kw)):
+            if i == 1:
+                os.kill(os.getpid(), signal.SIGINT)
+            yield blk
+
+    monkeypatch.setattr(band_mod, "iter_pair_blocks", iter_with_sigint)
+    out1 = tmp_path / "interrupted.ld"
+    with pytest.raises(SystemExit) as ei:
+        run_jax(_pars(files, str(out1), ckpt))
+    assert ei.value.code == 130
+    parts = [p for p in os.listdir(ckpt) if p.endswith(".tsv")]
+    assert len(parts) >= 1          # completed blocks were committed
+    monkeypatch.setattr(band_mod, "iter_pair_blocks", real_iter)
+
+    # resume with the same checkpoint dir: must complete and match
+    out2 = tmp_path / "resumed.ld"
+    run_jax(_pars(files, str(out2), ckpt))
+    assert out2.read_bytes() == expected
+
+
+def test_signal_handlers_restored(tmp_path):
+    from ngsld_tpu.utils.signals import GracefulStop
+    before = signal.getsignal(signal.SIGINT)
+    with GracefulStop() as gs:
+        assert signal.getsignal(signal.SIGINT) != before
+        assert not gs.stopped
+    assert signal.getsignal(signal.SIGINT) == before
