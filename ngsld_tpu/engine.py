@@ -65,9 +65,14 @@ def _compute_block_fn(ignore_miss_data: bool, extend_out: bool,
         maf1, maf2 = jnp.take(maf, s1), jnp.take(maf, s2)
         r2p = pearson_r2(eg1, eg2)
         if use_pallas:
-            from .kernels.pallas_em import pair_em_sorted
-            f, n_iter, n_used = pair_em_sorted(gn1, gn2, maf1, maf2,
-                                               ignore_miss_data)
+            from .kernels.pallas_em import pair_em_sorted, pick_pair_tile
+            pt = pick_pair_tile(gn1.shape[1])
+            if pt is not None:
+                f, n_iter, n_used = pair_em_sorted(
+                    gn1, gn2, maf1, maf2, ignore_miss_data, pair_tile=pt)
+            else:  # cohort too large for the kernel's VMEM tiles
+                f, n_iter, n_used = pair_em(gn1, gn2, maf1, maf2,
+                                            ignore_miss_data)
         else:
             f, n_iter, n_used = pair_em(gn1, gn2, maf1, maf2, ignore_miss_data)
         hmaf0, hmaf1, D, Dp, r2 = ld_stats(f)

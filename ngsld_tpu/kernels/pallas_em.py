@@ -196,6 +196,20 @@ def _prep(gn1, gn2, maf1, maf2, ignore_miss_data, PT):
     return g1, g2, incf, f0, invx, n_used
 
 
+def pick_pair_tile(n_ind: int) -> int | None:
+    """Largest supported pair tile for a cohort of n_ind, or None when the
+    (3, Ip, PT) input tiles cannot fit VMEM even at PT=128 (callers then
+    use the XLA path ops.em.pair_em). Budget: two GL tiles + mask + state,
+    double-buffered ~= 56*Ip*PT bytes against ~12 MB of scoped VMEM."""
+    Ip = -(-n_ind // 8) * 8
+    # empirical ceiling on v5e: Ip=1024/PT=128 (~7.3 MB by this formula)
+    # compiles, Ip=1536/PT=128 (~11 MB) does not
+    for pt in (256, 128):
+        if 56 * Ip * pt <= 8_000_000:
+            return pt
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("ignore_miss_data", "pair_tile",
                                              "interpret", "iter_cap"))
 def pair_em_pallas(gn1: jnp.ndarray, gn2: jnp.ndarray, maf1: jnp.ndarray,
