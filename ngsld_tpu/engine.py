@@ -209,6 +209,20 @@ def run_jax(pars: Params, out_fh=None) -> None:
     ckpt_dir = getattr(pars, "checkpoint", None)
     ckpt = _Checkpoint(ckpt_dir, pars, log) if ckpt_dir else None
 
+    from .utils.keepalive import DeviceKeepalive
+    try:
+        with DeviceKeepalive():
+            _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir)
+    finally:
+        if close:
+            out_fh.close()
+
+
+def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir):
+    import jax
+    import jax.numpy as jnp
+    from .ops.preprocess import preprocess
+
     try:
         with log.phase("Reading data from file"):
             geno_log = strict.read_geno(pars.in_geno, pars.in_bin,
@@ -235,11 +249,16 @@ def run_jax(pars: Params, out_fh=None) -> None:
             host_gl = np.asarray(geno_log, np.float64 if dt == jnp.float64
                                  else np.float32)
             del geno_log
-            gn_d, maf_d, eg_d = pre(jnp.asarray(host_gl))
+            with log.phase("  gl upload", level=2):
+                gl_d = jnp.asarray(host_gl)
+                gl_d.block_until_ready()
             del host_gl
+            with log.phase("  preprocess jit", level=2):
+                gn_d, maf_d, eg_d = pre(gl_d)
             # only MAF returns to the host (the plan needs it); GL/E[G]
             # tables stay device-resident for the sweep
-            maf = np.asarray(maf_d, np.float64)
+            with log.phase("  maf to host", level=2):
+                maf = np.asarray(maf_d, np.float64)
         if pars.verbose >= 7:
             log.log(7, "==> Geno data")
             gn0 = np.asarray(gn_d[:min(10, pars.n_sites), 0, :])
@@ -340,5 +359,3 @@ def run_jax(pars: Params, out_fh=None) -> None:
     finally:
         if profile_dir:
             jax.profiler.stop_trace()
-        if close:
-            out_fh.close()
