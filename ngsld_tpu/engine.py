@@ -328,7 +328,14 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir):
                 if pars.verbose >= 3:
                     log.log(3, f"> Block {bi}: anchors "
                                f"{blk.s1[0]}..{blk.s1[-1]}, {P} pairs")
-                pad = chunk - P if P < chunk else 0
+                # pad to a power-of-two bucket (min 2048/shard): tail blocks
+                # and sampling variance then hit a handful of compiled
+                # shapes instead of padding every block to the full chunk
+                bucket = 2048 * n_shards
+                padded = bucket
+                while padded < P:
+                    padded *= 2
+                pad = padded - P
                 s1 = np.concatenate([blk.s1, np.zeros(pad, np.int64)])
                 s2 = np.concatenate([blk.s2, np.ones(pad, np.int64)
                                      * min(1, pars.n_sites - 1)])

@@ -103,12 +103,16 @@ def iter_pair_blocks(pars, maf: np.ndarray, pos_dist: np.ndarray,
     need_rng = pars.rnd_sample < 1.0
     seeds = child_seeds(pars.seed, n) if need_rng else None
 
-    # process anchors in slabs whose total candidate count ~ block_pairs
+    # process anchors in slabs sized so the EMITTED pair count ~ block_pairs:
+    # with sampling, only ~rnd_sample of candidates survive, so the
+    # candidate budget scales by 1/rnd_sample (else blocks arrive ~5% full
+    # and the device computes 95% padding)
+    budget = block_pairs / pars.rnd_sample if need_rng else block_pairs
     s1 = 0
     while s1 < n:
         s1_end = s1
         tot = 0
-        while s1_end < n and (tot == 0 or tot + counts[s1_end] <= block_pairs):
+        while s1_end < n and (tot == 0 or tot + counts[s1_end] <= budget):
             tot += counts[s1_end]
             s1_end += 1
         if tot > 0:
