@@ -102,6 +102,140 @@ def _compute_block_fn(ignore_miss_data: bool, extend_out: bool,
     return jax.jit(compute)
 
 
+class _StreamedGLLoader:
+    """Binary GL fast path: np.fromfile slabs in a reader thread, device_put
+    slabs in an uploader thread, one device-side concatenate at join().
+
+    Replaces read -> f64 normalize -> f32 narrow -> monolithic upload (three
+    serial full-data passes) with a read/upload pipeline; normalization moves
+    into the device preprocess (ops.preprocess raw=True). Only used when the
+    file size matches exactly (ngsLD.cpp:55 semantics) — anything else falls
+    back to strict.read_geno, which raises the reference's exact errors.
+
+    NaN parity: the reference errors on NaN after post_prob
+    (read_data.cpp:44-45). Raw NaN inputs are checked per slab; all-(-inf)
+    log-scale records (which post_prob turns into NaN) are too.
+    """
+
+    SLAB_BYTES = 256 << 20
+
+    @staticmethod
+    def applicable(pars) -> bool:
+        if not pars.in_bin or os.environ.get("NGSLD_NO_FASTBIN") == "1":
+            return False
+        try:
+            size = os.path.getsize(pars.in_geno)
+        except OSError:
+            return False
+        return size == pars.n_sites * pars.n_ind * 3 * 8
+
+    def __init__(self, pars, np_dtype):
+        import queue
+        import threading
+        self._pars = pars
+        self._dt = np_dtype
+        self._q = queue.Queue(maxsize=2)
+        self._slabs = []
+        self._err = []
+        self._reader = threading.Thread(
+            target=self._read, daemon=True, name="ngsld-gl-read")
+        self._uploader = threading.Thread(
+            target=self._upload, daemon=True, name="ngsld-gl-upload")
+        self._reader.start()
+        self._uploader.start()
+
+    def _read(self):
+        p = self._pars
+        n, m = p.n_sites, p.n_ind
+        slab_sites = max(1, self.SLAB_BYTES // (m * 3 * 8))
+        try:
+            with open(p.in_geno, "rb") as fh:
+                s = 0
+                while s < n:
+                    k = min(slab_sites, n - s)
+                    a = np.fromfile(fh, dtype=np.float64,
+                                    count=k * m * 3).reshape(k, m, 3)
+                    if np.isnan(a).any() or (
+                            p.in_logscale and
+                            np.isneginf(a).all(axis=-1).any()):
+                        raise strict.StrictError(
+                            "read_geno",
+                            "NaN found! Is the file format correct?")
+                    self._q.put(a.astype(self._dt, copy=False))
+                    s += k
+            self._q.put(None)
+        except BaseException as e:
+            self._err.append(e)
+            self._q.put(None)
+
+    def _upload(self):
+        import jax
+        try:
+            while True:
+                a = self._q.get()
+                if a is None:
+                    return
+                self._slabs.append(jax.device_put(a))
+        except BaseException as e:
+            self._err.append(e)
+            # drain so the reader never blocks on a full queue
+            while self._q.get() is not None:
+                pass
+
+    def join(self):
+        import jax.numpy as jnp
+        self._reader.join()
+        self._uploader.join()
+        if self._err:
+            raise self._err[0]
+        return (jnp.concatenate(self._slabs, axis=0)
+                if len(self._slabs) > 1 else self._slabs[0])
+
+
+def _prefetch_blocks(gen, depth: int = 4):
+    """Run a generator in a daemon thread, yielding through a bounded queue.
+
+    Plan construction (plan.band) is a multi-second NumPy pass at large
+    n_sites; the big ops release the GIL, so producing blocks concurrently
+    hides the plan behind device compute. Closing the returned generator
+    stops the producer promptly (GracefulStop path)."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END, _ERR = object(), object()
+
+    def produce():
+        try:
+            for item in gen:
+                while True:
+                    if stop.is_set():
+                        return
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+            q.put(_END)
+        except BaseException as e:  # surface plan errors on the consumer
+            q.put((_ERR, e))
+
+    t = threading.Thread(target=produce, daemon=True,
+                         name="ngsld-plan-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
+
+
 def _unpack(fmat, imat):
     r2p, D, Dp, r2, hmaf0, hmaf1, chi2 = (fmat[:, i] for i in range(7))
     f = fmat[:, 7:11]
@@ -224,10 +358,17 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir):
     from .ops.preprocess import preprocess
 
     try:
-        with log.phase("Reading data from file"):
-            geno_log = strict.read_geno(pars.in_geno, pars.in_bin,
-                                        pars.in_probs, pars.in_logscale,
-                                        pars.n_ind, pars.n_sites)
+        loader = None
+        if _StreamedGLLoader.applicable(pars):
+            # binary input: stream file slabs straight to the device while
+            # the positions parse below runs; normalize on device
+            loader = _StreamedGLLoader(
+                pars, np.float64 if dt == jnp.float64 else np.float32)
+        else:
+            with log.phase("Reading data from file"):
+                geno_log = strict.read_geno(pars.in_geno, pars.in_bin,
+                                            pars.in_probs, pars.in_logscale,
+                                            pars.n_ind, pars.n_sites)
         with log.phase("Getting sites coordinates"):
             if pars.in_pos:
                 pos_dist, labels = strict.read_pos(
@@ -243,16 +384,21 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir):
             pre = jax.jit(functools.partial(
                 preprocess, call=pars.call_geno, N_thresh=pars.N_thresh,
                 call_thresh=pars.call_thresh,
-                ignore_miss_data=pars.ignore_miss_data))
-            # narrow on host first: GLs cross the host->device link once, at
-            # target precision
-            host_gl = np.asarray(geno_log, np.float64 if dt == jnp.float64
-                                 else np.float32)
-            del geno_log
-            with log.phase("  gl upload", level=2):
-                gl_d = jnp.asarray(host_gl)
-                gl_d.block_until_ready()
-            del host_gl
+                ignore_miss_data=pars.ignore_miss_data,
+                raw=loader is not None, in_log=pars.in_logscale))
+            if loader is not None:
+                with log.phase("  gl stream+upload", level=2):
+                    gl_d = loader.join()
+            else:
+                # narrow on host first: GLs cross the host->device link
+                # once, at target precision
+                host_gl = np.asarray(geno_log, np.float64 if dt == jnp.float64
+                                     else np.float32)
+                del geno_log
+                with log.phase("  gl upload", level=2):
+                    gl_d = jnp.asarray(host_gl)
+                    gl_d.block_until_ready()
+                del host_gl
             with log.phase("  preprocess jit", level=2):
                 gn_d, maf_d, eg_d = pre(gl_d)
             # only MAF returns to the host (the plan needs it); GL/E[G]
@@ -313,8 +459,8 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir):
         pending = []  # depth-2 async pipeline: overlap device compute of
         # block i+1 with host transfer + formatting of block i
         with log.phase("compute: banded pair sweep"), GracefulStop(log) as gs:
-            for bi, blk in enumerate(
-                    iter_pair_blocks(pars, maf, pos_dist, block_pairs=chunk)):
+            for bi, blk in enumerate(_prefetch_blocks(
+                    iter_pair_blocks(pars, maf, pos_dist, block_pairs=chunk))):
                 n_blocks = bi + 1
                 if gs.stopped:
                     interrupted = True

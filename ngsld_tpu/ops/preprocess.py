@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..constants import EPSILON, N_GENO
+from ..constants import EPSILON, INF, N_GENO
 
 
 def normalize_gl(gl_log: jnp.ndarray) -> jnp.ndarray:
@@ -76,13 +76,25 @@ def expected_geno(gl_normal: jnp.ndarray) -> jnp.ndarray:
 
 
 def preprocess(gl_log: jnp.ndarray, call: bool, N_thresh: float, call_thresh: float,
-               ignore_miss_data: bool):
+               ignore_miss_data: bool, raw: bool = False, in_log: bool = True):
     """Full preprocessing pass: (optionally) call genotypes, MAF, normal-space
     GLs, expected genotypes. Mirrors ngsLD.cpp:92-114.
 
-    `call` and `ignore_miss_data` are trace-time constants; jit at the call
-    site with static_argnums for them.
+    `call`, `ignore_miss_data`, `raw`, `in_log` are trace-time constants; jit
+    at the call site with static_argnums for them.
+
+    raw=True accepts UNNORMALIZED binary-file records (the engine's streamed
+    fast path skips the host normalize pass) and applies the binary reader's
+    semantics on device: optional log-convert with the -INF clamp
+    (read_data.cpp:38, gen_func.cpp:125-132), then post_prob
+    (read_data.cpp:42). NaN inputs are rejected host-side by the loader.
     """
+    if raw:
+        if not in_log:
+            lg = jnp.log(gl_log)
+            gl_log = jnp.where(jnp.isinf(lg) & (lg < 0),
+                               jnp.asarray(-INF, lg.dtype), lg)
+        gl_log = normalize_gl(gl_log)
     if call:
         gl_log = call_geno(gl_log, N_thresh, call_thresh)
     maf = est_maf(gl_log, ignore_miss_data)
