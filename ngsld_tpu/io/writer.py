@@ -22,9 +22,12 @@ class RowWriter:
         self.native = None
         if use_native:
             try:
-                from ..native import get_lib, make_labels_blob
+                from ..native import LabelBlob, get_lib, make_labels_blob
                 if get_lib() is not None:
-                    self.blob, self.off = make_labels_blob(labels)
+                    if isinstance(labels, LabelBlob):
+                        self.blob, self.off = labels.blob, labels.off
+                    else:
+                        self.blob, self.off = make_labels_blob(labels)
                     self.native = True
             except Exception:
                 self.native = None

@@ -60,6 +60,11 @@ def get_lib():
         lib.ngsld_read_geno_bin.argtypes = [
             ctypes.c_char_p, ctypes.c_int, i64, i64,
             ctypes.POINTER(ctypes.c_double), ctypes.c_char_p, ctypes.c_long]
+        lib.ngsld_read_pos.restype = ctypes.c_int
+        lib.ngsld_read_pos.argtypes = [
+            ctypes.c_char_p, i64, i64, ctypes.POINTER(ctypes.c_double),
+            ctypes.c_char_p, i64, ctypes.POINTER(i64), ctypes.POINTER(i64),
+            ctypes.c_char_p, ctypes.c_long]
         lib.ngsld_format_rows.restype = i64
         lib.ngsld_format_rows.argtypes = [
             i64, ctypes.c_char_p, ctypes.POINTER(i64), ctypes.POINTER(i64),
@@ -100,6 +105,79 @@ def read_geno_native(path: str, in_bin: bool, in_probs: bool,
     if rc != 0:
         raise StrictError("read_geno", err.value.decode())
     return out
+
+
+class LabelBlob:
+    """Site labels backed by a NUL-separated bytes blob + offsets (the
+    native read_pos output). Indexing decodes on demand; RowWriter uses the
+    blob directly, skipping a million-string Python round trip."""
+
+    __slots__ = ("blob", "off")
+
+    def __init__(self, blob: bytes, off: np.ndarray):
+        self.blob = blob
+        self.off = off
+
+    def __len__(self):
+        return len(self.off)
+
+    def __getitem__(self, i):
+        o = int(self.off[i])
+        return self.blob[o:self.blob.index(b"\0", o)].decode()
+
+    def __iter__(self):
+        for i in range(len(self.off)):
+            yield self[i]
+
+    def __eq__(self, other):
+        try:
+            return len(other) == len(self) and all(
+                a == b for a, b in zip(self, other))
+        except TypeError:
+            return NotImplemented
+
+
+_READ_POS_WHERE = {1: "read_file", 2: "read_file", 3: "read_split",
+                   4: "read_dist", 5: "read_dist", 6: "read_dist"}
+
+
+def read_pos_native(path: str, header: bool, n_sites: int):
+    """Native read_pos; returns (pos_dist float64 (n_sites,), LabelBlob),
+    or None if the native library is unavailable (or the file is missing —
+    the Python path raises the natural error). Raises StrictError on
+    malformed input with the strict reader's messages."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        fsz = os.path.getsize(path)
+    except OSError:
+        return None
+    from ..strict import StrictError
+    i64 = ctypes.c_int64
+    pos = np.empty(n_sites, np.float64)
+    off = np.zeros(max(n_sites, 1), np.int64)
+    err = ctypes.create_string_buffer(256)
+    used = i64(0)
+    # labels <= file bytes (+1 NUL per line, newline traded for NUL);
+    # gz files start at 8x compressed and grow on rc==-2
+    cap = max(4096, fsz + n_sites + 16)
+    if path.endswith(".gz"):
+        cap = max(cap, fsz * 8)
+    while True:
+        blob = ctypes.create_string_buffer(cap)
+        rc = lib.ngsld_read_pos(
+            path.encode(), 1 if header else 0, n_sites, _dp(pos), blob,
+            cap, off.ctypes.data_as(ctypes.POINTER(i64)),
+            ctypes.byref(used), err, 256)
+        if rc == -2:
+            cap *= 2
+            continue
+        break
+    if rc != 0:
+        raise StrictError(_READ_POS_WHERE.get(rc, "read_pos"),
+                          err.value.decode())
+    return pos, LabelBlob(blob.raw[:used.value], off)
 
 
 def format_rows_native(labels_blob: bytes, label_off: np.ndarray,

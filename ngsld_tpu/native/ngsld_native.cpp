@@ -259,6 +259,143 @@ int ngsld_read_geno_bin(const char* path, int in_logscale, int64_t n_ind,
   return 0;
 }
 
+// Positions reader: read_file + read_dist + label pass
+// (gen_func.cpp:233-282, read_data.cpp:165-218, ngsLD.cpp:119-132).
+// Skips blank/'#' lines, then `header_skip` more; per line: TSV fields
+// (count must be constant, >= 2), col2 position via C strtod/strtoul
+// (prefix semantics), adjacent distances with +inf at contig changes.
+// Labels (line with first tab -> ':', NUL-terminated) are packed into
+// `labels` with offsets in label_off.
+// Returns 0 ok; -2 labels_cap too small (caller grows + retries);
+// 1 open, 2 too few lines, 3 field count, 4 format, 5 zero/non-numeric
+// position, 6 invalid distance.
+int ngsld_read_pos(const char* path, int64_t header_skip, int64_t n_sites,
+                   double* pos_dist, char* labels, int64_t labels_cap,
+                   int64_t* label_off, int64_t* labels_len, char* err,
+                   long errlen) {
+  gzFile fh = gzopen(path, "r");
+  if (!fh) {
+    set_err(err, errlen, "cannot open POS file!");
+    return 1;
+  }
+  gzbuffer(fh, 1 << 20);
+
+  size_t cap = 1 << 16;
+  char* buf = (char*)std::malloc(cap);
+  char* prev_chr = nullptr;
+  size_t prev_chr_cap = 0, prev_chr_len = 0;
+  bool have_prev = false;
+  unsigned long prev_pos = 0;
+  int64_t n_fields = -1;
+  int64_t skipped = 0, s = 0, lab_w = 0;
+  int rc = 0;
+
+  while (s < n_sites) {
+    size_t len = 0;
+    bool got = false;
+    while (true) {
+      if (len + 2 >= cap) {
+        cap *= 2;
+        buf = (char*)std::realloc(buf, cap);
+      }
+      if (gzgets(fh, buf + len, (int)(cap - len)) == nullptr) break;
+      got = true;
+      len += std::strlen(buf + len);
+      if (len > 0 && buf[len - 1] == '\n') break;
+    }
+    if (!got) {
+      set_err(err, errlen, "could not read specified number of lines!");
+      rc = 2;
+      goto done;
+    }
+    if (len > 0 && (buf[len - 1] == '\n' || buf[len - 1] == '\r')) {
+      buf[--len] = '\0';
+    }
+    if (len == 0 || buf[0] == '#') continue;  // read_file skip rules
+    if (skipped < header_skip) {
+      skipped++;
+      continue;
+    }
+    // field count = tabs + 1 (split keeps empties); first-field extent
+    int64_t nf = 1;
+    size_t chr_len = len;
+    const char* col2 = nullptr;
+    for (size_t i = 0; i < len; i++) {
+      if (buf[i] == '\t') {
+        if (nf == 1) {
+          chr_len = i;
+          col2 = buf + i + 1;
+        }
+        nf++;
+      }
+    }
+    if (n_fields < 0) {
+      n_fields = nf;
+      if (n_fields < 2) {
+        set_err(err, errlen, "wrong POS file format!");
+        rc = 4;
+        goto done;
+      }
+    } else if (nf != n_fields) {
+      set_err(err, errlen, "invalid number of fields in file!");
+      rc = 3;
+      goto done;
+    }
+    {
+      // strtod stops at the field's closing tab: C prefix semantics, as
+      // the reference applies them (read_data.cpp:188,199)
+      double p2 = std::strtod(col2, nullptr);
+      if (p2 == 0.0) {
+        set_err(err, errlen, "non-numeric/zero position found "
+                             "(headered POS file? use --posH)");
+        rc = 5;
+        goto done;
+      }
+      bool same = have_prev && prev_chr_len == chr_len &&
+                  std::memcmp(prev_chr, buf, chr_len) == 0;
+      if (!have_prev) {
+        same = true;  // first site: prev_chr adopts this contig
+      }
+      if (same) {
+        double d = p2 - (double)prev_pos;
+        if (d < 1.0) {
+          set_err(err, errlen, "invalid distance between adjacent sites!");
+          rc = 6;
+          goto done;
+        }
+        pos_dist[s] = d;
+      } else {
+        pos_dist[s] = INFINITY;
+      }
+      if (chr_len + 1 > prev_chr_cap) {
+        prev_chr_cap = (chr_len + 1) * 2;
+        prev_chr = (char*)std::realloc(prev_chr, prev_chr_cap);
+      }
+      std::memcpy(prev_chr, buf, chr_len);
+      prev_chr_len = chr_len;
+      have_prev = true;
+      prev_pos = std::strtoul(col2, nullptr, 0);
+    }
+    // label: line with first tab -> ':'
+    if (lab_w + (int64_t)len + 1 > labels_cap) {
+      rc = -2;
+      goto done;
+    }
+    label_off[s] = lab_w;
+    std::memcpy(labels + lab_w, buf, len);
+    if (chr_len < len) labels[lab_w + chr_len] = ':';
+    lab_w += (int64_t)len;
+    labels[lab_w++] = '\0';
+    s++;
+  }
+  *labels_len = lab_w;
+done:
+  std::free(buf);
+  std::free(prev_chr);
+  gzclose(fh);
+  return rc;
+}
+
 // Bulk TSV row formatter: the printf contract of ngsLD.cpp:314-351.
 //   labels: concatenated NUL-terminated label strings; label_off[i] offsets
 //   s1/s2: per-row indices into labels

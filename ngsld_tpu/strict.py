@@ -564,7 +564,16 @@ def read_pos(path: str, header: bool, n_sites: int) -> tuple:
     Returns (pos_dist (n_sites,) float64, labels list[str]).
     pos_dist[s] = pos[s]-pos[s-1] on the same chr (must be >= 1), INFINITY at
     contig changes. Labels are the raw lines with the FIRST tab -> ':'.
-    """
+
+    Dispatches to the native C++ reader when available (real C
+    strtod/strtoul, same messages; labels come back as a zero-copy
+    LabelBlob); NGSLD_NO_NATIVE=1 forces this pure-Python path."""
+    if os.environ.get("NGSLD_NO_NATIVE") != "1":
+        from .native import read_pos_native
+        native = read_pos_native(path, header, n_sites)
+        if native is not None:
+            return native
+
     lines = _read_file_lines(path, 1 if header else 0, n_sites)
     rows = [ln.split("\t") for ln in lines]  # read_split sep="\t", keeps empties
     n_fields = len(rows[0])
