@@ -27,6 +27,7 @@ import json
 import math
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -129,11 +130,12 @@ class _StreamedGLLoader:
             return False
         return size == pars.n_sites * pars.n_ind * 3 * 8
 
-    def __init__(self, pars, np_dtype):
+    def __init__(self, pars, np_dtype, touch=lambda: None):
         import queue
         import threading
         self._pars = pars
         self._dt = np_dtype
+        self._touch = touch
         self._q = queue.Queue(maxsize=2)
         self._slabs = []
         self._err = []
@@ -176,6 +178,7 @@ class _StreamedGLLoader:
                 if a is None:
                     return
                 self._slabs.append(jax.device_put(a))
+                self._touch()
         except BaseException as e:
             self._err.append(e)
             # drain so the reader never blocks on a full queue
@@ -345,14 +348,16 @@ def run_jax(pars: Params, out_fh=None) -> None:
 
     from .utils.keepalive import DeviceKeepalive
     try:
-        with DeviceKeepalive():
-            _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir)
+        with DeviceKeepalive() as ka:
+            _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
+                          touch=ka.touch)
     finally:
         if close:
             out_fh.close()
 
 
-def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir):
+def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
+                  touch=lambda: None):
     import jax
     import jax.numpy as jnp
     from .ops.preprocess import preprocess
@@ -363,7 +368,8 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir):
             # binary input: stream file slabs straight to the device while
             # the positions parse below runs; normalize on device
             loader = _StreamedGLLoader(
-                pars, np.float64 if dt == jnp.float64 else np.float32)
+                pars, np.float64 if dt == jnp.float64 else np.float32,
+                touch=touch)
         else:
             with log.phase("Reading data from file"):
                 geno_log = strict.read_geno(pars.in_geno, pars.in_bin,
@@ -398,13 +404,16 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir):
                 with log.phase("  gl upload", level=2):
                     gl_d = jnp.asarray(host_gl)
                     gl_d.block_until_ready()
+                    touch()
                 del host_gl
             with log.phase("  preprocess jit", level=2):
                 gn_d, maf_d, eg_d = pre(gl_d)
+                touch()
             # only MAF returns to the host (the plan needs it); GL/E[G]
             # tables stay device-resident for the sweep
             with log.phase("  maf to host", level=2):
                 maf = np.asarray(maf_d, np.float64)
+                touch()
         if pars.verbose >= 7:
             log.log(7, "==> Geno data")
             gn0 = np.asarray(gn_d[:min(10, pars.n_sites), 0, :])
@@ -432,8 +441,13 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir):
         def emit(bi, blk, dev_out):
             """Pull one block's results to the host and write its rows."""
             P = len(blk.s1)
+            t0 = time.perf_counter()
+            fm, im = np.asarray(dev_out[0])[:P], np.asarray(dev_out[1])[:P]
+            touch()
+            log.count_time("sweep: result pull", time.perf_counter() - t0)
+            t0 = time.perf_counter()
             r2p, f, n_iter, n_used, hmaf0, hmaf1, D, Dp, r2, chi2 = _unpack(
-                np.asarray(dev_out[0])[:P], np.asarray(dev_out[1])[:P])
+                fm, im)
             n_iter = n_iter.astype(np.int32)
             n_used = n_used.astype(np.int32)
             log.count("em_iterations", int(n_iter.astype(np.int64).sum()))
@@ -451,19 +465,50 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir):
             if ckpt is not None:
                 bfh.close()
                 ckpt.commit_block(bi)
+            log.count_time("sweep: format+write", time.perf_counter() - t0)
 
         from .utils.signals import GracefulStop
 
         n_blocks = 0
         interrupted = False
-        pending = []  # depth-2 async pipeline: overlap device compute of
-        # block i+1 with host transfer + formatting of block i
+        # emit worker: result pull + format + file write run on their own
+        # thread (numpy transfers, the ctypes formatter, and file writes all
+        # release the GIL), overlapping the next blocks' dispatch. FIFO
+        # queue -> rows stay in (s1, s2) order.
+        import queue as _queue
+        emit_q = _queue.Queue(maxsize=3)
+        emit_err = []
+
+        def emit_worker():
+            while True:
+                item = emit_q.get()
+                if item is None:
+                    return
+                try:
+                    emit(*item)
+                except BaseException as e:
+                    emit_err.append(e)
+                    while emit_q.get() is not None:  # unblock the producer
+                        pass
+                    return
+
+        import threading
+        worker = threading.Thread(target=emit_worker, daemon=True,
+                                  name="ngsld-emit")
+        worker.start()
         with log.phase("compute: banded pair sweep"), GracefulStop(log) as gs:
-            for bi, blk in enumerate(_prefetch_blocks(
-                    iter_pair_blocks(pars, maf, pos_dist, block_pairs=chunk))):
+            blocks_it = enumerate(_prefetch_blocks(
+                iter_pair_blocks(pars, maf, pos_dist, block_pairs=chunk)))
+            while True:
+                t_top = time.perf_counter()
+                try:
+                    bi, blk = next(blocks_it)
+                except StopIteration:
+                    break
+                log.count_time("sweep: plan wait", time.perf_counter() - t_top)
                 n_blocks = bi + 1
-                if gs.stopped:
-                    interrupted = True
+                if gs.stopped or emit_err:
+                    interrupted = not emit_err
                     break
                 if ckpt is not None and ckpt.done(bi):
                     log.count("blocks_resumed")
@@ -474,25 +519,25 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir):
                 if pars.verbose >= 3:
                     log.log(3, f"> Block {bi}: anchors "
                                f"{blk.s1[0]}..{blk.s1[-1]}, {P} pairs")
-                # pad to a power-of-two bucket (min 2048/shard): tail blocks
-                # and sampling variance then hit a handful of compiled
-                # shapes instead of padding every block to the full chunk
-                bucket = 2048 * n_shards
-                padded = bucket
-                while padded < P:
-                    padded *= 2
-                pad = padded - P
+                # pad to a multiple of 16K*n_shards (tail blocks and
+                # sampling variance then hit a few compiled shapes, and
+                # padding stays <= 12% instead of up to 2x with pow2)
+                quantum = 16384 * n_shards
+                pad = -P % quantum
                 s1 = np.concatenate([blk.s1, np.zeros(pad, np.int64)])
                 s2 = np.concatenate([blk.s2, np.ones(pad, np.int64)
                                      * min(1, pars.n_sites - 1)])
+                t0 = time.perf_counter()
                 dev_out = compute(gn_d, eg_d, maf_d,
                                   jnp.asarray(s1, jnp.int32),
                                   jnp.asarray(s2, jnp.int32))  # async dispatch
-                pending.append((bi, blk, dev_out))
-                if len(pending) > 1:
-                    emit(*pending.pop(0))
-            for item in pending:
-                emit(*item)
+                touch()
+                log.count_time("sweep: dispatch", time.perf_counter() - t0)
+                emit_q.put((bi, blk, dev_out))
+            emit_q.put(None)
+            worker.join()
+            if emit_err:
+                raise emit_err[0]
 
         if interrupted:
             hint = (f"resume with the same --checkpoint {ckpt.dir}"

@@ -3,16 +3,22 @@
 On tunneled/remote accelerators the transport goes stale while the host
 does file parsing or TSV formatting; the next synchronous device call then
 pays a reconnect measured in tens of seconds (observed: 0.09 s warm vs
-10-200 s after an idle window). A background thread that round-trips a
-tiny op every few seconds keeps the link hot for the whole run. Disable
-with NGSLD_DEVICE_KEEPALIVE=0; on locally attached devices the ping costs
-microseconds every `interval` seconds.
+10-200 s after an idle window). A background thread round-trips a tiny op
+whenever the link has been IDLE for `interval` seconds.
+
+Activity-awareness matters: pinging while real work is in flight
+serializes the remote device queue behind the ping's sync (measured 2-3x
+on the whole banded sweep). Callers report device interactions via
+`touch()`; pings fire only when no touch happened for `interval` seconds.
+Disable with NGSLD_DEVICE_KEEPALIVE=0; on locally attached devices an
+idle-window ping costs microseconds.
 """
 
 from __future__ import annotations
 
 import os
 import threading
+import time
 
 import numpy as np
 
@@ -22,6 +28,11 @@ class DeviceKeepalive:
         self.interval = interval
         self._stop = threading.Event()
         self._thread = None
+        self._last = time.monotonic()
+
+    def touch(self):
+        """Record device activity; suppresses pings for `interval` seconds."""
+        self._last = time.monotonic()
 
     def __enter__(self):
         if os.environ.get("NGSLD_DEVICE_KEEPALIVE", "1") != "1":
@@ -32,11 +43,15 @@ class DeviceKeepalive:
             np.asarray(z)  # establish the connection before timing anything
         except Exception:
             return self
+        self.touch()
 
         def ping():
-            while not self._stop.wait(self.interval):
+            while not self._stop.wait(min(self.interval / 4, 1.25)):
+                if time.monotonic() - self._last < self.interval:
+                    continue
                 try:
                     np.asarray(z + 1.0)
+                    self.touch()
                 except Exception:
                     return
 

@@ -18,6 +18,7 @@ class RunLog:
         self.verbose = verbose
         self.timings: list = []
         self.counters: dict = {}
+        self.time_counters: dict = {}
 
     def log(self, level: int, msg: str) -> None:
         if self.verbose >= level:
@@ -35,6 +36,11 @@ class RunLog:
     def count(self, key: str, n: int = 1) -> None:
         self.counters[key] = self.counters.get(key, 0) + n
 
+    def count_time(self, key: str, seconds: float) -> None:
+        """Accumulate wall-time into a named bucket (printed with the phase
+        timings; cheap enough to leave on at any verbosity)."""
+        self.time_counters[key] = self.time_counters.get(key, 0.0) + seconds
+
     def summary(self) -> None:
         if self.verbose < 1:
             return
@@ -42,6 +48,8 @@ class RunLog:
         sys.stderr.write("==> Phase timings:\n")
         for name, t in self.timings:
             sys.stderr.write(f"\t{name}: {t:.3f}s ({100*t/max(total,1e-9):.0f}%)\n")
+        for name, t in sorted(self.time_counters.items()):
+            sys.stderr.write(f"\t  [{name}: {t:.3f}s]\n")
         if self.counters:
             sys.stderr.write("==> Counters:\n")
             for k, v in sorted(self.counters.items()):

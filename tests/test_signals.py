@@ -6,7 +6,7 @@ import signal
 import numpy as np
 import pytest
 
-import ngsld_tpu.plan.band as band_mod
+import ngsld_tpu.engine as engine_mod
 from ngsld_tpu.cli import params_from_args
 from ngsld_tpu.engine import run_jax
 from ngsld_tpu.utils.simulate import simulate, write_all
@@ -30,24 +30,27 @@ def test_sigint_then_resume(tmp_path, monkeypatch):
     run_jax(_pars(files, str(straight), str(tmp_path / "ckpt_straight")))
     expected = straight.read_bytes()
 
-    # interrupt: deliver SIGINT right after the second block is planned;
-    # the sweep must finish in-flight work, commit shards, and exit 130
-    real_iter = band_mod.iter_pair_blocks
+    # interrupt: deliver SIGINT right after the sweep loop consumes the
+    # second block (so block 0 is already dispatched); the sweep must
+    # finish in-flight work, commit shards, and exit 130. The injection
+    # wraps the consumer-side prefetch generator: the plan producer runs
+    # in its own thread and races ahead of the sweep.
+    real_prefetch = engine_mod._prefetch_blocks
 
-    def iter_with_sigint(*a, **kw):
-        for i, blk in enumerate(real_iter(*a, **kw)):
+    def prefetch_with_sigint(gen, depth=4):
+        for i, blk in enumerate(real_prefetch(gen, depth)):
             if i == 1:
                 os.kill(os.getpid(), signal.SIGINT)
             yield blk
 
-    monkeypatch.setattr(band_mod, "iter_pair_blocks", iter_with_sigint)
+    monkeypatch.setattr(engine_mod, "_prefetch_blocks", prefetch_with_sigint)
     out1 = tmp_path / "interrupted.ld"
     with pytest.raises(SystemExit) as ei:
         run_jax(_pars(files, str(out1), ckpt))
     assert ei.value.code == 130
     parts = [p for p in os.listdir(ckpt) if p.endswith(".tsv")]
     assert len(parts) >= 1          # completed blocks were committed
-    monkeypatch.setattr(band_mod, "iter_pair_blocks", real_iter)
+    monkeypatch.setattr(engine_mod, "_prefetch_blocks", real_prefetch)
 
     # resume with the same checkpoint dir: must complete and match
     out2 = tmp_path / "resumed.ld"
