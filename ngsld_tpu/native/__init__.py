@@ -28,8 +28,8 @@ def _build() -> str | None:
     so = os.path.join(_HERE, "_ngsld_native.so")
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
         return so
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-lz",
-           "-o", so + ".tmp"]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread", _SRC,
+           "-lz", "-o", so + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(so + ".tmp", so)
@@ -76,6 +76,23 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_char), i64]
+        lib.ngsld_format_rows_mt.restype = i64
+        lib.ngsld_format_rows_mt.argtypes = \
+            lib.ngsld_format_rows.argtypes + [ctypes.c_int]
+        lib.ngsld_fmt_batch.restype = None
+        lib.ngsld_fmt_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), i64, ctypes.c_int,
+            ctypes.c_char_p]
+        u64 = ctypes.c_uint64
+        lib.ngsld_child_seeds.restype = None
+        lib.ngsld_child_seeds.argtypes = [u64, i64, ctypes.POINTER(u64)]
+        lib.ngsld_plan_slab.restype = i64
+        lib.ngsld_plan_slab.argtypes = [
+            i64, i64, ctypes.POINTER(i64), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_double, ctypes.POINTER(i64),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+            ctypes.POINTER(u64), ctypes.POINTER(i64), ctypes.POINTER(i64),
+            ctypes.POINTER(ctypes.c_double)]
         _LIB = lib
         return _LIB
 
@@ -105,6 +122,44 @@ def read_geno_native(path: str, in_bin: bool, in_probs: bool,
     if rc != 0:
         raise StrictError("read_geno", err.value.decode())
     return out
+
+
+def child_seeds_native(master_seed: int, n_sites: int):
+    """Per-anchor taus child seeds via the native master stream, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(n_sites, np.uint64)
+    lib.ngsld_child_seeds(
+        ctypes.c_uint64(master_seed & 0xFFFFFFFFFFFFFFFF), n_sites,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out
+
+
+def plan_slab_native(s_start: int, s_end: int, counts, maf, min_maf: float,
+                     contig, pos, rnd_sample: float, seeds, cap: int):
+    """Banded pair enumeration for one anchor slab, or None if the native
+    library is unavailable. Returns (a, b, dist) kept arrays."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    i64 = ctypes.c_int64
+    a = np.empty(cap, np.int64)
+    b = np.empty(cap, np.int64)
+    d = np.empty(cap, np.float64)
+
+    def ip(x):
+        return np.ascontiguousarray(x, np.int64).ctypes.data_as(
+            ctypes.POINTER(i64))
+
+    seeds_p = (np.ascontiguousarray(seeds, np.uint64).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint64)) if seeds is not None
+        else ctypes.POINTER(ctypes.c_uint64)())
+    k = lib.ngsld_plan_slab(
+        s_start, s_end, ip(counts), _dp(np.ascontiguousarray(maf, np.float64)),
+        min_maf, ip(contig), _dp(np.ascontiguousarray(pos, np.float64)),
+        rnd_sample, seeds_p, ip(a), ip(b), _dp(d))
+    return a[:k], b[:k], d[:k]
 
 
 class LabelBlob:
@@ -211,13 +266,14 @@ def format_rows_native(labels_blob: bytes, label_off: np.ndarray,
         if len(label_off) else 16
     per_row = 2 * max_lab + (17 if extend else 5) * 24 + 32
     cap = max(4096, n * per_row + 1024)
+    n_threads = min(os.cpu_count() or 1, 8)
     while True:
         buf = np.empty(cap, np.uint8)
         bufp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char))
         null_i32 = i32p(np.zeros(1))
         null_f = np.zeros(1, np.float32).ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         null_d = dp(np.zeros(1))
-        w = lib.ngsld_format_rows(
+        w = lib.ngsld_format_rows_mt(
             n, labels_blob, ip(label_off), ip(s1), ip(s2), dp(dist), dp(r2p),
             dp(D), dp(Dp), dp(r2), int(extend),
             i32p(n_used) if extend else null_i32,
@@ -227,7 +283,7 @@ def format_rows_native(labels_blob: bytes, label_off: np.ndarray,
             np.ascontiguousarray(chi2, np.float32).ctypes.data_as(
                 ctypes.POINTER(ctypes.c_float)) if extend else null_f,
             i32p(n_iter) if extend else null_i32,
-            bufp, cap)
+            bufp, cap, n_threads)
         if w >= 0:
             return buf[:w].tobytes()
         cap *= 2

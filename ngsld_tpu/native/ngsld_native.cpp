@@ -16,6 +16,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 #include <zlib.h>
 
 namespace {
@@ -72,9 +74,158 @@ inline bool strtod_full(const char* tok, size_t len, double* out) {
   return true;
 }
 
+// ---- fast printf-compatible number formatting -----------------------------
+//
+// snprintf("%f") costs ~150-200ns/field through glibc's arbitrary-precision
+// path; rows have 17 fields and runs print millions of rows. These helpers
+// produce BYTE-IDENTICAL output for the values this tool prints (fuzzed
+// against CPython's correctly-rounded dtoa in tests/test_native.py) and fall
+// back to snprintf outside their proven range.
+//
+// Exactness argument for fmt_f6: |v| < 1e9 has <= 53 significant bits;
+// v * 10^6 needs <= 53+20 = 73 bits, exact in __float128 (113-bit mantissa);
+// the integer n and remainder w-n are then exact, so round-to-nearest with
+// ties-to-even on (n, frac) reproduces IEEE-correct decimal rounding --
+// which is what glibc %f (FE_TONEAREST) and CPython's dtoa implement.
+
+static inline char* fmt_int(char* p, long long x) {
+  if (x < 0) {
+    *p++ = '-';
+    x = -x;
+  }
+  char tmp[24];
+  int k = 0;
+  do {
+    tmp[k++] = (char)('0' + (x % 10));
+    x /= 10;
+  } while (x);
+  while (k) *p++ = tmp[--k];
+  return p;
+}
+
+static inline char* emit_f6(char* p, unsigned long long n) {
+  p = fmt_int(p, (long long)(n / 1000000ULL));
+  *p++ = '.';
+  unsigned long long fp = n % 1000000ULL;
+  for (int i = 5; i >= 0; i--) {
+    p[i] = (char)('0' + (fp % 10));
+    fp /= 10;
+  }
+  return p + 6;
+}
+
+// "%f" (6 decimals), glibc-identical for finite |v| < 1e9.
+static inline char* fmt_f6(char* p, double v) {
+  if (!(std::fabs(v) < 1e9)) {  // nan, inf, huge -> glibc
+    return p + std::sprintf(p, "%f", v);
+  }
+  if (std::signbit(v)) {
+    *p++ = '-';
+    v = -v;
+  }
+  // Fast path: for v < 512 the double product w = v*1e6 is within
+  // ulp(w)/2 <= 6e-8 of the exact product, so when the fractional part is
+  // farther than 1e-7 from a rounding boundary (0, 0.5, 1) the decision
+  // matches exact rounding. Boundary-band values (incl. all exact ties)
+  // take the __float128 path, whose 113-bit product is exact for |v|<1e9.
+  if (v < 512.0) {
+    double w = v * 1e6;
+    unsigned long long n = (unsigned long long)w;
+    double r = w - (double)n;
+    if (r >= 1e-7 && r <= 0.5 - 1e-7) return emit_f6(p, n);
+    if (r >= 0.5 + 1e-7 && r <= 1.0 - 1e-7) return emit_f6(p, n + 1);
+  }
+  __float128 w = (__float128)v * 1000000;  // exact
+  unsigned long long n = (unsigned long long)w;
+  __float128 frac = w - (__float128)n;
+  if (frac > (__float128)0.5 || (frac == (__float128)0.5 && (n & 1))) n++;
+  return emit_f6(p, n);
+}
+
+// "%.0f", glibc-identical for integral finite |v| < 1e15 (the dist column
+// is a sum of exact integer position deltas, or +inf across contigs).
+static inline char* fmt_f0(char* p, double v) {
+  if (!(std::fabs(v) < 1e15) || v != std::floor(v)) {
+    return p + std::sprintf(p, "%.0f", v);
+  }
+  if (std::signbit(v)) {  // includes -0.0 -> "-0"
+    *p++ = '-';
+    v = -v;
+  }
+  return fmt_int(p, (long long)v);
+}
+
+// GSL-taus-compatible RNG (L'Ecuyer 1996), bit-for-bit the same stream as
+// ngsld_tpu.gsl_rng.TausRNG (itself pinned against gsl_rng_taus): the
+// reference samples pairs from per-anchor child streams seeded by a master
+// stream (ngsLD.cpp:68-70,164-166,277), and --rnd_sample --seed replication
+// requires this exact generator.
+struct Taus {
+  uint32_t z1, z2, z3;
+  void seed(uint64_t s) {
+    if (!s) s = 1;
+    z1 = (uint32_t)(69069ULL * s);
+    if (z1 < 2) z1 += 2;
+    z2 = (uint32_t)(69069ULL * z1);
+    if (z2 < 8) z2 += 8;
+    z3 = (uint32_t)(69069ULL * z2);
+    if (z3 < 16) z3 += 16;
+    for (int i = 0; i < 6; i++) get();
+  }
+  uint32_t get() {
+    z1 = ((z1 & 4294967294u) << 12) ^ (((z1 << 13) ^ z1) >> 19);
+    z2 = ((z2 & 4294967288u) << 4) ^ (((z2 << 2) ^ z2) >> 25);
+    z3 = ((z3 & 4294967280u) << 17) ^ (((z3 << 3) ^ z3) >> 11);
+    return z1 ^ z2 ^ z3;
+  }
+  double uniform() { return get() / 4294967296.0; }
+};
+
 }  // namespace
 
 extern "C" {
+
+// Per-anchor child-stream seeds, drawn sequentially from the master stream
+// in site order (ngsLD.cpp:164-166): uint64(uniform * 1e15).
+void ngsld_child_seeds(uint64_t master_seed, int64_t n, uint64_t* out) {
+  Taus m;
+  m.seed(master_seed);
+  for (int64_t i = 0; i < n; i++) out[i] = (uint64_t)(m.uniform() * 1e15);
+}
+
+// Banded pair enumeration for one anchor slab [s_start, s_end): candidates
+// t in (s, s+counts[s]], partner-MAF skip (NaN passes, ngsLD.cpp:270),
+// taus sampling (one draw per surviving candidate in s2 order, :277),
+// distances with inf across contigs. counts[] already encodes the band
+// limits and the anchor-MAF break (plan.band semantics). Outputs must have
+// capacity sum(counts[s_start:s_end]); returns the kept count.
+int64_t ngsld_plan_slab(int64_t s_start, int64_t s_end, const int64_t* counts,
+                        const double* maf, double min_maf,
+                        const int64_t* contig, const double* pos,
+                        double rnd_sample, const uint64_t* seeds, int64_t* a,
+                        int64_t* b, double* d) {
+  int64_t k = 0;
+  const bool sample = rnd_sample < 1.0;
+  for (int64_t s = s_start; s < s_end; s++) {
+    const int64_t c = counts[s];
+    if (c <= 0) continue;
+    Taus rng;
+    if (sample) rng.seed(seeds[s]);
+    const int64_t cs = contig[s];
+    const double ps = pos[s];
+    for (int64_t t = s + 1; t <= s + c; t++) {
+      bool keep = !(maf[t] < min_maf);
+      if (keep && sample) keep = !(rng.uniform() > rnd_sample);
+      if (keep) {
+        a[k] = s;
+        b[k] = t;
+        d[k] = (cs == contig[t]) ? pos[t] - ps : INFINITY;
+        k++;
+      }
+    }
+  }
+  return k;
+}
 
 // Read a gz (or plain) TEXT genotype/GL file.
 //   in_probs: 3 numeric cols per individual; else 1 genotype col in
@@ -259,6 +410,17 @@ int ngsld_read_geno_bin(const char* path, int in_logscale, int64_t n_ind,
   return 0;
 }
 
+// Test-only: batch-format doubles with fmt_f6 / fmt_f0 into fixed 64-byte
+// NUL-terminated slots, for fuzz parity checks against CPython's dtoa.
+// Callers keep |v| < 1e30 so the snprintf fallback fits the slot.
+void ngsld_fmt_batch(const double* v, int64_t n, int zero_dec, char* out) {
+  for (int64_t i = 0; i < n; i++) {
+    char* p = out + 64 * i;
+    char* e = zero_dec ? fmt_f0(p, v[i]) : fmt_f6(p, v[i]);
+    *e = '\0';
+  }
+}
+
 // Positions reader: read_file + read_dist + label pass
 // (gen_func.cpp:233-282, read_data.cpp:165-218, ngsLD.cpp:119-132).
 // Skips blank/'#' lines, then `header_skip` more; per line: TSV fields
@@ -434,6 +596,103 @@ int64_t ngsld_format_rows(int64_t n_rows, const char* labels,
     if (out_cap - w < 2) return -1;
     out[w++] = '\n';
   }
+  return w;
+}
+
+// Multithreaded bulk formatter: same byte contract as ngsld_format_rows
+// (each row formatted independently; concatenation preserves order).
+// Threads format contiguous row ranges into private growable buffers,
+// then memcpy into `out`. Returns bytes written, or -1 if out_cap is too
+// small (caller grows and retries).
+int64_t ngsld_format_rows_mt(int64_t n_rows, const char* labels,
+                             const int64_t* label_off, const int64_t* s1,
+                             const int64_t* s2, const double* dist,
+                             const double* r2p, const double* D,
+                             const double* Dp, const double* r2, int extend,
+                             const int32_t* n_used, const double* maf1,
+                             const double* maf2, const double* hap,
+                             const double* hmaf1, const double* hmaf2,
+                             const float* chi2, const int32_t* n_iter,
+                             char* out, int64_t out_cap, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if ((int64_t)n_threads > n_rows) n_threads = (int)(n_rows ? n_rows : 1);
+  struct Chunk {
+    char* buf = nullptr;
+    int64_t len = 0;
+    int64_t cap = 0;
+  };
+  std::vector<Chunk> chunks((size_t)n_threads);
+  auto work = [&](int t) {
+    int64_t lo = n_rows * t / n_threads;
+    int64_t hi = n_rows * (t + 1) / n_threads;
+    Chunk& c = chunks[(size_t)t];
+    c.cap = (hi - lo) * 96 + 4096;
+    c.buf = (char*)std::malloc((size_t)c.cap);
+    for (int64_t j = lo; j < hi; j++) {
+      const char* l1 = labels + label_off[s1[j]];
+      const char* l2 = labels + label_off[s2[j]];
+      size_t n1 = std::strlen(l1), n2 = std::strlen(l2);
+      if ((size_t)(c.cap - c.len) < n1 + n2 + 1024) {
+        c.cap = c.cap * 2 + (int64_t)(n1 + n2) + 4096;
+        c.buf = (char*)std::realloc(c.buf, (size_t)c.cap);
+      }
+      char* p = c.buf + c.len;
+      std::memcpy(p, l1, n1);
+      p += n1;
+      *p++ = '\t';
+      std::memcpy(p, l2, n2);
+      p += n2;
+      *p++ = '\t';
+      p = fmt_f0(p, dist[j]);
+      *p++ = '\t';
+      p = fmt_f6(p, r2p[j]);
+      *p++ = '\t';
+      p = fmt_f6(p, D[j]);
+      *p++ = '\t';
+      p = fmt_f6(p, Dp[j]);
+      *p++ = '\t';
+      p = fmt_f6(p, r2[j]);
+      if (extend) {
+        *p++ = '\t';
+        p = fmt_int(p, (long long)n_used[j]);
+        *p++ = '\t';
+        p = fmt_f6(p, maf1[j]);
+        *p++ = '\t';
+        p = fmt_f6(p, maf2[j]);
+        for (int h = 0; h < 4; h++) {
+          *p++ = '\t';
+          p = fmt_f6(p, hap[4 * j + h]);
+        }
+        *p++ = '\t';
+        p = fmt_f6(p, hmaf1[j]);
+        *p++ = '\t';
+        p = fmt_f6(p, hmaf2[j]);
+        *p++ = '\t';
+        p = fmt_f6(p, (double)chi2[j]);
+        *p++ = '\t';
+        p = fmt_f6(p, 0.0);
+        *p++ = '\t';
+        p = fmt_int(p, (long long)n_iter[j]);
+      }
+      *p++ = '\n';
+      c.len = p - c.buf;
+    }
+  };
+  std::vector<std::thread> ths;
+  for (int t = 1; t < n_threads; t++) ths.emplace_back(work, t);
+  work(0);
+  for (auto& th : ths) th.join();
+  int64_t total = 0;
+  for (auto& c : chunks) total += c.len;
+  int64_t w = -1;
+  if (total <= out_cap) {
+    w = 0;
+    for (auto& c : chunks) {
+      std::memcpy(out + w, c.buf, (size_t)c.len);
+      w += c.len;
+    }
+  }
+  for (auto& c : chunks) std::free(c.buf);
   return w;
 }
 

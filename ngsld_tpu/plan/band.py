@@ -20,6 +20,7 @@ strict.enumerate_pairs in tests/test_plan.py).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -81,6 +82,11 @@ def band_limits(pos_dist: np.ndarray, max_kb_dist: int, max_snp_dist: int) -> np
 def child_seeds(master_seed: int, n_sites: int) -> np.ndarray:
     """Per-anchor child-stream seeds, drawn sequentially from the master
     stream in site order (ngsLD.cpp:164-166): uint64(uniform * 1e15)."""
+    if os.environ.get("NGSLD_NO_NATIVE") != "1":
+        from ..native import child_seeds_native
+        out = child_seeds_native(master_seed, n_sites)
+        if out is not None:
+            return out
     m = TausRNG(master_seed)
     return np.array([int(m.uniform() * INF) for _ in range(n_sites)],
                     dtype=np.uint64)
@@ -108,13 +114,27 @@ def iter_pair_blocks(pars, maf: np.ndarray, pos_dist: np.ndarray,
     # candidate budget scales by 1/rnd_sample (else blocks arrive ~5% full
     # and the device computes 95% padding)
     budget = block_pairs / pars.rnd_sample if need_rng else block_pairs
+    cand_cum = np.cumsum(counts)
+    use_native = os.environ.get("NGSLD_NO_NATIVE") != "1"
     s1 = 0
     while s1 < n:
-        s1_end = s1
-        tot = 0
-        while s1_end < n and (tot == 0 or tot + counts[s1_end] <= budget):
-            tot += counts[s1_end]
-            s1_end += 1
+        # maximal anchor prefix whose candidate total fits the budget
+        # (at least one anchor, however large its band)
+        cand_base = int(cand_cum[s1 - 1]) if s1 > 0 else 0
+        s1_end = max(int(np.searchsorted(cand_cum, cand_base + budget,
+                                         side="right")), s1 + 1)
+        tot = int(cand_cum[s1_end - 1] - cand_base)
+        if tot > 0 and use_native:
+            from ..native import plan_slab_native
+            nat = plan_slab_native(
+                s1, s1_end, counts, maf, pars.min_maf, contig, pos,
+                pars.rnd_sample if need_rng else 1.0, seeds, tot)
+            if nat is not None:
+                a, b, d = nat
+                if len(a):
+                    yield PairBlock(s1=a, s2=b, dist=d)
+                s1 = s1_end
+                continue
         if tot > 0:
             cslice = counts[s1:s1_end]
             a = np.repeat(np.arange(s1, s1_end), cslice)       # anchor ids

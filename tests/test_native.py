@@ -90,3 +90,39 @@ def test_native_formatter_matches_python():
                    n_iter[j]))
         py_rows.append(row + "\n")
     assert native == "".join(py_rows)
+
+
+def test_fmt_f6_fuzz_matches_glibc():
+    """The custom %f path must be byte-identical to correctly-rounded dtoa
+    (CPython's '%f' == glibc's). Fuzz across magnitudes plus crafted exact
+    decimal ties (dyadic rationals k/2^m landing exactly on x.xxxxxx5)."""
+    import ctypes
+
+    from ngsld_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(99)
+    vals = [
+        rng.uniform(-2, 2, 20000),                      # stats range
+        rng.uniform(0, 1, 20000),                       # freqs
+        rng.standard_normal(20000) * 10.0 ** rng.integers(-9, 12, 20000),
+        np.array([0.0, -0.0, np.nan, -np.nan, np.inf, -np.inf, 1e9 - 0.5,
+                  1e9, -1e9, 0.0078125, -0.0078125,     # exact tie 2^-7
+                  0.5e-6, 1.5e-6, 2.5e-6, 0.9999995,
+                  123456.1234565, 5 / 2**26, 3 / 2**27]),
+        np.ldexp(rng.integers(1, 2**52, 5000).astype(np.float64),
+                 rng.integers(-80, -20, 5000)),         # random dyadics
+    ]
+    for arr in vals:
+        arr = np.ascontiguousarray(arr, np.float64)
+        n = len(arr)
+        for zero_dec in (0, 1):
+            buf = ctypes.create_string_buffer(64 * n)
+            lib.ngsld_fmt_batch(
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                n, zero_dec, buf)
+            for i in range(n):
+                got = buf.raw[64 * i:64 * (i + 1)].split(b"\0", 1)[0].decode()
+                want = (strict.fmt_f0 if zero_dec else strict.fmt_f)(arr[i])
+                assert got == want, f"v={arr[i]!r}: {got} != {want}"

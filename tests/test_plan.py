@@ -63,3 +63,34 @@ def test_plan_matches_strict_walk(tmp_path, kw):
         assert (a, b) == (a2, b2)
         assert d == d2 or (np.isinf(d) and np.isinf(d2))
     assert len(ref) > 0
+
+
+def test_plan_native_matches_python(tmp_path, monkeypatch):
+    """The C++ slab enumerator and the NumPy fallback must produce
+    bit-identical blocks (indices, distances, sampling draws)."""
+    sim = simulate(n_ind=8, n_sites=800, seed=9, mono_rate=0.05)
+    pars = make_pars(tmp_path, n_sites=800, max_kb_dist=0, max_snp_dist=25,
+                     min_maf=0.05, rnd_sample=0.3, seed=4242)
+    pos_dist = pos_dist_from_sim(sim)
+    rng = np.random.default_rng(2)
+    maf = rng.uniform(0, 0.5, sim.n_sites)
+    maf[rng.random(sim.n_sites) < 0.03] = np.nan
+
+    nat = [(b.s1, b.s2, b.dist)
+           for b in iter_pair_blocks(pars, maf, pos_dist, block_pairs=500)]
+    monkeypatch.setenv("NGSLD_NO_NATIVE", "1")
+    py = [(b.s1, b.s2, b.dist)
+          for b in iter_pair_blocks(pars, maf, pos_dist, block_pairs=500)]
+    assert len(nat) == len(py) and len(nat) > 1
+    for (a1, b1, d1), (a2, b2, d2) in zip(nat, py):
+        assert np.array_equal(a1, a2)
+        assert np.array_equal(b1, b2)
+        assert np.array_equal(d1, d2)
+
+
+def test_child_seeds_native_matches_python(monkeypatch):
+    from ngsld_tpu.plan.band import child_seeds
+    nat = child_seeds(987654321, 500)
+    monkeypatch.setenv("NGSLD_NO_NATIVE", "1")
+    py = child_seeds(987654321, 500)
+    assert np.array_equal(nat, py)
