@@ -98,3 +98,28 @@ def test_engine_binary_input(fixdir):
     s_rows, j_rows = run_both(fixdir, in_geno=fixdir["glf"], in_logscale=True,
                               max_kb_dist=10, min_maf=0.05)
     compare(s_rows, j_rows)
+
+
+def test_streamed_loader_nan_parity(tmp_path):
+    """The streamed binary fast path must reject NaN records with the
+    reference's error (read_data.cpp:44-45), like the strict reader."""
+    import io
+
+    from ngsld_tpu import strict
+    from ngsld_tpu.engine import _StreamedGLLoader, run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_glf_bin, write_pos
+
+    sim = simulate(n_ind=6, n_sites=50, seed=11)
+    glf = str(tmp_path / "bad.glf")
+    posf = str(tmp_path / "bad.pos")
+    write_glf_bin(sim, glf)
+    write_pos(sim, posf)
+    raw = np.fromfile(glf, dtype=np.float64)
+    raw[123] = np.nan
+    raw.tofile(glf)
+
+    pars = Params(in_geno=glf, in_probs=True, in_logscale=True, n_ind=6,
+                  n_sites=50, in_pos=posf, max_kb_dist=5).finalize()
+    assert _StreamedGLLoader.applicable(pars)
+    with pytest.raises(strict.StrictError, match="NaN found"):
+        run_jax(pars, out_fh=io.BytesIO())
