@@ -433,6 +433,15 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
         # every device must receive the same per-shard shape
         chunk = -(-int(pars.chunk_pairs) // n_shards) * n_shards
 
+        if ckpt is not None:
+            # per-block RowWriters share one label blob (building it is
+            # O(n_sites) — once, not once per block)
+            try:
+                from .native import LabelBlob, get_lib, make_labels_blob
+                if get_lib() is not None and not isinstance(labels, LabelBlob):
+                    labels = LabelBlob(*make_labels_blob(labels))
+            except Exception:
+                pass
         writer = None
         if ckpt is None:
             writer = RowWriter(out_fh, labels, pars.extend_out)
