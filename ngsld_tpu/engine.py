@@ -44,21 +44,27 @@ def _resolve_precision(precision: str) -> str:
 
 
 @functools.lru_cache(maxsize=None)
-def _compute_block_fn(ignore_miss_data: bool, extend_out: bool,
-                      use_pallas: bool, n_shards: int = 1):
+def _compute_block_fn(ignore_miss_data: bool, use_pallas: bool,
+                      n_shards: int = 1):
     """Device-resident block step: the GL/E[G]/MAF tables stay on device and
     the per-block pair GATHER happens there too — only the (s1, s2) index
     vectors cross the host link per block (the host<->device link is the
     scarcest resource: a tunneled TPU here measures ~15 MB/s).
 
+    The device returns only (r2p, hap_freqs) + (n_iter, n_used): every
+    other column (D, D', r2, hap MAFs, chi2) is a pure function of the
+    frequencies and derives on the host (_stats_host/_chi2_host mirror the
+    device formulas op-for-op in the same dtype), halving the per-pair
+    result bytes.
+
     With n_shards > 1 the same step runs shard_map'ed over a 1-D 'pairs'
-    mesh: tables replicated, index vectors (and therefore the gather, the
-    EM, and the statistics) split across devices — the TPU-native
-    replacement for the reference's pthread pool (ngsLD.cpp:154-186)."""
+    mesh: tables replicated, index vectors (and therefore the gather and
+    the EM) split across devices — the TPU-native replacement for the
+    reference's pthread pool (ngsLD.cpp:154-186)."""
     import jax
     import jax.numpy as jnp
     from .ops.em import pair_em
-    from .ops.stats import chi2_stat, ld_stats, pearson_r2
+    from .ops.stats import pearson_r2
 
     def compute(gn, eg, maf, s1, s2):
         gn1, gn2 = jnp.take(gn, s1, axis=0), jnp.take(gn, s2, axis=0)
@@ -76,13 +82,8 @@ def _compute_block_fn(ignore_miss_data: bool, extend_out: bool,
                                             ignore_miss_data)
         else:
             f, n_iter, n_used = pair_em(gn1, gn2, maf1, maf2, ignore_miss_data)
-        hmaf0, hmaf1, D, Dp, r2 = ld_stats(f)
-        chi2 = chi2_stat(f) if extend_out else jnp.zeros_like(r2p)
-        # pack into two arrays: the host link pays per-transfer latency, so
-        # ship one float and one int matrix instead of ten vectors
-        fmat = jnp.stack([r2p, D, Dp, r2, hmaf0, hmaf1,
-                          chi2.astype(f.dtype)], axis=1)
-        fmat = jnp.concatenate([fmat, f], axis=1)  # (P, 11)
+        fmat = jnp.concatenate([r2p[:, None].astype(f.dtype), f],
+                               axis=1)  # (P, 5)
         # nIter <= 100 and n_used <= n_ind: int16 halves the metadata bytes
         # on the host link
         imat = jnp.stack([n_iter.astype(jnp.int16),
@@ -239,11 +240,48 @@ def _prefetch_blocks(gen, depth: int = 4):
         stop.set()
 
 
+def _stats_host(f):
+    """NumPy mirror of ops.stats.ld_stats: same op order, same dtype as the
+    EM output, so host-derived stats match device-derived ones bitwise
+    (ngsLD.cpp:296-306 semantics, incl. the C min() NaN asymmetry)."""
+    maf0 = 1 - (f[:, 0] + f[:, 1])
+    maf1 = 1 - (f[:, 0] + f[:, 2])
+    D = f[:, 0] * f[:, 3] - f[:, 1] * f[:, 2]
+
+    def c_min(a, b):
+        return np.where(a <= b, a, b)
+
+    with np.errstate(all="ignore"):
+        neg = -c_min(maf0 * maf1, (1 - maf0) * (1 - maf1))
+        pos = c_min(maf0 * (1 - maf1), (1 - maf0) * maf1)
+        Dp = D / np.where(D < 0, neg, pos)
+        rr = D / np.sqrt(maf0 * maf1 * (1 - maf0) * (1 - maf1))
+        return maf0, maf1, D, Dp, rr * rr
+
+
+def _chi2_host(f):
+    """NumPy mirror of ops.stats.chi2_stat: float32 accumulator, terms in
+    the EM dtype (the reference computes chi2 in float, ngsLD.cpp:328-333)."""
+    f32 = np.float32
+    freq_A = (f[:, 0] + f[:, 1]).astype(f32)
+    freq_B = (f[:, 0] + f[:, 2]).astype(f32)
+    exp_hap = np.stack([freq_A * freq_B, freq_A * (1 - freq_B),
+                        (1 - freq_A) * freq_B, (1 - freq_A) * (1 - freq_B)],
+                       axis=1)
+    with np.errstate(all="ignore"):
+        diff = f - exp_hap.astype(f.dtype)
+        terms = (diff * diff) / exp_hap.astype(f.dtype)
+        chi2 = np.zeros(f.shape[0], f32)
+        for i in range(4):  # sequential float32 rounding, like the reference
+            chi2 = (chi2.astype(f.dtype) + terms[:, i]).astype(f32)
+    return chi2
+
+
 def _unpack(fmat, imat):
-    r2p, D, Dp, r2, hmaf0, hmaf1, chi2 = (fmat[:, i] for i in range(7))
-    f = fmat[:, 7:11]
-    return (r2p, f, imat[:, 0], imat[:, 1], hmaf0, hmaf1, D, Dp, r2,
-            chi2.astype(np.float32))
+    r2p, f = fmat[:, 0], fmat[:, 1:5]
+    hmaf0, hmaf1, D, Dp, r2 = _stats_host(f)
+    chi2 = _chi2_host(f)
+    return (r2p, f, imat[:, 0], imat[:, 1], hmaf0, hmaf1, D, Dp, r2, chi2)
 
 
 def _config_fingerprint(pars: Params) -> str:
@@ -428,8 +466,8 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
         if n_shards > len(jax.devices()):
             raise strict.StrictError(
                 "shard", f"--shard {n_shards} > {len(jax.devices())} devices")
-        compute = _compute_block_fn(pars.ignore_miss_data, pars.extend_out,
-                                    use_pallas, n_shards)
+        compute = _compute_block_fn(pars.ignore_miss_data, use_pallas,
+                                    n_shards)
         # every device must receive the same per-shard shape
         chunk = -(-int(pars.chunk_pairs) // n_shards) * n_shards
 
