@@ -485,64 +485,91 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
             writer = RowWriter(out_fh, labels, pars.extend_out)
             writer.write_header()
 
-        def emit(bi, blk, dev_out):
-            """Pull one block's results to the host and write its rows."""
+        fmt_rw = writer if writer is not None \
+            else RowWriter(None, labels, pars.extend_out)
+
+        def pull(bi, blk, dev_out):
+            """Stage 1 (tunnel IO): device results -> host numpy."""
             P = len(blk.s1)
             t0 = time.perf_counter()
             fm, im = np.asarray(dev_out[0])[:P], np.asarray(dev_out[1])[:P]
             touch()
             log.count_time("sweep: result pull", time.perf_counter() - t0)
+            return bi, blk, fm, im
+
+        def fmt(bi, blk, fm, im):
+            """Stage 2 (CPU): derive stats, format rows to bytes."""
             t0 = time.perf_counter()
             r2p, f, n_iter, n_used, hmaf0, hmaf1, D, Dp, r2, chi2 = _unpack(
                 fm, im)
             n_iter = n_iter.astype(np.int32)
             n_used = n_used.astype(np.int32)
             log.count("em_iterations", int(n_iter.astype(np.int64).sum()))
+            # value columns pass at the engine precision: the native
+            # formatter has an f32 entry point (float->double is exact)
+            data = fmt_rw.format_block(
+                blk.s1, blk.s2, blk.dist, r2p, D, Dp, r2, n_used=n_used,
+                maf1=maf[blk.s1], maf2=maf[blk.s2], hap=f,
+                hmaf1=hmaf0, hmaf2=hmaf1, chi2=chi2, n_iter=n_iter)
+            log.count_time("sweep: format", time.perf_counter() - t0)
+            return bi, data
+
+        def write(bi, data):
+            """Stage 3 (disk IO): write rows (or a checkpoint shard)."""
+            t0 = time.perf_counter()
             if ckpt is not None:
-                bfh = ckpt.open_block(bi)
-                bw = RowWriter(bfh, labels, pars.extend_out)
-            else:
-                bfh, bw = None, writer
-            bw.write_block(
-                blk.s1, blk.s2, blk.dist, np.float64(r2p), np.float64(D),
-                np.float64(Dp), np.float64(r2), n_used=n_used,
-                maf1=maf[blk.s1], maf2=maf[blk.s2], hap=np.float64(f),
-                hmaf1=np.float64(hmaf0), hmaf2=np.float64(hmaf1),
-                chi2=chi2, n_iter=n_iter)
-            if ckpt is not None:
-                bfh.close()
+                with ckpt.open_block(bi) as bfh:
+                    bfh.write(data)
                 ckpt.commit_block(bi)
-            log.count_time("sweep: format+write", time.perf_counter() - t0)
+            else:
+                try:
+                    out_fh.write(data)
+                except TypeError:
+                    out_fh.write(data.decode())
+            log.count_time("sweep: write", time.perf_counter() - t0)
 
         from .utils.signals import GracefulStop
 
         n_blocks = 0
         interrupted = False
-        # emit worker: result pull + format + file write run on their own
-        # thread (numpy transfers, the ctypes formatter, and file writes all
-        # release the GIL), overlapping the next blocks' dispatch. FIFO
-        # queue -> rows stay in (s1, s2) order.
+        # 3-stage emit pipeline on daemon threads: result pull (tunnel IO),
+        # stat derivation + row formatting (CPU), file write (disk IO). All
+        # three release the GIL for their heavy part, so they overlap each
+        # other AND the main thread's dispatch even on one core. FIFO
+        # queues keep rows in (s1, s2) order.
         import queue as _queue
-        emit_q = _queue.Queue(maxsize=3)
+        import threading
+        emit_q = _queue.Queue(maxsize=3)   # main -> pull
+        fmt_q = _queue.Queue(maxsize=2)    # pull -> fmt
+        write_q = _queue.Queue(maxsize=2)  # fmt -> write
         emit_err = []
 
-        def emit_worker():
-            while True:
-                item = emit_q.get()
-                if item is None:
-                    return
-                try:
-                    emit(*item)
-                except BaseException as e:
-                    emit_err.append(e)
-                    while emit_q.get() is not None:  # unblock the producer
-                        pass
-                    return
+        def _stage(in_q, out_q, fn, name):
+            def run():
+                while True:
+                    item = in_q.get()
+                    if item is None:
+                        if out_q is not None:
+                            out_q.put(None)
+                        return
+                    try:
+                        res = fn(*item)
+                    except BaseException as e:
+                        emit_err.append(e)
+                        while in_q.get() is not None:  # unblock the producer
+                            pass
+                        if out_q is not None:
+                            out_q.put(None)
+                        return
+                    if out_q is not None:
+                        out_q.put(res)
+            t = threading.Thread(target=run, daemon=True, name=name)
+            t.start()
+            return t
 
-        import threading
-        worker = threading.Thread(target=emit_worker, daemon=True,
-                                  name="ngsld-emit")
-        worker.start()
+        stages = [_stage(emit_q, fmt_q, pull, "ngsld-pull"),
+                  _stage(fmt_q, write_q, fmt, "ngsld-fmt"),
+                  _stage(write_q, None, write, "ngsld-write")]
         with log.phase("compute: banded pair sweep"), GracefulStop(log) as gs:
             blocks_it = enumerate(_prefetch_blocks(
                 iter_pair_blocks(pars, maf, pos_dist, block_pairs=chunk)))
@@ -582,7 +609,8 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
                 log.count_time("sweep: dispatch", time.perf_counter() - t0)
                 emit_q.put((bi, blk, dev_out))
             emit_q.put(None)
-            worker.join()
+            for t in stages:
+                t.join()
             if emit_err:
                 raise emit_err[0]
 

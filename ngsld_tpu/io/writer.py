@@ -47,9 +47,16 @@ class RowWriter:
     def write_header(self):
         self._write_str(header_line(self.extend))
 
-    def write_block(self, s1, s2, dist, r2p, D, Dp, r2, *, n_used=None,
-                    maf1=None, maf2=None, hap=None, hmaf1=None, hmaf2=None,
-                    chi2=None, n_iter=None):
+    def write_block(self, s1, s2, dist, r2p, D, Dp, r2, **kw):
+        self._write_bytes(self.format_block(s1, s2, dist, r2p, D, Dp, r2,
+                                            **kw))
+
+    def format_block(self, s1, s2, dist, r2p, D, Dp, r2, *, n_used=None,
+                     maf1=None, maf2=None, hap=None, hmaf1=None, hmaf2=None,
+                     chi2=None, n_iter=None) -> bytes:
+        """Format a block of rows to bytes without touching the file handle
+        (lets the engine pipeline formatting and file IO on separate
+        threads)."""
         if self.native:
             from ..native import format_rows_native
             data = format_rows_native(
@@ -57,8 +64,7 @@ class RowWriter:
                 np.asarray(s2, np.int64), dist, r2p, D, Dp, r2, self.extend,
                 n_used, maf1, maf2, hap, hmaf1, hmaf2, chi2, n_iter)
             if data is not None:
-                self._write_bytes(data)
-                return
+                return data
         labels = self.labels
         rows = []
         for j in range(len(s1)):
@@ -75,4 +81,4 @@ class RowWriter:
                            int(n_iter[j])))
             rows.append(row)
         rows.append("")
-        self._write_str("\n".join(rows))
+        return "\n".join(rows).encode()

@@ -79,6 +79,16 @@ def get_lib():
         lib.ngsld_format_rows_mt.restype = i64
         lib.ngsld_format_rows_mt.argtypes = \
             lib.ngsld_format_rows.argtypes + [ctypes.c_int]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.ngsld_format_rows_mt32.restype = i64
+        lib.ngsld_format_rows_mt32.argtypes = [
+            i64, ctypes.c_char_p, ctypes.POINTER(i64), ctypes.POINTER(i64),
+            ctypes.POINTER(i64), ctypes.POINTER(ctypes.c_double),
+            f32p, f32p, f32p, f32p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            f32p, f32p, f32p, f32p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_char), i64, ctypes.c_int]
         lib.ngsld_fmt_batch.restype = None
         lib.ngsld_fmt_batch.argtypes = [
             ctypes.POINTER(ctypes.c_double), i64, ctypes.c_int,
@@ -262,6 +272,18 @@ def format_rows_native(labels_blob: bytes, label_off: np.ndarray,
     # The C path returns -1 on would-overflow and we double, so a tight
     # estimate only risks one retry, never corruption. A zero-fill +
     # double-copy ctypes buffer at 2 KB/row cost seconds per block.
+    def fp(a):
+        return np.ascontiguousarray(a, np.float32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float))
+
+    # float32 value columns skip a full-block float64 conversion pass:
+    # float->double is exact, so the C path's output bytes are identical
+    vals = [r2p, D, Dp, r2] + ([hap, hmaf1, hmaf2] if extend else [])
+    f32_vals = all(np.asarray(a).dtype == np.float32 for a in vals)
+    vp = fp if f32_vals else dp
+    fmt_fn = lib.ngsld_format_rows_mt32 if f32_vals \
+        else lib.ngsld_format_rows_mt
+
     max_lab = int(np.diff(np.r_[label_off, len(labels_blob)]).max()) \
         if len(label_off) else 16
     per_row = 2 * max_lab + (17 if extend else 5) * 24 + 32
@@ -272,14 +294,15 @@ def format_rows_native(labels_blob: bytes, label_off: np.ndarray,
         bufp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char))
         null_i32 = i32p(np.zeros(1))
         null_f = np.zeros(1, np.float32).ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        null_v = vp(np.zeros(1, np.float32 if f32_vals else np.float64))
         null_d = dp(np.zeros(1))
-        w = lib.ngsld_format_rows_mt(
-            n, labels_blob, ip(label_off), ip(s1), ip(s2), dp(dist), dp(r2p),
-            dp(D), dp(Dp), dp(r2), int(extend),
+        w = fmt_fn(
+            n, labels_blob, ip(label_off), ip(s1), ip(s2), dp(dist), vp(r2p),
+            vp(D), vp(Dp), vp(r2), int(extend),
             i32p(n_used) if extend else null_i32,
             dp(maf1) if extend else null_d, dp(maf2) if extend else null_d,
-            dp(hap.reshape(-1)) if extend else null_d,
-            dp(hmaf1) if extend else null_d, dp(hmaf2) if extend else null_d,
+            vp(hap.reshape(-1)) if extend else null_v,
+            vp(hmaf1) if extend else null_v, vp(hmaf2) if extend else null_v,
             np.ascontiguousarray(chi2, np.float32).ctypes.data_as(
                 ctypes.POINTER(ctypes.c_float)) if extend else null_f,
             i32p(n_iter) if extend else null_i32,

@@ -599,19 +599,24 @@ int64_t ngsld_format_rows(int64_t n_rows, const char* labels,
   return w;
 }
 
+}  // extern "C"
+
 // Multithreaded bulk formatter: same byte contract as ngsld_format_rows
 // (each row formatted independently; concatenation preserves order).
 // Threads format contiguous row ranges into private growable buffers,
 // then memcpy into `out`. Returns bytes written, or -1 if out_cap is too
-// small (caller grows and retries).
-int64_t ngsld_format_rows_mt(int64_t n_rows, const char* labels,
+// small (caller grows and retries). Templated on the per-pair value type:
+// the f32 engine hands its arrays straight through (float -> double is
+// exact, so output bytes are identical to converting host-side first).
+template <typename TF>
+static int64_t format_rows_mt_impl(int64_t n_rows, const char* labels,
                              const int64_t* label_off, const int64_t* s1,
                              const int64_t* s2, const double* dist,
-                             const double* r2p, const double* D,
-                             const double* Dp, const double* r2, int extend,
+                             const TF* r2p, const TF* D,
+                             const TF* Dp, const TF* r2, int extend,
                              const int32_t* n_used, const double* maf1,
-                             const double* maf2, const double* hap,
-                             const double* hmaf1, const double* hmaf2,
+                             const double* maf2, const TF* hap,
+                             const TF* hmaf1, const TF* hmaf2,
                              const float* chi2, const int32_t* n_iter,
                              char* out, int64_t out_cap, int n_threads) {
   if (n_threads < 1) n_threads = 1;
@@ -694,6 +699,41 @@ int64_t ngsld_format_rows_mt(int64_t n_rows, const char* labels,
   }
   for (auto& c : chunks) std::free(c.buf);
   return w;
+}
+
+extern "C" {
+
+int64_t ngsld_format_rows_mt(int64_t n_rows, const char* labels,
+                             const int64_t* label_off, const int64_t* s1,
+                             const int64_t* s2, const double* dist,
+                             const double* r2p, const double* D,
+                             const double* Dp, const double* r2, int extend,
+                             const int32_t* n_used, const double* maf1,
+                             const double* maf2, const double* hap,
+                             const double* hmaf1, const double* hmaf2,
+                             const float* chi2, const int32_t* n_iter,
+                             char* out, int64_t out_cap, int n_threads) {
+  return format_rows_mt_impl<double>(
+      n_rows, labels, label_off, s1, s2, dist, r2p, D, Dp, r2, extend,
+      n_used, maf1, maf2, hap, hmaf1, hmaf2, chi2, n_iter, out, out_cap,
+      n_threads);
+}
+
+// float32 value columns (dist/maf stay double); byte-identical output.
+int64_t ngsld_format_rows_mt32(int64_t n_rows, const char* labels,
+                               const int64_t* label_off, const int64_t* s1,
+                               const int64_t* s2, const double* dist,
+                               const float* r2p, const float* D,
+                               const float* Dp, const float* r2, int extend,
+                               const int32_t* n_used, const double* maf1,
+                               const double* maf2, const float* hap,
+                               const float* hmaf1, const float* hmaf2,
+                               const float* chi2, const int32_t* n_iter,
+                               char* out, int64_t out_cap, int n_threads) {
+  return format_rows_mt_impl<float>(
+      n_rows, labels, label_off, s1, s2, dist, r2p, D, Dp, r2, extend,
+      n_used, maf1, maf2, hap, hmaf1, hmaf2, chi2, n_iter, out, out_cap,
+      n_threads);
 }
 
 }  // extern "C"

@@ -126,3 +126,34 @@ def test_fmt_f6_fuzz_matches_glibc():
                 got = buf.raw[64 * i:64 * (i + 1)].split(b"\0", 1)[0].decode()
                 want = (strict.fmt_f0 if zero_dec else strict.fmt_f)(arr[i])
                 assert got == want, f"v={arr[i]!r}: {got} != {want}"
+
+
+def test_formatter_f32_entry_matches_f64():
+    """The float32 formatter entry point must produce identical bytes to
+    converting host-side first (float->double is exact)."""
+    from ngsld_tpu.native import format_rows_native, get_lib, make_labels_blob
+    if get_lib() is None:
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(5)
+    n = 4000
+    labels = [f"chr{i}:{i * 13 + 1}" for i in range(500)]
+    blob, off = make_labels_blob(labels)
+    s1 = rng.integers(0, 499, n)
+    s2 = rng.integers(0, 499, n)
+    dist = rng.integers(1, 10**7, n).astype(np.float64)
+    v32 = [rng.uniform(-1, 1, n).astype(np.float32) for _ in range(4)]
+    hap = rng.uniform(0, 1, (n, 4)).astype(np.float32)
+    hm1 = rng.uniform(0, 0.5, n).astype(np.float32)
+    hm2 = rng.uniform(0, 0.5, n).astype(np.float32)
+    chi2 = rng.uniform(0, 50, n).astype(np.float32)
+    ni = rng.integers(1, 100, n).astype(np.int32)
+    nu = np.full(n, 100, np.int32)
+    maf1 = rng.uniform(0, 0.5, n)
+    maf2 = rng.uniform(0, 0.5, n)
+    a = format_rows_native(blob, off, s1, s2, dist, *v32, True, nu,
+                           maf1, maf2, hap, hm1, hm2, chi2, ni)
+    b = format_rows_native(blob, off, s1, s2, dist,
+                           *[np.float64(v) for v in v32], True, nu,
+                           maf1, maf2, np.float64(hap), np.float64(hm1),
+                           np.float64(hm2), chi2, ni)
+    assert a == b
