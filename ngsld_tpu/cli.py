@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard", type=int, default=1, metavar="N",
                    help="split each pair block across N local devices "
                         "(0 = all; 1 = single-device) [1]")
+    p.add_argument("--ring", action="store_true",
+                   help="site-sharded ring sweep over the --shard mesh: the "
+                        "GL table stays sharded by site block and partner "
+                        "blocks ride the ring (for tables too large to "
+                        "replicate per device); no --rnd_sample/--checkpoint")
     return p
 
 
@@ -71,6 +76,7 @@ def params_from_args(argv) -> Params:
         out=args.out, n_threads=args.n_threads, verbose=args.verbose,
         engine=args.engine, precision=args.precision, chunk_pairs=args.chunk_pairs,
         profile=args.profile, checkpoint=args.checkpoint, shard=args.shard,
+        ring=args.ring,
     )
     if args.in_pos_header_file:
         pars.in_pos = args.in_pos_header_file

@@ -46,6 +46,8 @@ class Params:
     profile: str = None           # JAX profiler trace dir
     checkpoint: str = None        # per-block shard dir (resume support)
     shard: int = 1                # devices for the pair sweep (0 = all local)
+    ring: bool = False            # site-sharded ring sweep (GL table too
+    # large to replicate per device; SURVEY.md §7 "Memory at 5M×500")
 
     # derived
     in_bin: bool = field(default=False, init=False)
@@ -78,6 +80,15 @@ class Params:
             raise ConfigError("can only call genotypes from likelihoods/probabilities!")
         if self.rnd_sample <= 0 or self.rnd_sample > 1:
             raise ConfigError("proportion of comparisons to sample must be in ]0,1]!")
+        if self.ring:
+            if self.rnd_sample < 1.0:
+                raise ConfigError("--ring does not support --rnd_sample "
+                                  "(per-pair draws are host-planned; the ring "
+                                  "path masks on device)")
+            if self.checkpoint:
+                raise ConfigError("--ring does not support --checkpoint")
+            if self.engine == "strict":
+                raise ConfigError("--ring requires the jax engine")
 
         if not os.path.exists(self.in_geno):
             # mirror of the stat() check (ngsLD.cpp:42-43)

@@ -387,11 +387,146 @@ def run_jax(pars: Params, out_fh=None) -> None:
     from .utils.keepalive import DeviceKeepalive
     try:
         with DeviceKeepalive() as ka:
-            _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
-                          touch=ka.touch)
+            if getattr(pars, "ring", False):
+                _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
+                              touch=ka.touch)
+            else:
+                _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
+                              touch=ka.touch)
     finally:
         if close:
             out_fh.close()
+
+
+def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
+                  touch=lambda: None):
+    """Site-sharded ring sweep driver (--ring).
+
+    The replicated-table engine (_run_jax_body) assumes the GL/E[G] tables
+    fit on every device; at reference scale they don't (5M sites x 500 ind
+    ~ 30 GB fp32, SURVEY.md §7). Here the preprocessed tables are sharded
+    over a 1-D 'sites' mesh — one contiguous block per device — and
+    partner blocks ride the ring via ppermute (parallel.ring). One ring
+    step's (S, B) stat tile is pulled, masked (band, triangle, MAF, real
+    sites), and buffered at a time, so device memory stays O(S*B/n_dev per
+    device); rows are then emitted in (s1, s2) order.
+
+    On a multi-host pod every host runs the same program; collectives ride
+    ICI/DCN and each host emits the rows of its resident blocks."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as PS
+
+    from .io.writer import RowWriter
+    from .parallel.ring import ring_sweep_stepper, steps_for_band
+    from .plan.band import band_limits, contig_positions
+
+    n_dev = pars.shard or len(jax.devices())
+    if n_dev > len(jax.devices()):
+        raise strict.StrictError(
+            "shard", f"--shard {n_dev} > {len(jax.devices())} devices")
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("sites",))
+
+    try:
+        with log.phase("Reading data from file"):
+            geno_log = strict.read_geno(pars.in_geno, pars.in_bin,
+                                        pars.in_probs, pars.in_logscale,
+                                        pars.n_ind, pars.n_sites)
+        with log.phase("Getting sites coordinates"):
+            if pars.in_pos:
+                pos_dist, labels = strict.read_pos(
+                    pars.in_pos, pars.in_pos_header, pars.n_sites)
+            else:
+                pos_dist = np.full(pars.n_sites, math.inf)
+                labels = ["(null)"] * pars.n_sites
+
+        n = pars.n_sites
+        B = -(-n // n_dev)
+        Sp = B * n_dev
+        from .ops.preprocess import preprocess
+        with log.phase("Preprocessing (site-sharded) on device"):
+            np_dt = np.float64 if prec == "f64" else np.float32
+            glp = np.full((Sp, pars.n_ind, 3), np.log(1.0 / 3.0), np_dt)
+            glp[:n] = np.asarray(geno_log, np_dt)
+            del geno_log
+            shd = NamedSharding(mesh, PS("sites", None, None))
+            gl_d = jax.device_put(glp, shd)
+            touch()
+            del glp
+            pre = jax.jit(functools.partial(
+                preprocess, call=pars.call_geno, N_thresh=pars.N_thresh,
+                call_thresh=pars.call_thresh,
+                ignore_miss_data=pars.ignore_miss_data))
+            gn_d, maf_d, eg_d = pre(gl_d)
+            maf = np.asarray(maf_d, np.float64)[:n]
+            touch()
+
+        hi = band_limits(pos_dist, pars.max_kb_dist, pars.max_snp_dist)
+        contig, pos = contig_positions(pos_dist)
+        ok = ~(maf < pars.min_maf)            # NaN passes, ngsLD.cpp:264/270
+        n_steps = min(steps_for_band(hi, B), n_dev)
+        log.log(2, f"==> ring: {n_dev} blocks of {B} sites, "
+                   f"{n_steps} ring steps")
+
+        stepper = ring_sweep_stepper(mesh, pars.ignore_miss_data,
+                                     pars.extend_out)
+        writer = RowWriter(out_fh, labels, pars.extend_out)
+        writer.write_header()
+
+        steps_host = []
+        with log.phase("compute: ring sweep"):
+            vis = (gn_d, eg_d, maf_d)
+            for t in range(n_steps):
+                stats, vg, ve, vm = stepper(gn_d, eg_d, maf_d, *vis)
+                vis = (vg, ve, vm)
+                steps_host.append({k: np.asarray(v) for k, v in
+                                   stats.items()})
+                touch()
+                log.count("ring_steps")
+
+        with log.phase("emit: mask + order + format"):
+            a_all = np.arange(Sp, dtype=np.int64)
+            for i in range(n_dev):
+                blk_a = a_all[i * B:(i + 1) * B]
+                # partner global index per (step, offset); ascending steps
+                # give ascending partner blocks until the wrap, and wrapped
+                # partners fall in the masked lower triangle
+                pj = np.stack([(((i + t) % n_dev) * B +
+                                np.arange(B, dtype=np.int64))
+                               for t in range(n_steps)], axis=0)  # (T, B)
+                A = blk_a[:, None, None]                          # (B,1,1)
+                PJ = np.broadcast_to(pj[None], (B, n_steps, B))
+                valid = (PJ > A) & (PJ < n) & (A < n)
+                valid &= ok[np.minimum(A, n - 1)] & ok[np.minimum(PJ, n - 1)]
+                # band: pairs (a, s2) with s2 < hi[a]
+                valid &= PJ < hi[np.minimum(A, n - 1)]
+                if not valid.any():
+                    continue
+                af, pf = (np.broadcast_to(A, valid.shape)[valid],
+                          PJ[valid])
+                dist = np.where(contig[af] == contig[pf],
+                                pos[pf] - pos[af], np.inf)
+
+                def col(k):
+                    v = np.stack([steps_host[t][k][i * B:(i + 1) * B]
+                                  for t in range(n_steps)], axis=1)
+                    return v[valid]
+
+                f = np.stack([steps_host[t]["f"][i * B:(i + 1) * B]
+                              for t in range(n_steps)], axis=1)[valid]
+                writer.write_block(
+                    af, pf, dist, col("r2p"), col("D"), col("Dp"),
+                    col("r2"), n_used=col("n_used").astype(np.int32),
+                    maf1=maf[af], maf2=maf[pf], hap=f,
+                    hmaf1=col("hmaf1"), hmaf2=col("hmaf2"),
+                    chi2=col("chi2").astype(np.float32),
+                    n_iter=col("n_iter").astype(np.int32))
+                log.count("pairs_emitted", int(valid.sum()))
+        log.summary()
+    finally:
+        if profile_dir:
+            jax.profiler.stop_trace()
 
 
 def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,

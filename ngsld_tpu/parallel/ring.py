@@ -41,28 +41,12 @@ from ..ops.em import pair_em
 from ..ops.stats import chi2_stat, ld_stats, pearson_r2
 
 
-def ring_sweep(mesh, n_steps: int, ignore_miss_data: bool = False,
-               extend_out: bool = True, row_chunk: int = 0):
-    """Build the jitted ring sweep over mesh axis 'sites'.
-
-    Returns fn(gn, eg, maf) where gn (S, I, 3), eg (S, I), maf (S,) are
-    sharded over 'sites' into n_devices blocks of B = S / n_devices rows.
-
-    Output: a dict of arrays of shape (n_steps, S, B) (hap 'f' adds a
-    trailing 4): entry [t, a, o] is the statistic for the pair
-    (site a, site partner_index(t, a, o)); see `partner_index`. Pairs where
-    partner <= a at t == 0 duplicate the symmetric triangle; callers mask
-    them along with out-of-band pairs.
-
-    row_chunk > 0 bounds peak memory: each anchor-row strip of the (B x B)
-    tile is computed in sequence via lax.map instead of one flat batch.
-    """
-    n_dev = mesh.shape["sites"]
-    perm = [(k, (k - 1) % n_dev) for k in range(n_dev)]  # j-blocks ride up
+def _tile_stats_fn(ignore_miss_data: bool, extend_out: bool, row_chunk: int):
+    """All B_a x B_b pair statistics between an anchor and a partner block
+    (shared by the all-steps ring_sweep and the one-step stepper)."""
 
     def tile_stats(gn_a, eg_a, maf_a, gn_b, eg_b, maf_b):
-        """All B_a x B_b pairs between an anchor and a partner block."""
-        Ba, Bb = gn_a.shape[0], gn_b.shape[0]
+        Ba = gn_a.shape[0]
 
         def strip(args):
             g1, e1, m1 = args           # one anchor site
@@ -83,6 +67,65 @@ def ring_sweep(mesh, n_steps: int, ignore_miss_data: bool = False,
         if row_chunk and row_chunk < Ba:
             return jax.lax.map(strip, xs, batch_size=row_chunk)
         return jax.lax.map(strip, xs)
+
+    return tile_stats
+
+
+_STAT_KEYS = ("r2p", "f", "n_iter", "n_used", "hmaf1", "hmaf2",
+              "D", "Dp", "r2", "chi2")
+
+
+def ring_sweep_stepper(mesh, ignore_miss_data: bool = False,
+                       extend_out: bool = True, row_chunk: int = 0):
+    """One-ring-step variant of ring_sweep for streaming drivers: the
+    visiting block triple is carried explicitly, so the host can pull and
+    emit each step's (S, B) stat tile before computing the next — peak
+    memory is O(S*B), not O(n_steps*S*B).
+
+    Returns fn(gn, eg, maf, vgn, veg, vmaf) -> (stats_dict, vgn', veg',
+    vmaf') where the primed arrays are the visiting blocks advanced one
+    ring position (initialize the triple with the resident arrays)."""
+    n_dev = mesh.shape["sites"]
+    perm = [(k, (k - 1) % n_dev) for k in range(n_dev)]
+    tile_stats = _tile_stats_fn(ignore_miss_data, extend_out, row_chunk)
+
+    def local(gn, eg, maf, vgn, veg, vmaf):
+        out = tile_stats(gn, eg, maf, vgn, veg, vmaf)
+        nxt = tuple(jax.lax.ppermute(v, "sites", perm)
+                    for v in (vgn, veg, vmaf))
+        return out, *nxt
+
+    spec3 = P("sites", None, None)
+    out_stats = {k: (P("sites", None, None) if k == "f"
+                     else P("sites", None)) for k in _STAT_KEYS}
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec3, P("sites", None), P("sites"),
+                  spec3, P("sites", None), P("sites")),
+        out_specs=(out_stats, spec3, P("sites", None), P("sites")),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def ring_sweep(mesh, n_steps: int, ignore_miss_data: bool = False,
+               extend_out: bool = True, row_chunk: int = 0):
+    """Build the jitted ring sweep over mesh axis 'sites'.
+
+    Returns fn(gn, eg, maf) where gn (S, I, 3), eg (S, I), maf (S,) are
+    sharded over 'sites' into n_devices blocks of B = S / n_devices rows.
+
+    Output: a dict of arrays of shape (n_steps, S, B) (hap 'f' adds a
+    trailing 4): entry [t, a, o] is the statistic for the pair
+    (site a, site partner_index(t, a, o)); see `partner_index`. Pairs where
+    partner <= a at t == 0 duplicate the symmetric triangle; callers mask
+    them along with out-of-band pairs.
+
+    row_chunk > 0 bounds peak memory: each anchor-row strip of the (B x B)
+    tile is computed in sequence via lax.map instead of one flat batch.
+    """
+    n_dev = mesh.shape["sites"]
+    perm = [(k, (k - 1) % n_dev) for k in range(n_dev)]  # j-blocks ride up
+    tile_stats = _tile_stats_fn(ignore_miss_data, extend_out, row_chunk)
 
     def local(gn, eg, maf):
         # resident anchor block stays; partner copies ride the ring

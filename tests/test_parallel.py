@@ -136,3 +136,70 @@ def test_ring_sweep_matches_pairwise():
     from ngsld_tpu.plan.band import band_limits
     hi = np.minimum(np.arange(S) + 9, S)  # max_snp_dist=8-ish band
     assert steps_for_band(hi, B) <= 1 + (8 // B) + 1
+
+
+def test_ring_cli_matches_strict(tmp_path):
+    """--ring end-to-end: the site-sharded ring engine must produce the same
+    pair set as the strict oracle, values to f64 EM tolerance, rows in
+    (s1, s2) order."""
+    from ngsld_tpu import strict
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    sim = simulate(n_ind=10, n_sites=120, seed=77, contig_kb=3.0)
+    files = write_all(sim, str(tmp_path / "fix"))
+
+    def argv(extra):
+        return (["--geno", files["beagle"], "--probs", "--n_ind", "10",
+                 "--n_sites", "120", "--pos", files["pos"], "--extend_out",
+                 "--verbose", "0"] + extra)
+
+    s_out = tmp_path / "s.ld"
+    strict.run(params_from_args(argv(["--max_kb_dist", "2", "--engine",
+                                      "strict", "--out", str(s_out)])))
+    r_out = tmp_path / "r.ld"
+    run_jax(params_from_args(argv(["--max_kb_dist", "2", "--ring", "--shard",
+                                   "0", "--out", str(r_out)])))
+
+    s_rows = s_out.read_text().splitlines()
+    r_rows = r_out.read_text().splitlines()
+    assert s_rows[0] == r_rows[0]
+    assert len(s_rows) == len(r_rows) and len(s_rows) > 40
+    for sr, rr in zip(s_rows[1:], r_rows[1:]):
+        sf, rf = sr.split("\t"), rr.split("\t")
+        assert sf[:2] == rf[:2], f"pair mismatch: {sf[:2]} vs {rf[:2]}"
+        for c in range(2, len(sf)):
+            a, b = float(sf[c]), float(rf[c])
+            if not (np.isfinite(a) and np.isfinite(b)):
+                # degenerate 0/0 forms (zero expected hap freqs) are
+                # garbage in both engines; test_engine.compare exempts
+                # them the same way
+                continue
+            assert abs(a - b) <= 5e-5, f"col {c}: {sr}\n{rr}"
+
+
+def test_ring_cli_all_pairs(tmp_path):
+    """--ring with both distance filters off: full cross-contig all-pairs
+    (the 5M x 500 multi-host config's shape), inf distances included."""
+    from ngsld_tpu import strict
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    sim = simulate(n_ind=6, n_sites=48, seed=3, contig_kb=2.0)
+    files = write_all(sim, str(tmp_path / "fix"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "6",
+            "--n_sites", "48", "--pos", files["pos"], "--max_kb_dist", "0",
+            "--min_maf", "0.05", "--verbose", "0"]
+    s_out, r_out = tmp_path / "s.ld", tmp_path / "r.ld"
+    strict.run(params_from_args(argv + ["--engine", "strict",
+                                        "--out", str(s_out)]))
+    run_jax(params_from_args(argv + ["--ring", "--shard", "0",
+                                     "--out", str(r_out)]))
+    s_rows = s_out.read_text().splitlines()
+    r_rows = r_out.read_text().splitlines()
+    assert len(s_rows) == len(r_rows)
+    assert [r.split("\t")[:2] for r in s_rows] == \
+           [r.split("\t")[:2] for r in r_rows]
+    assert any("\tinf\t" in r for r in r_rows)  # cross-contig pairs present
