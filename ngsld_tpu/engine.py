@@ -85,9 +85,10 @@ def _compute_block_fn(ignore_miss_data: bool, use_pallas: bool,
         fmat = jnp.concatenate([r2p[:, None].astype(f.dtype), f],
                                axis=1)  # (P, 5)
         # nIter <= 100 and n_used <= n_ind: int16 halves the metadata bytes
-        # on the host link
-        imat = jnp.stack([n_iter.astype(jnp.int16),
-                          n_used.astype(jnp.int16)], axis=1)  # (P, 2)
+        # on the host link (int32 when the cohort could overflow it)
+        idt = jnp.int16 if gn.shape[1] <= 32767 else jnp.int32
+        imat = jnp.stack([n_iter.astype(idt),
+                          n_used.astype(idt)], axis=1)  # (P, 2)
         return fmat, imat
 
     if n_shards > 1:
@@ -131,12 +132,14 @@ class _StreamedGLLoader:
             return False
         return size == pars.n_sites * pars.n_ind * 3 * 8
 
-    def __init__(self, pars, np_dtype, touch=lambda: None):
+    def __init__(self, pars, np_dtype, touch=lambda: None, hold=None):
         import queue
         import threading
         self._pars = pars
         self._dt = np_dtype
         self._touch = touch
+        import contextlib
+        self._hold = hold or contextlib.nullcontext
         self._q = queue.Queue(maxsize=2)
         self._slabs = []
         self._err = []
@@ -178,7 +181,8 @@ class _StreamedGLLoader:
                 a = self._q.get()
                 if a is None:
                     return
-                self._slabs.append(jax.device_put(a))
+                with self._hold():
+                    self._slabs.append(jax.device_put(a))
                 self._touch()
         except BaseException as e:
             self._err.append(e)
@@ -277,10 +281,11 @@ def _chi2_host(f):
     return chi2
 
 
-def _unpack(fmat, imat):
+def _unpack(fmat, imat, extend_out=True):
     r2p, f = fmat[:, 0], fmat[:, 1:5]
     hmaf0, hmaf1, D, Dp, r2 = _stats_host(f)
-    chi2 = _chi2_host(f)
+    chi2 = _chi2_host(f) if extend_out \
+        else np.zeros(len(f), np.float32)  # column not printed
     return (r2p, f, imat[:, 0], imat[:, 1], hmaf0, hmaf1, D, Dp, r2, chi2)
 
 
@@ -389,17 +394,19 @@ def run_jax(pars: Params, out_fh=None) -> None:
         with DeviceKeepalive() as ka:
             if getattr(pars, "ring", False):
                 _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
-                              touch=ka.touch)
+                              touch=ka.touch, hold=ka.hold)
             else:
                 _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
-                              touch=ka.touch)
+                              touch=ka.touch, hold=ka.hold)
     finally:
         if close:
             out_fh.close()
 
 
 def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
-                  touch=lambda: None):
+                  touch=lambda: None, hold=None):
+    import contextlib
+    hold = hold or contextlib.nullcontext
     """Site-sharded ring sweep driver (--ring).
 
     The replicated-table engine (_run_jax_body) assumes the GL/E[G] tables
@@ -451,15 +458,17 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
             glp[:n] = np.asarray(geno_log, np_dt)
             del geno_log
             shd = NamedSharding(mesh, PS("sites", None, None))
-            gl_d = jax.device_put(glp, shd)
+            with hold():
+                gl_d = jax.device_put(glp, shd)
             touch()
             del glp
             pre = jax.jit(functools.partial(
                 preprocess, call=pars.call_geno, N_thresh=pars.N_thresh,
                 call_thresh=pars.call_thresh,
                 ignore_miss_data=pars.ignore_miss_data))
-            gn_d, maf_d, eg_d = pre(gl_d)
-            maf = np.asarray(maf_d, np.float64)[:n]
+            with hold():
+                gn_d, maf_d, eg_d = pre(gl_d)
+                maf = np.asarray(maf_d, np.float64)[:n]
             touch()
 
         hi = band_limits(pos_dist, pars.max_kb_dist, pars.max_snp_dist)
@@ -478,10 +487,11 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         with log.phase("compute: ring sweep"):
             vis = (gn_d, eg_d, maf_d)
             for t in range(n_steps):
-                stats, vg, ve, vm = stepper(gn_d, eg_d, maf_d, *vis)
-                vis = (vg, ve, vm)
-                steps_host.append({k: np.asarray(v) for k, v in
-                                   stats.items()})
+                with hold():
+                    stats, vg, ve, vm = stepper(gn_d, eg_d, maf_d, *vis)
+                    vis = (vg, ve, vm)
+                    steps_host.append({k: np.asarray(v) for k, v in
+                                       stats.items()})
                 touch()
                 log.count("ring_steps")
 
@@ -530,7 +540,9 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
 
 
 def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
-                  touch=lambda: None):
+                  touch=lambda: None, hold=None):
+    import contextlib
+    hold = hold or contextlib.nullcontext
     import jax
     import jax.numpy as jnp
     from .ops.preprocess import preprocess
@@ -542,7 +554,7 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
             # the positions parse below runs; normalize on device
             loader = _StreamedGLLoader(
                 pars, np.float64 if dt == jnp.float64 else np.float32,
-                touch=touch)
+                touch=touch, hold=hold)
         else:
             with log.phase("Reading data from file"):
                 geno_log = strict.read_geno(pars.in_geno, pars.in_bin,
@@ -566,7 +578,7 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
                 ignore_miss_data=pars.ignore_miss_data,
                 raw=loader is not None, in_log=pars.in_logscale))
             if loader is not None:
-                with log.phase("  gl stream+upload", level=2):
+                with log.phase("  gl stream+upload", level=2), hold():
                     gl_d = loader.join()
             else:
                 # narrow on host first: GLs cross the host->device link
@@ -574,7 +586,7 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
                 host_gl = np.asarray(geno_log, np.float64 if dt == jnp.float64
                                      else np.float32)
                 del geno_log
-                with log.phase("  gl upload", level=2):
+                with log.phase("  gl upload", level=2), hold():
                     gl_d = jnp.asarray(host_gl)
                     gl_d.block_until_ready()
                     touch()
@@ -584,7 +596,7 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
                 touch()
             # only MAF returns to the host (the plan needs it); GL/E[G]
             # tables stay device-resident for the sweep
-            with log.phase("  maf to host", level=2):
+            with log.phase("  maf to host", level=2), hold():
                 maf = np.asarray(maf_d, np.float64)
                 touch()
         if pars.verbose >= 7:
@@ -627,7 +639,8 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
             """Stage 1 (tunnel IO): device results -> host numpy."""
             P = len(blk.s1)
             t0 = time.perf_counter()
-            fm, im = np.asarray(dev_out[0])[:P], np.asarray(dev_out[1])[:P]
+            with hold():
+                fm, im = np.asarray(dev_out[0])[:P], np.asarray(dev_out[1])[:P]
             touch()
             log.count_time("sweep: result pull", time.perf_counter() - t0)
             return bi, blk, fm, im
@@ -636,7 +649,7 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
             """Stage 2 (CPU): derive stats, format rows to bytes."""
             t0 = time.perf_counter()
             r2p, f, n_iter, n_used, hmaf0, hmaf1, D, Dp, r2, chi2 = _unpack(
-                fm, im)
+                fm, im, pars.extend_out)
             n_iter = n_iter.astype(np.int32)
             n_used = n_used.astype(np.int32)
             log.count("em_iterations", int(n_iter.astype(np.int64).sum()))
@@ -708,44 +721,52 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
         with log.phase("compute: banded pair sweep"), GracefulStop(log) as gs:
             blocks_it = enumerate(_prefetch_blocks(
                 iter_pair_blocks(pars, maf, pos_dist, block_pairs=chunk)))
-            while True:
-                t_top = time.perf_counter()
-                try:
-                    bi, blk = next(blocks_it)
-                except StopIteration:
-                    break
-                log.count_time("sweep: plan wait", time.perf_counter() - t_top)
-                n_blocks = bi + 1
-                if gs.stopped or emit_err:
-                    interrupted = not emit_err
-                    break
-                if ckpt is not None and ckpt.done(bi):
-                    log.count("blocks_resumed")
-                    continue
-                P = len(blk.s1)
-                log.count("pairs_emitted", P)
-                log.count("blocks_computed")
-                if pars.verbose >= 3:
-                    log.log(3, f"> Block {bi}: anchors "
-                               f"{blk.s1[0]}..{blk.s1[-1]}, {P} pairs")
-                # pad to a multiple of 16K*n_shards (tail blocks and
-                # sampling variance then hit a few compiled shapes, and
-                # padding stays <= 12% instead of up to 2x with pow2)
-                quantum = 16384 * n_shards
-                pad = -P % quantum
-                s1 = np.concatenate([blk.s1, np.zeros(pad, np.int64)])
-                s2 = np.concatenate([blk.s2, np.ones(pad, np.int64)
-                                     * min(1, pars.n_sites - 1)])
-                t0 = time.perf_counter()
-                dev_out = compute(gn_d, eg_d, maf_d,
-                                  jnp.asarray(s1, jnp.int32),
-                                  jnp.asarray(s2, jnp.int32))  # async dispatch
-                touch()
-                log.count_time("sweep: dispatch", time.perf_counter() - t0)
-                emit_q.put((bi, blk, dev_out))
-            emit_q.put(None)
-            for t in stages:
-                t.join()
+            try:
+                while True:
+                    t_top = time.perf_counter()
+                    try:
+                        bi, blk = next(blocks_it)
+                    except StopIteration:
+                        break
+                    log.count_time("sweep: plan wait",
+                                   time.perf_counter() - t_top)
+                    n_blocks = bi + 1
+                    if gs.stopped or emit_err:
+                        interrupted = not emit_err
+                        break
+                    if ckpt is not None and ckpt.done(bi):
+                        log.count("blocks_resumed")
+                        continue
+                    P = len(blk.s1)
+                    log.count("pairs_emitted", P)
+                    log.count("blocks_computed")
+                    if pars.verbose >= 3:
+                        log.log(3, f"> Block {bi}: anchors "
+                                   f"{blk.s1[0]}..{blk.s1[-1]}, {P} pairs")
+                    # pad to a multiple of 16K*n_shards (tail blocks and
+                    # sampling variance then hit a few compiled shapes, and
+                    # padding stays <= 12% instead of up to 2x with pow2)
+                    quantum = 16384 * n_shards
+                    pad = -P % quantum
+                    s1 = np.concatenate([blk.s1, np.zeros(pad, np.int64)])
+                    s2 = np.concatenate([blk.s2, np.ones(pad, np.int64)
+                                         * min(1, pars.n_sites - 1)])
+                    t0 = time.perf_counter()
+                    with hold():
+                        dev_out = compute(gn_d, eg_d, maf_d,
+                                          jnp.asarray(s1, jnp.int32),
+                                          jnp.asarray(s2, jnp.int32))  # async
+                    touch()
+                    log.count_time("sweep: dispatch",
+                                   time.perf_counter() - t0)
+                    emit_q.put((bi, blk, dev_out))
+            finally:
+                # always shut the pipeline down, even when the loop raises
+                # (device OOM, plan error): daemon stages blocked on get()
+                # would otherwise pin queued device buffers forever
+                emit_q.put(None)
+                for t in stages:
+                    t.join()
             if emit_err:
                 raise emit_err[0]
 

@@ -65,8 +65,8 @@ def get_lib():
             ctypes.c_char_p, i64, i64, ctypes.POINTER(ctypes.c_double),
             ctypes.c_char_p, i64, ctypes.POINTER(i64), ctypes.POINTER(i64),
             ctypes.c_char_p, ctypes.c_long]
-        lib.ngsld_format_rows.restype = i64
-        lib.ngsld_format_rows.argtypes = [
+        lib.ngsld_format_rows_mt.restype = i64
+        lib.ngsld_format_rows_mt.argtypes = [
             i64, ctypes.c_char_p, ctypes.POINTER(i64), ctypes.POINTER(i64),
             ctypes.POINTER(i64), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
@@ -75,10 +75,8 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_char), i64]
-        lib.ngsld_format_rows_mt.restype = i64
-        lib.ngsld_format_rows_mt.argtypes = \
-            lib.ngsld_format_rows.argtypes + [ctypes.c_int]
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_char),
+            i64, ctypes.c_int]
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.ngsld_format_rows_mt32.restype = i64
         lib.ngsld_format_rows_mt32.argtypes = [
@@ -309,6 +307,8 @@ def format_rows_native(labels_blob: bytes, label_off: np.ndarray,
             bufp, cap, n_threads)
         if w >= 0:
             return buf[:w].tobytes()
+        if w == -2:
+            raise MemoryError("native row formatter: allocation failed")
         cap *= 2
 
 

@@ -558,47 +558,6 @@ done:
   return rc;
 }
 
-// Bulk TSV row formatter: the printf contract of ngsLD.cpp:314-351.
-//   labels: concatenated NUL-terminated label strings; label_off[i] offsets
-//   s1/s2: per-row indices into labels
-//   cols: dist, r2p, D, Dp, r2 always; extended adds n_used(maf..chi2 etc.)
-// Writes at most out_cap bytes into out; returns bytes written, or -1 if
-// the buffer is too small (caller grows and retries).
-int64_t ngsld_format_rows(int64_t n_rows, const char* labels,
-                          const int64_t* label_off, const int64_t* s1,
-                          const int64_t* s2, const double* dist,
-                          const double* r2p, const double* D,
-                          const double* Dp, const double* r2, int extend,
-                          const int32_t* n_used, const double* maf1,
-                          const double* maf2, const double* hap,  // 4*n
-                          const double* hmaf1, const double* hmaf2,
-                          const float* chi2, const int32_t* n_iter,
-                          char* out, int64_t out_cap) {
-  int64_t w = 0;
-  for (int64_t j = 0; j < n_rows; j++) {
-    if (out_cap - w < 1024) return -1;
-    int n = std::snprintf(out + w, (size_t)(out_cap - w),
-                          "%s\t%s\t%.0f\t%f\t%f\t%f\t%f",
-                          labels + label_off[s1[j]], labels + label_off[s2[j]],
-                          dist[j], r2p[j], D[j], Dp[j], r2[j]);
-    if (n < 0 || n >= out_cap - w) return -1;
-    w += n;
-    if (extend) {
-      n = std::snprintf(out + w, (size_t)(out_cap - w),
-                        "\t%lld\t%f\t%f\t%f\t%f\t%f\t%f\t%f\t%f\t%f\t%f\t%lld",
-                        (long long)n_used[j], maf1[j], maf2[j], hap[4 * j],
-                        hap[4 * j + 1], hap[4 * j + 2], hap[4 * j + 3],
-                        hmaf1[j], hmaf2[j], (double)chi2[j], 0.0,
-                        (long long)n_iter[j]);
-      if (n < 0 || n >= out_cap - w) return -1;
-      w += n;
-    }
-    if (out_cap - w < 2) return -1;
-    out[w++] = '\n';
-  }
-  return w;
-}
-
 }  // extern "C"
 
 // Multithreaded bulk formatter: same byte contract as ngsld_format_rows
@@ -625,6 +584,7 @@ static int64_t format_rows_mt_impl(int64_t n_rows, const char* labels,
     char* buf = nullptr;
     int64_t len = 0;
     int64_t cap = 0;
+    bool oom = false;
   };
   std::vector<Chunk> chunks((size_t)n_threads);
   auto work = [&](int t) {
@@ -633,13 +593,22 @@ static int64_t format_rows_mt_impl(int64_t n_rows, const char* labels,
     Chunk& c = chunks[(size_t)t];
     c.cap = (hi - lo) * 96 + 4096;
     c.buf = (char*)std::malloc((size_t)c.cap);
+    if (!c.buf) {
+      c.oom = true;
+      return;
+    }
     for (int64_t j = lo; j < hi; j++) {
       const char* l1 = labels + label_off[s1[j]];
       const char* l2 = labels + label_off[s2[j]];
       size_t n1 = std::strlen(l1), n2 = std::strlen(l2);
       if ((size_t)(c.cap - c.len) < n1 + n2 + 1024) {
         c.cap = c.cap * 2 + (int64_t)(n1 + n2) + 4096;
-        c.buf = (char*)std::realloc(c.buf, (size_t)c.cap);
+        char* nb = (char*)std::realloc(c.buf, (size_t)c.cap);
+        if (!nb) {
+          c.oom = true;
+          return;
+        }
+        c.buf = nb;
       }
       char* p = c.buf + c.len;
       std::memcpy(p, l1, n1);
@@ -687,6 +656,12 @@ static int64_t format_rows_mt_impl(int64_t n_rows, const char* labels,
   for (int t = 1; t < n_threads; t++) ths.emplace_back(work, t);
   work(0);
   for (auto& th : ths) th.join();
+  bool oom = false;
+  for (auto& c : chunks) oom |= c.oom;
+  if (oom) {  // -2: allocation failure (caller raises MemoryError)
+    for (auto& c : chunks) std::free(c.buf);
+    return -2;
+  }
   int64_t total = 0;
   for (auto& c : chunks) total += c.len;
   int64_t w = -1;

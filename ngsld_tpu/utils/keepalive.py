@@ -29,10 +29,33 @@ class DeviceKeepalive:
         self._stop = threading.Event()
         self._thread = None
         self._last = time.monotonic()
+        self._held = 0
+        self._lock = threading.Lock()
 
     def touch(self):
         """Record device activity; suppresses pings for `interval` seconds."""
         self._last = time.monotonic()
+
+    def hold(self):
+        """Context manager marking a device op IN FLIGHT: pings are fully
+        suppressed until it exits (touch() only covers the `interval` after
+        an op completes — a single transfer/compute longer than that would
+        otherwise get pinged mid-flight and serialize behind the sync)."""
+        ka = self
+
+        class _Hold:
+            def __enter__(self):
+                with ka._lock:
+                    ka._held += 1
+                return self
+
+            def __exit__(self, *exc):
+                with ka._lock:
+                    ka._held -= 1
+                ka.touch()
+                return False
+
+        return _Hold()
 
     def __enter__(self):
         if os.environ.get("NGSLD_DEVICE_KEEPALIVE", "1") != "1":
@@ -47,7 +70,8 @@ class DeviceKeepalive:
 
         def ping():
             while not self._stop.wait(min(self.interval / 4, 1.25)):
-                if time.monotonic() - self._last < self.interval:
+                if self._held > 0 or \
+                        time.monotonic() - self._last < self.interval:
                     continue
                 try:
                     np.asarray(z + 1.0)
