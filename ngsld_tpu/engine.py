@@ -403,23 +403,38 @@ def run_jax(pars: Params, out_fh=None) -> None:
             out_fh.close()
 
 
+def _local_blocks(arr, B: int):
+    """{block index -> host ndarray} for this process's ADDRESSABLE shards
+    of a 'sites'-sharded array (multi-host: each host only ever touches the
+    blocks it owns; np.asarray on the global array would raise)."""
+    out = {}
+    for sh in arr.addressable_shards:
+        start = sh.index[0].start or 0
+        out[start // B] = np.asarray(sh.data)
+    return out
+
+
 def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                   touch=lambda: None, hold=None):
-    import contextlib
-    hold = hold or contextlib.nullcontext
     """Site-sharded ring sweep driver (--ring).
 
     The replicated-table engine (_run_jax_body) assumes the GL/E[G] tables
     fit on every device; at reference scale they don't (5M sites x 500 ind
     ~ 30 GB fp32, SURVEY.md §7). Here the preprocessed tables are sharded
     over a 1-D 'sites' mesh — one contiguous block per device — and
-    partner blocks ride the ring via ppermute (parallel.ring). One ring
-    step's (S, B) stat tile is pulled, masked (band, triangle, MAF, real
-    sites), and buffered at a time, so device memory stays O(S*B/n_dev per
-    device); rows are then emitted in (s1, s2) order.
+    partner blocks ride the ring via ppermute (parallel.ring).
 
-    On a multi-host pod every host runs the same program; collectives ride
-    ICI/DCN and each host emits the rows of its resident blocks."""
+    After each ring step, this host pulls ONLY its addressable (resident)
+    blocks' stat tiles, masks them (band, triangle, MAF, real sites) and
+    keeps just the compacted surviving rows, so host memory is O(emitted
+    rows), not O(n_steps * S * B) tiles; device memory is O(table/n_dev +
+    B^2 stats) per device (size the mesh so B = S/n_dev stays ~10^4). Rows
+    are emitted per resident block in (s1, s2) order — on a multi-host pod
+    every host runs the same program (collectives ride ICI/DCN) and writes
+    the shard holding its own blocks' rows.
+    """
+    import contextlib
+    hold = hold or contextlib.nullcontext
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding
@@ -468,7 +483,14 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                 ignore_miss_data=pars.ignore_miss_data))
             with hold():
                 gn_d, maf_d, eg_d = pre(gl_d)
-                maf = np.asarray(maf_d, np.float64)[:n]
+                if jax.process_count() == 1:
+                    maf = np.asarray(maf_d, np.float64)[:n]
+                else:
+                    # masks need GLOBAL MAFs (partner blocks live on other
+                    # hosts); allgather the (tiny) vector over DCN
+                    from jax.experimental import multihost_utils
+                    maf = np.asarray(multihost_utils.process_allgather(
+                        maf_d, tiled=True), np.float64)[:n]
             touch()
 
         hi = band_limits(pos_dist, pars.max_kb_dist, pars.max_snp_dist)
@@ -483,56 +505,59 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         writer = RowWriter(out_fh, labels, pars.extend_out)
         writer.write_header()
 
-        steps_host = []
+        def compact_tile(i, t, tiles):
+            """Mask one resident block's (B, B) step tile down to its
+            surviving rows (triangle, real sites, MAF, band)."""
+            A = (i * B + np.arange(B, dtype=np.int64))[:, None]    # (B, 1)
+            PJ = (((i + t) % n_dev) * B
+                  + np.arange(B, dtype=np.int64))[None, :]         # (1, B)
+            valid = (PJ > A) & (PJ < n) & (A < n)
+            valid &= ok[np.minimum(A, n - 1)] & ok[np.minimum(PJ, n - 1)]
+            valid &= PJ < hi[np.minimum(A, n - 1)]   # band: s2 < hi[s1]
+            if not valid.any():
+                return None
+            out = {k: tiles[k][i][valid] for k in tiles}
+            out["a"] = np.broadcast_to(A, valid.shape)[valid]
+            out["pj"] = np.broadcast_to(PJ, valid.shape)[valid]
+            return out
+
+        buckets = {}   # resident block -> list of compacted step rows
         with log.phase("compute: ring sweep"):
             vis = (gn_d, eg_d, maf_d)
             for t in range(n_steps):
                 with hold():
                     stats, vg, ve, vm = stepper(gn_d, eg_d, maf_d, *vis)
                     vis = (vg, ve, vm)
-                    steps_host.append({k: np.asarray(v) for k, v in
-                                       stats.items()})
+                    tiles = {k: _local_blocks(v, B) for k, v in
+                             stats.items()}
                 touch()
+                for i in sorted(next(iter(tiles.values())).keys()):
+                    c = compact_tile(i, t, tiles)
+                    if c is not None:
+                        buckets.setdefault(i, []).append(c)
                 log.count("ring_steps")
 
-        with log.phase("emit: mask + order + format"):
-            a_all = np.arange(Sp, dtype=np.int64)
-            for i in range(n_dev):
-                blk_a = a_all[i * B:(i + 1) * B]
-                # partner global index per (step, offset); ascending steps
-                # give ascending partner blocks until the wrap, and wrapped
-                # partners fall in the masked lower triangle
-                pj = np.stack([(((i + t) % n_dev) * B +
-                                np.arange(B, dtype=np.int64))
-                               for t in range(n_steps)], axis=0)  # (T, B)
-                A = blk_a[:, None, None]                          # (B,1,1)
-                PJ = np.broadcast_to(pj[None], (B, n_steps, B))
-                valid = (PJ > A) & (PJ < n) & (A < n)
-                valid &= ok[np.minimum(A, n - 1)] & ok[np.minimum(PJ, n - 1)]
-                # band: pairs (a, s2) with s2 < hi[a]
-                valid &= PJ < hi[np.minimum(A, n - 1)]
-                if not valid.any():
-                    continue
-                af, pf = (np.broadcast_to(A, valid.shape)[valid],
-                          PJ[valid])
+        with log.phase("emit: order + format"):
+            for i in sorted(buckets):
+                parts = buckets.pop(i)
+                cat = {k: np.concatenate([p[k] for p in parts])
+                       for k in parts[0]}
+                order = np.lexsort((cat["pj"], cat["a"]))
+                af, pf = cat["a"][order], cat["pj"][order]
                 dist = np.where(contig[af] == contig[pf],
                                 pos[pf] - pos[af], np.inf)
 
                 def col(k):
-                    v = np.stack([steps_host[t][k][i * B:(i + 1) * B]
-                                  for t in range(n_steps)], axis=1)
-                    return v[valid]
+                    return cat[k][order]
 
-                f = np.stack([steps_host[t]["f"][i * B:(i + 1) * B]
-                              for t in range(n_steps)], axis=1)[valid]
                 writer.write_block(
                     af, pf, dist, col("r2p"), col("D"), col("Dp"),
                     col("r2"), n_used=col("n_used").astype(np.int32),
-                    maf1=maf[af], maf2=maf[pf], hap=f,
+                    maf1=maf[af], maf2=maf[pf], hap=col("f"),
                     hmaf1=col("hmaf1"), hmaf2=col("hmaf2"),
                     chi2=col("chi2").astype(np.float32),
                     n_iter=col("n_iter").astype(np.int32))
-                log.count("pairs_emitted", int(valid.sum()))
+                log.count("pairs_emitted", len(af))
         log.summary()
     finally:
         if profile_dir:
