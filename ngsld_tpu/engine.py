@@ -72,12 +72,20 @@ def _compute_block_fn(ignore_miss_data: bool, use_pallas: bool,
         maf1, maf2 = jnp.take(maf, s1), jnp.take(maf, s2)
         r2p = pearson_r2(eg1, eg2)
         if use_pallas:
-            from .kernels.pallas_em import pair_em_sorted, pick_pair_tile
+            from .kernels.pallas_em import (pair_em_rows_from_gl,
+                                            pair_em_sorted, pick_pair_tile,
+                                            pick_rows_tile)
             pt = pick_pair_tile(gn1.shape[1])
+            ptr = pick_rows_tile(gn1.shape[1]) if pt is None else None
             if pt is not None:
                 f, n_iter, n_used = pair_em_sorted(
                     gn1, gn2, maf1, maf2, ignore_miss_data, pair_tile=pt)
-            else:  # cohort too large for the kernel's VMEM tiles
+            elif ptr is not None:
+                # large cohort: the row-layout kernel (pairs on sublanes)
+                # still fits VMEM up to ~8k individuals
+                f, n_iter, n_used = pair_em_rows_from_gl(
+                    gn1, gn2, maf1, maf2, ignore_miss_data, pair_tile=ptr)
+            else:  # cohort too large for any kernel's VMEM tiles
                 f, n_iter, n_used = pair_em(gn1, gn2, maf1, maf2,
                                             ignore_miss_data)
         else:

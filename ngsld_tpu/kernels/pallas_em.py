@@ -439,6 +439,48 @@ def _em_kernel_rows(g1_ref, g2_ref, f0_ref, incf_ref, invx_ref,
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
 
 
+def pick_rows_tile(n_ind: int) -> int | None:
+    """Largest pair tile for the ROW-layout kernel at a given cohort size.
+    Pairs ride sublanes here, so the tile shrinks all the way to 8 — the
+    row kernel keeps the EM in VMEM for cohorts far beyond the column
+    kernel's ceiling (pick_pair_tile: ~1.1k inds). Same empirical budget
+    (56 bytes * Ip * PT <= 8 MB double-buffered)."""
+    Ip = -(-n_ind // 128) * 128
+    for pt in (512, 256, 128, 64, 32, 16, 8):
+        if 56 * Ip * pt <= 8_000_000:
+            return pt
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("ignore_miss_data", "pair_tile",
+                                             "interpret", "iter_cap"))
+def pair_em_rows_from_gl(gn1: jnp.ndarray, gn2: jnp.ndarray,
+                         maf1: jnp.ndarray, maf2: jnp.ndarray,
+                         ignore_miss_data: bool = False, *,
+                         pair_tile: int = 128, interpret: bool = False,
+                         iter_cap: int = ITER_MAX):
+    """Drop-in for ops.em.pair_em via the ROW-layout kernel: builds the
+    (P, 3*Ip) row layout + inclusion mask from (P, I, 3) GLs. The engine's
+    large-cohort path (n_ind beyond pick_pair_tile's ceiling)."""
+    P, I, _ = gn1.shape
+    Ip = -(-I // 128) * 128
+
+    def rows(g):
+        gp = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, Ip - I), (0, 0)),
+                     constant_values=1.0 / 3.0)
+        return gp.transpose(0, 2, 1).reshape(P, 3 * Ip)
+
+    if ignore_miss_data:
+        include = ~(miss_mask(gn1) | miss_mask(gn2))
+    else:
+        include = jnp.ones((P, I), bool)
+    n_used = jnp.sum(include, axis=1).astype(jnp.int32)
+    incf = jnp.pad(include.astype(jnp.float32), ((0, 0), (0, Ip - I)))
+    return pair_em_rows(rows(gn1), rows(gn2), incf, maf1, maf2, n_used,
+                        pair_tile=pair_tile, interpret=interpret,
+                        iter_cap=iter_cap)
+
+
 def make_site_table(gn: jnp.ndarray):
     """(S, I, 3) normal-space GLs -> row-contiguous (S, 3*Ipad) f32 site
     table for the row-layout kernel (one-time cost; padded lanes hold 1/3

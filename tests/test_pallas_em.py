@@ -79,3 +79,35 @@ def test_sorted_matches_single_pass(ignore_miss):
     a1, a2 = np.asarray(f1), np.asarray(f2)
     nan = np.isnan(a1) & np.isnan(a2)
     np.testing.assert_array_equal(np.where(nan, 0, a1), np.where(nan, 0, a2))
+
+
+@pytest.mark.parametrize("ignore_miss", [False, True])
+@pytest.mark.parametrize("n_pairs,n_ind", [(40, 12), (16, 300)])
+def test_rows_kernel_matches_xla_path(n_pairs, n_ind, ignore_miss):
+    """The row-layout kernel (the large-cohort path: pairs on sublanes,
+    individuals on lanes) must agree with the XLA reference path."""
+    import jax.numpy as jnp
+    from ngsld_tpu.kernels.pallas_em import pair_em_rows_from_gl
+    from ngsld_tpu.ops.em import pair_em
+
+    gn1, gn2, m1, m2 = _case(n_pairs, n_ind, seed=7 * n_pairs + n_ind)
+    f_ref, it_ref, nu_ref = pair_em(jnp.asarray(gn1), jnp.asarray(gn2),
+                                    jnp.asarray(m1), jnp.asarray(m2),
+                                    ignore_miss)
+    f_k, it_k, nu_k = pair_em_rows_from_gl(
+        jnp.asarray(gn1), jnp.asarray(gn2), jnp.asarray(m1),
+        jnp.asarray(m2), ignore_miss, pair_tile=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(nu_ref), np.asarray(nu_k))
+    fr, fk = np.asarray(f_ref), np.asarray(f_k)
+    both_nan = np.isnan(fr) & np.isnan(fk)
+    np.testing.assert_allclose(np.where(both_nan, 0, fr),
+                               np.where(both_nan, 0, fk), atol=3e-5)
+    it_diff = np.abs(np.asarray(it_ref) - np.asarray(it_k))
+    assert (it_diff <= 1).mean() > 0.95
+
+
+def test_pick_rows_tile_covers_large_cohorts():
+    from ngsld_tpu.kernels.pallas_em import pick_pair_tile, pick_rows_tile
+    assert pick_pair_tile(2000) is None      # column kernel gives up
+    assert pick_rows_tile(2000) is not None  # rows kernel still fits
+    assert pick_rows_tile(8000) is not None
