@@ -681,17 +681,26 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
         def fmt(bi, blk, fm, im):
             """Stage 2 (CPU): derive stats, format rows to bytes."""
             t0 = time.perf_counter()
-            r2p, f, n_iter, n_used, hmaf0, hmaf1, D, Dp, r2, chi2 = _unpack(
-                fm, im, pars.extend_out)
-            n_iter = n_iter.astype(np.int32)
-            n_used = n_used.astype(np.int32)
+            n_iter = im[:, 0].astype(np.int32)
+            n_used = im[:, 1].astype(np.int32)
             log.count("em_iterations", int(n_iter.astype(np.int64).sum()))
-            # value columns pass at the engine precision: the native
-            # formatter has an f32 entry point (float->double is exact)
-            data = fmt_rw.format_block(
-                blk.s1, blk.s2, blk.dist, r2p, D, Dp, r2, n_used=n_used,
-                maf1=maf[blk.s1], maf2=maf[blk.s2], hap=f,
-                hmaf1=hmaf0, hmaf2=hmaf1, chi2=chi2, n_iter=n_iter)
+            data = None
+            if fmt_rw.native:
+                # single native pass: D/D'/r2/hap-MAFs/chi2 derive inside
+                # the formatter's worker threads from (r2p, f) directly
+                from .native import format_rows_derive
+                data = format_rows_derive(
+                    fmt_rw.blob, fmt_rw.off, blk.s1, blk.s2, blk.dist,
+                    fm[:, 0], fm[:, 1:5], maf[blk.s1], maf[blk.s2],
+                    n_used, n_iter, pars.extend_out)
+            if data is None:
+                r2p, f, n_iter, n_used, hmaf0, hmaf1, D, Dp, r2, chi2 = \
+                    _unpack(fm, im, pars.extend_out)
+                data = fmt_rw.format_block(
+                    blk.s1, blk.s2, blk.dist, r2p, D, Dp, r2,
+                    n_used=n_used.astype(np.int32), maf1=maf[blk.s1],
+                    maf2=maf[blk.s2], hap=f, hmaf1=hmaf0, hmaf2=hmaf1,
+                    chi2=chi2, n_iter=n_iter.astype(np.int32))
             log.count_time("sweep: format", time.perf_counter() - t0)
             return bi, data
 

@@ -78,6 +78,17 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_char),
             i64, ctypes.c_int]
         f32p = ctypes.POINTER(ctypes.c_float)
+        dp_t = ctypes.POINTER(ctypes.c_double)
+        i32p_t = ctypes.POINTER(ctypes.c_int32)
+        for name, vt in (("ngsld_format_rows_derive32", f32p),
+                         ("ngsld_format_rows_derive64", dp_t)):
+            fn = getattr(lib, name)
+            fn.restype = i64
+            fn.argtypes = [
+                i64, ctypes.c_char_p, ctypes.POINTER(i64),
+                ctypes.POINTER(i64), ctypes.POINTER(i64), dp_t, vt, vt,
+                ctypes.c_int, i32p_t, dp_t, dp_t, i32p_t,
+                ctypes.POINTER(ctypes.c_char), i64, ctypes.c_int]
         lib.ngsld_format_rows_mt32.restype = i64
         lib.ngsld_format_rows_mt32.argtypes = [
             i64, ctypes.c_char_p, ctypes.POINTER(i64), ctypes.POINTER(i64),
@@ -305,6 +316,62 @@ def format_rows_native(labels_blob: bytes, label_off: np.ndarray,
                 ctypes.POINTER(ctypes.c_float)) if extend else null_f,
             i32p(n_iter) if extend else null_i32,
             bufp, cap, n_threads)
+        if w >= 0:
+            return buf[:w].tobytes()
+        if w == -2:
+            raise MemoryError("native row formatter: allocation failed")
+        cap *= 2
+
+
+def format_rows_derive(labels_blob: bytes, label_off: np.ndarray,
+                       s1, s2, dist, r2p, f, maf1, maf2, n_used, n_iter,
+                       extend: bool):
+    """Derive D/D'/r2/hap-MAFs/chi2 from the hap freqs AND format, all in
+    the native worker threads. r2p and f must share a float32/float64
+    dtype; bytes are identical to deriving via engine._stats_host/_chi2_host
+    first. Returns None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(s1)
+    i64 = ctypes.c_int64
+    f = np.ascontiguousarray(f)
+    r2p = np.ascontiguousarray(r2p)
+    if f.dtype != r2p.dtype or f.dtype not in (np.float32, np.float64):
+        return None
+    fn = (lib.ngsld_format_rows_derive32 if f.dtype == np.float32
+          else lib.ngsld_format_rows_derive64)
+    ct = ctypes.c_float if f.dtype == np.float32 else ctypes.c_double
+
+    def ip(a):
+        return np.ascontiguousarray(a, np.int64).ctypes.data_as(
+            ctypes.POINTER(i64))
+
+    def i32p(a):
+        return np.ascontiguousarray(a, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32))
+
+    def dp(a):
+        return np.ascontiguousarray(a, np.float64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_double))
+
+    max_lab = int(np.diff(np.r_[label_off, len(labels_blob)]).max()) \
+        if len(label_off) else 16
+    per_row = 2 * max_lab + (17 if extend else 5) * 24 + 32
+    cap = max(4096, n * per_row + 1024)
+    n_threads = min(os.cpu_count() or 1, 8)
+    null_i32 = i32p(np.zeros(1))
+    while True:
+        buf = np.empty(cap, np.uint8)
+        w = fn(n, labels_blob, ip(label_off), ip(s1), ip(s2), dp(dist),
+               r2p.ctypes.data_as(ctypes.POINTER(ct)),
+               f.reshape(-1).ctypes.data_as(ctypes.POINTER(ct)),
+               int(extend), i32p(n_used) if extend else null_i32,
+               dp(maf1) if extend else dp(np.zeros(1)),
+               dp(maf2) if extend else dp(np.zeros(1)),
+               i32p(n_iter) if extend else null_i32,
+               buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)), cap,
+               n_threads)
         if w >= 0:
             return buf[:w].tobytes()
         if w == -2:

@@ -157,3 +157,43 @@ def test_formatter_f32_entry_matches_f64():
                            maf1, maf2, np.float64(hap), np.float64(hm1),
                            np.float64(hm2), chi2, ni)
     assert a == b
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_derive_formatter_matches_host_path(dtype):
+    """The derive-and-format entry (stats computed in C worker threads)
+    must be byte-identical to deriving via engine._stats_host/_chi2_host
+    then formatting — including degenerate freqs (inf/nan Dp, r2, chi2)."""
+    from ngsld_tpu.engine import _chi2_host, _stats_host
+    from ngsld_tpu.native import (format_rows_derive, format_rows_native,
+                                  get_lib, make_labels_blob)
+    if get_lib() is None:
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(11)
+    n = 5000
+    labels = [f"chr{i}:{i * 7 + 3}" for i in range(800)]
+    blob, off = make_labels_blob(labels)
+    s1 = rng.integers(0, 799, n)
+    s2 = rng.integers(0, 799, n)
+    dist = rng.integers(1, 10**6, n).astype(np.float64)
+    # hap freqs: random simplex + crafted degenerate corners
+    f = rng.dirichlet([1.0, 0.8, 0.8, 0.5], n).astype(dtype)
+    f[0] = [1, 0, 0, 0]
+    f[1] = [0.5, 0.5, 0, 0]
+    f[2] = [0.5, 0, 0.5, 0]
+    f[3] = [0, 0, 0, 1]
+    r2p = rng.uniform(0, 1, n).astype(dtype)
+    maf1 = rng.uniform(0, 0.5, n)
+    maf2 = rng.uniform(0, 0.5, n)
+    nu = np.full(n, 33, np.int32)
+    ni = rng.integers(1, 100, n).astype(np.int32)
+
+    for extend in (True, False):
+        got = format_rows_derive(blob, off, s1, s2, dist, r2p, f,
+                                 maf1, maf2, nu, ni, extend)
+        hmaf0, hmaf1, D, Dp, r2 = _stats_host(f)
+        chi2 = _chi2_host(f)
+        want = format_rows_native(blob, off, s1, s2, dist, r2p, D, Dp, r2,
+                                  extend, nu, maf1, maf2, f, hmaf0, hmaf1,
+                                  chi2, ni)
+        assert got == want, f"extend={extend} dtype={dtype}"
