@@ -319,10 +319,10 @@ def pair_em_phased(gn1, gn2, maf1, maf2, ignore_miss_data: bool = False,
 
 
 @functools.partial(jax.jit, static_argnames=("ignore_miss_data", "pair_tile",
-                                             "interpret", "cap1"))
+                                             "interpret", "cap1", "unroll"))
 def pair_em_sorted(gn1, gn2, maf1, maf2, ignore_miss_data: bool = False,
                    *, pair_tile: int = 256, interpret: bool = False,
-                   cap1: int = 16):
+                   cap1: int = 16, unroll: int = _UNROLL):
     """Single-jit two-phase EM with difficulty-sorted phase 2.
 
     Phase 1 runs everyone for up to cap1 iterations. Phase 2 re-runs ALL
@@ -339,7 +339,7 @@ def pair_em_sorted(gn1, gn2, maf1, maf2, ignore_miss_data: bool = False,
                                            ignore_miss_data, pair_tile)
     f1, it1, epsl, epsp = _run_kernel(g1, g2, f0, incf, invx,
                                       pair_tile=pair_tile, iter_cap=cap1,
-                                      interpret=interpret)
+                                      interpret=interpret, unroll=unroll)
     it1 = it1[0, :P]
     conv1 = it1 < cap1
     eps = epsl[0, :P]
@@ -361,7 +361,7 @@ def pair_em_sorted(gn1, gn2, maf1, maf2, ignore_miss_data: bool = False,
     f2, it2, _, _ = _run_kernel(g1o, g2o, f0o, incfo, invxo,
                                 pair_tile=pair_tile,
                                 iter_cap=ITER_MAX - cap1,
-                                interpret=interpret)
+                                interpret=interpret, unroll=unroll)
     inv = jnp.argsort(order)
     f2u = jnp.take(f2[:, :P], inv, axis=1)
     it2u = jnp.take(it2[0, :P], inv)
