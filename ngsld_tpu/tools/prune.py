@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import heapq
+import math
 import sys
 
 from ..strict import open_maybe_gz
@@ -55,6 +56,10 @@ def build_graph(lines, field_dist: int, field_weight: int, max_dist: float,
             continue
         if weight_type == "n":
             w = 1.0
+        if not math.isfinite(w):
+            # degenerate pairs (zero-variance r2 etc.) print nan/inf; they
+            # carry no usable LD weight and would overflow quantization
+            continue
         wq = int(w * scale)
         # parallel edges accumulate, like repeated rows in a graph
         adj[u][v] = adj[u].get(v, 0) + wq

@@ -146,3 +146,20 @@ def test_ld_blocks_plots(tmp_path):
     assert out.returncode == 0, out.stderr
     assert (tmp_path / "blk.r2.pdf").exists()
     assert (tmp_path / "blk.Dp.pdf").exists()
+
+
+def test_prune_nonfinite_weights(tmp_path):
+    """Degenerate pairs print nan/inf r2; prune must skip them instead of
+    overflowing the weight quantization."""
+    ld = tmp_path / "x.ld"
+    ld.write_text(
+        "chr1:10\tchr1:20\t10\t0.5\t0.1\t0.9\tinf\n"
+        "chr1:20\tchr1:30\t10\t0.5\t0.1\t0.9\tnan\n"
+        "chr1:10\tchr1:30\t20\t0.5\t0.1\t0.9\t0.8\n")
+    out = tmp_path / "kept.pos"
+    from ngsld_tpu.tools.prune import main
+    assert main(["--input", str(ld), "--output", str(out),
+                 "--max_dist", "100", "--min_weight", "0.1"]) == 0
+    kept = out.read_text().splitlines()
+    # only the finite edge (10, 30) prunes one of its ends; 20 is edgeless
+    assert "chr1:20" in kept and len(kept) == 2
