@@ -684,6 +684,9 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
             n_iter = im[:, 0].astype(np.int32)
             n_used = im[:, 1].astype(np.int32)
             log.count("em_iterations", int(n_iter.astype(np.int64).sum()))
+            if pars.verbose >= 2:
+                log.hist("em_iteration_histogram",
+                         np.bincount(np.clip(n_iter, 0, 100)))
             data = None
             if fmt_rw.native:
                 # single native pass: D/D'/r2/hap-MAFs/chi2 derive inside

@@ -19,6 +19,7 @@ class RunLog:
         self.timings: list = []
         self.counters: dict = {}
         self.time_counters: dict = {}
+        self.hists: dict = {}
 
     def log(self, level: int, msg: str) -> None:
         if self.verbose >= level:
@@ -41,6 +42,20 @@ class RunLog:
         timings; cheap enough to leave on at any verbosity)."""
         self.time_counters[key] = self.time_counters.get(key, 0.0) + seconds
 
+    def hist(self, key: str, counts) -> None:
+        """Accumulate an integer histogram (e.g. EM iterations per pair)."""
+        import numpy as np
+        prev = self.hists.get(key)
+        counts = np.asarray(counts, dtype=np.int64)
+        if prev is None:
+            self.hists[key] = counts.copy()
+        else:
+            n = max(len(prev), len(counts))
+            out = np.zeros(n, np.int64)
+            out[:len(prev)] += prev
+            out[:len(counts)] += counts
+            self.hists[key] = out
+
     def summary(self) -> None:
         if self.verbose < 1:
             return
@@ -54,6 +69,17 @@ class RunLog:
             sys.stderr.write("==> Counters:\n")
             for k, v in sorted(self.counters.items()):
                 sys.stderr.write(f"\t{k}: {v}\n")
+        for k, h in sorted(self.hists.items()):
+            nz = [i for i, c in enumerate(h) if c]
+            if not nz:
+                continue
+            tot = int(h.sum())
+            # quartiles over the iteration distribution
+            cum = h.cumsum()
+            qs = [int((cum >= q * tot).argmax()) for q in (0.5, 0.9, 0.99)]
+            sys.stderr.write(
+                f"==> {k}: min {nz[0]}, p50 {qs[0]}, p90 {qs[1]}, "
+                f"p99 {qs[2]}, max {nz[-1]}\n")
         pairs = self.counters.get("pairs_emitted", 0)
         compute_t = sum(t for n, t in self.timings if n.startswith("compute"))
         if pairs and compute_t > 0:
