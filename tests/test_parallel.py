@@ -203,3 +203,36 @@ def test_ring_cli_all_pairs(tmp_path):
     assert [r.split("\t")[:2] for r in s_rows] == \
            [r.split("\t")[:2] for r in r_rows]
     assert any("\tinf\t" in r for r in r_rows)  # cross-contig pairs present
+
+
+def test_ring_cli_call_geno_ignore_miss(tmp_path):
+    """--ring with --call_geno thresholds and --ignore_miss_data must agree
+    with the strict oracle (preprocess runs sharded on device)."""
+    from ngsld_tpu import strict
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    sim = simulate(n_ind=8, n_sites=96, seed=13, contig_kb=3.0,
+                   all_missing_site_rate=0.05)
+    files = write_all(sim, str(tmp_path / "fix"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "8",
+            "--n_sites", "96", "--pos", files["pos"], "--max_kb_dist", "2",
+            "--call_geno", "--N_thresh", "0.3", "--call_thresh", "0.9",
+            "--ignore_miss_data", "--extend_out", "--verbose", "0"]
+    s_out, r_out = tmp_path / "s.ld", tmp_path / "r.ld"
+    strict.run(params_from_args(argv + ["--engine", "strict",
+                                        "--out", str(s_out)]))
+    run_jax(params_from_args(argv + ["--ring", "--shard", "0",
+                                     "--out", str(r_out)]))
+    s_rows = s_out.read_text().splitlines()
+    r_rows = r_out.read_text().splitlines()
+    assert len(s_rows) == len(r_rows) and len(s_rows) > 20
+    for sr, rr in zip(s_rows[1:], r_rows[1:]):
+        sf, rf = sr.split("\t"), rr.split("\t")
+        assert sf[:2] == rf[:2]
+        for c in range(2, len(sf)):
+            a, b = float(sf[c]), float(rf[c])
+            if not (np.isfinite(a) and np.isfinite(b)):
+                continue
+            assert abs(a - b) <= 5e-5, f"col {c}: {sr}\n{rr}"
