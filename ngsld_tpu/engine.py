@@ -169,13 +169,17 @@ class _StreamedGLLoader:
                     k = min(slab_sites, n - s)
                     a = np.fromfile(fh, dtype=np.float64,
                                     count=k * m * 3).reshape(k, m, 3)
+                    a = a.astype(self._dt, copy=False)
+                    # NaN parity checks on the NARROWED slab (half the
+                    # bytes): NaN and -inf survive f64->f32; log-GLs never
+                    # reach f32's finite range boundary, so no new -infs
                     if np.isnan(a).any() or (
                             p.in_logscale and
                             np.isneginf(a).all(axis=-1).any()):
                         raise strict.StrictError(
                             "read_geno",
                             "NaN found! Is the file format correct?")
-                    self._q.put(a.astype(self._dt, copy=False))
+                    self._q.put(a)
                     s += k
             self._q.put(None)
         except BaseException as e:
