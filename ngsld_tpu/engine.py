@@ -393,7 +393,15 @@ def run_jax(pars: Params, out_fh=None) -> None:
     close = False
     if out_fh is None:
         if pars.out is not None:
-            out_fh = open(pars.out, "wb")
+            path = pars.out
+            if getattr(pars, "ring", False) and jax.process_count() > 1:
+                # multi-host ring: every process runs this program and owns
+                # its resident blocks' rows; a shared path would have the
+                # hosts truncate/interleave each other. Each host writes its
+                # own shard (concatenate shards in part order to merge).
+                path = f"{pars.out}.part{jax.process_index():05d}"
+                log.log(1, f"==> multi-host ring: this process writes {path}")
+            out_fh = open(path, "wb")
             close = True
         else:
             out_fh = getattr(sys.stdout, "buffer", sys.stdout)
@@ -515,7 +523,10 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         stepper = ring_sweep_stepper(mesh, pars.ignore_miss_data,
                                      pars.extend_out)
         writer = RowWriter(out_fh, labels, pars.extend_out)
-        writer.write_header()
+        if jax.process_index() == 0:
+            # multi-host shards concatenate in part order; only the first
+            # shard carries the header
+            writer.write_header()
 
         def compact_tile(i, t, tiles):
             """Mask one resident block's (B, B) step tile down to its

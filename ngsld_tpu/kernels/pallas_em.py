@@ -464,12 +464,7 @@ def pair_em_rows_from_gl(gn1: jnp.ndarray, gn2: jnp.ndarray,
     large-cohort path (n_ind beyond pick_pair_tile's ceiling)."""
     P, I, _ = gn1.shape
     Ip = -(-I // 128) * 128
-
-    def rows(g):
-        gp = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, Ip - I), (0, 0)),
-                     constant_values=1.0 / 3.0)
-        return gp.transpose(0, 2, 1).reshape(P, 3 * Ip)
-
+    rows = make_site_table  # same (N, I, 3) -> (N, 3*Ipad) layout
     if ignore_miss_data:
         include = ~(miss_mask(gn1) | miss_mask(gn2))
     else:

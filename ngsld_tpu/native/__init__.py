@@ -254,6 +254,50 @@ def read_pos_native(path: str, header: bool, n_sites: int):
     return pos, LabelBlob(blob.raw[:used.value], off)
 
 
+def _i64p(a):
+    return np.ascontiguousarray(a, np.int64).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_int64))
+
+
+def _i32p(a):
+    return np.ascontiguousarray(a, np.int32).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_int32))
+
+
+def _f64p(a):
+    return np.ascontiguousarray(a, np.float64).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_double))
+
+
+def _f32p(a):
+    return np.ascontiguousarray(a, np.float32).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_float))
+
+
+def _format_with_retry(call, n, labels_blob, label_off, extend):
+    """Shared grow-and-retry protocol for the bulk formatters.
+
+    Worst-case row budget: 2 labels + 17 numeric fields ("-0.000001",
+    "inf", "%.0f" dists up to ~1e15) at <=24 bytes each, tabs + newline.
+    The C path returns -1 on would-overflow (double and retry; a tight
+    estimate only risks one retry, never corruption) and -2 on allocation
+    failure (raise MemoryError)."""
+    max_lab = int(np.diff(np.r_[label_off, len(labels_blob)]).max()) \
+        if len(label_off) else 16
+    per_row = 2 * max_lab + (17 if extend else 5) * 24 + 32
+    cap = max(4096, n * per_row + 1024)
+    n_threads = min(os.cpu_count() or 1, 8)
+    while True:
+        buf = np.empty(cap, np.uint8)
+        w = call(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)), cap,
+                 n_threads)
+        if w >= 0:
+            return buf[:w].tobytes()
+        if w == -2:
+            raise MemoryError("native row formatter: allocation failed")
+        cap *= 2
+
+
 def format_rows_native(labels_blob: bytes, label_off: np.ndarray,
                        s1, s2, dist, r2p, D, Dp, r2, extend: bool,
                        n_used=None, maf1=None, maf2=None, hap=None,
@@ -263,64 +307,33 @@ def format_rows_native(labels_blob: bytes, label_off: np.ndarray,
     if lib is None:
         return None
     n = len(s1)
-    i64 = ctypes.c_int64
-
-    def ip(a):
-        return np.ascontiguousarray(a, np.int64).ctypes.data_as(ctypes.POINTER(i64))
-
-    def i32p(a):
-        return np.ascontiguousarray(a, np.int32).ctypes.data_as(
-            ctypes.POINTER(ctypes.c_int32))
-
-    def dp(a):
-        return np.ascontiguousarray(a, np.float64).ctypes.data_as(
-            ctypes.POINTER(ctypes.c_double))
-
-    # Worst-case row budget: 2 labels + 17 numeric fields ("-0.000001",
-    # "inf", "%.0f" dists up to ~1e15) at <=24 bytes each, tabs + newline.
-    # The C path returns -1 on would-overflow and we double, so a tight
-    # estimate only risks one retry, never corruption. A zero-fill +
-    # double-copy ctypes buffer at 2 KB/row cost seconds per block.
-    def fp(a):
-        return np.ascontiguousarray(a, np.float32).ctypes.data_as(
-            ctypes.POINTER(ctypes.c_float))
-
     # float32 value columns skip a full-block float64 conversion pass:
     # float->double is exact, so the C path's output bytes are identical
     vals = [r2p, D, Dp, r2] + ([hap, hmaf1, hmaf2] if extend else [])
     f32_vals = all(np.asarray(a).dtype == np.float32 for a in vals)
-    vp = fp if f32_vals else dp
+    vp = _f32p if f32_vals else _f64p
     fmt_fn = lib.ngsld_format_rows_mt32 if f32_vals \
         else lib.ngsld_format_rows_mt
+    null_i32 = _i32p(np.zeros(1))
+    null_f = _f32p(np.zeros(1))
+    null_v = vp(np.zeros(1, np.float32 if f32_vals else np.float64))
+    null_d = _f64p(np.zeros(1))
 
-    max_lab = int(np.diff(np.r_[label_off, len(labels_blob)]).max()) \
-        if len(label_off) else 16
-    per_row = 2 * max_lab + (17 if extend else 5) * 24 + 32
-    cap = max(4096, n * per_row + 1024)
-    n_threads = min(os.cpu_count() or 1, 8)
-    while True:
-        buf = np.empty(cap, np.uint8)
-        bufp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char))
-        null_i32 = i32p(np.zeros(1))
-        null_f = np.zeros(1, np.float32).ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-        null_v = vp(np.zeros(1, np.float32 if f32_vals else np.float64))
-        null_d = dp(np.zeros(1))
-        w = fmt_fn(
-            n, labels_blob, ip(label_off), ip(s1), ip(s2), dp(dist), vp(r2p),
-            vp(D), vp(Dp), vp(r2), int(extend),
-            i32p(n_used) if extend else null_i32,
-            dp(maf1) if extend else null_d, dp(maf2) if extend else null_d,
+    def call(bufp, cap, n_threads):
+        return fmt_fn(
+            n, labels_blob, _i64p(label_off), _i64p(s1), _i64p(s2),
+            _f64p(dist), vp(r2p), vp(D), vp(Dp), vp(r2), int(extend),
+            _i32p(n_used) if extend else null_i32,
+            _f64p(maf1) if extend else null_d,
+            _f64p(maf2) if extend else null_d,
             vp(hap.reshape(-1)) if extend else null_v,
-            vp(hmaf1) if extend else null_v, vp(hmaf2) if extend else null_v,
-            np.ascontiguousarray(chi2, np.float32).ctypes.data_as(
-                ctypes.POINTER(ctypes.c_float)) if extend else null_f,
-            i32p(n_iter) if extend else null_i32,
+            vp(hmaf1) if extend else null_v,
+            vp(hmaf2) if extend else null_v,
+            _f32p(chi2) if extend else null_f,
+            _i32p(n_iter) if extend else null_i32,
             bufp, cap, n_threads)
-        if w >= 0:
-            return buf[:w].tobytes()
-        if w == -2:
-            raise MemoryError("native row formatter: allocation failed")
-        cap *= 2
+
+    return _format_with_retry(call, n, labels_blob, label_off, extend)
 
 
 def format_rows_derive(labels_blob: bytes, label_off: np.ndarray,
@@ -334,7 +347,6 @@ def format_rows_derive(labels_blob: bytes, label_off: np.ndarray,
     if lib is None:
         return None
     n = len(s1)
-    i64 = ctypes.c_int64
     f = np.ascontiguousarray(f)
     r2p = np.ascontiguousarray(r2p)
     if f.dtype != r2p.dtype or f.dtype not in (np.float32, np.float64):
@@ -342,41 +354,21 @@ def format_rows_derive(labels_blob: bytes, label_off: np.ndarray,
     fn = (lib.ngsld_format_rows_derive32 if f.dtype == np.float32
           else lib.ngsld_format_rows_derive64)
     ct = ctypes.c_float if f.dtype == np.float32 else ctypes.c_double
+    null_i32 = _i32p(np.zeros(1))
+    null_d = _f64p(np.zeros(1))
+    f_flat = f.reshape(-1)
 
-    def ip(a):
-        return np.ascontiguousarray(a, np.int64).ctypes.data_as(
-            ctypes.POINTER(i64))
+    def call(bufp, cap, n_threads):
+        return fn(n, labels_blob, _i64p(label_off), _i64p(s1), _i64p(s2),
+                  _f64p(dist), r2p.ctypes.data_as(ctypes.POINTER(ct)),
+                  f_flat.ctypes.data_as(ctypes.POINTER(ct)), int(extend),
+                  _i32p(n_used) if extend else null_i32,
+                  _f64p(maf1) if extend else null_d,
+                  _f64p(maf2) if extend else null_d,
+                  _i32p(n_iter) if extend else null_i32,
+                  bufp, cap, n_threads)
 
-    def i32p(a):
-        return np.ascontiguousarray(a, np.int32).ctypes.data_as(
-            ctypes.POINTER(ctypes.c_int32))
-
-    def dp(a):
-        return np.ascontiguousarray(a, np.float64).ctypes.data_as(
-            ctypes.POINTER(ctypes.c_double))
-
-    max_lab = int(np.diff(np.r_[label_off, len(labels_blob)]).max()) \
-        if len(label_off) else 16
-    per_row = 2 * max_lab + (17 if extend else 5) * 24 + 32
-    cap = max(4096, n * per_row + 1024)
-    n_threads = min(os.cpu_count() or 1, 8)
-    null_i32 = i32p(np.zeros(1))
-    while True:
-        buf = np.empty(cap, np.uint8)
-        w = fn(n, labels_blob, ip(label_off), ip(s1), ip(s2), dp(dist),
-               r2p.ctypes.data_as(ctypes.POINTER(ct)),
-               f.reshape(-1).ctypes.data_as(ctypes.POINTER(ct)),
-               int(extend), i32p(n_used) if extend else null_i32,
-               dp(maf1) if extend else dp(np.zeros(1)),
-               dp(maf2) if extend else dp(np.zeros(1)),
-               i32p(n_iter) if extend else null_i32,
-               buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)), cap,
-               n_threads)
-        if w >= 0:
-            return buf[:w].tobytes()
-        if w == -2:
-            raise MemoryError("native row formatter: allocation failed")
-        cap *= 2
+    return _format_with_retry(call, n, labels_blob, label_off, extend)
 
 
 def make_labels_blob(labels):

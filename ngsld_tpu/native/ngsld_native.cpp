@@ -560,37 +560,36 @@ done:
 
 }  // extern "C"
 
-// Multithreaded bulk formatter: same byte contract as ngsld_format_rows
-// (each row formatted independently; concatenation preserves order).
-// Threads format contiguous row ranges into private growable buffers,
-// then memcpy into `out`. Returns bytes written, or -1 if out_cap is too
-// small (caller grows and retries). Templated on the per-pair value type:
-// the f32 engine hands its arrays straight through (float -> double is
-// exact, so output bytes are identical to converting host-side first).
-template <typename TF>
-static int64_t format_rows_mt_impl(int64_t n_rows, const char* labels,
-                             const int64_t* label_off, const int64_t* s1,
-                             const int64_t* s2, const double* dist,
-                             const TF* r2p, const TF* D,
-                             const TF* Dp, const TF* r2, int extend,
-                             const int32_t* n_used, const double* maf1,
-                             const double* maf2, const TF* hap,
-                             const TF* hmaf1, const TF* hmaf2,
-                             const float* chi2, const int32_t* n_iter,
-                             char* out, int64_t out_cap, int n_threads) {
+// ---- multithreaded row formatting -----------------------------------------
+//
+// Shared scaffolding for the bulk TSV formatters: worker threads format
+// contiguous row ranges into private growable buffers which are then
+// concatenated into `out`. Returns bytes written, -1 if out_cap is too
+// small (caller grows and retries), -2 on allocation failure (caller
+// raises MemoryError). `fill` emits one row's numeric columns after the
+// two labels and returns the new write pointer; the driver guarantees
+// >= 1024 bytes of headroom past the labels (ample: worst-case non-label
+// fields bound to ~650 bytes even with huge snprintf fallbacks).
+
+struct FmtChunk {
+  char* buf = nullptr;
+  int64_t len = 0;
+  int64_t cap = 0;
+  bool oom = false;
+};
+
+template <typename Fill>
+static int64_t mt_rows_driver(int64_t n_rows, const char* labels,
+                              const int64_t* label_off, const int64_t* s1,
+                              const int64_t* s2, char* out, int64_t out_cap,
+                              int n_threads, Fill fill) {
   if (n_threads < 1) n_threads = 1;
   if ((int64_t)n_threads > n_rows) n_threads = (int)(n_rows ? n_rows : 1);
-  struct Chunk {
-    char* buf = nullptr;
-    int64_t len = 0;
-    int64_t cap = 0;
-    bool oom = false;
-  };
-  std::vector<Chunk> chunks((size_t)n_threads);
+  std::vector<FmtChunk> chunks((size_t)n_threads);
   auto work = [&](int t) {
     int64_t lo = n_rows * t / n_threads;
     int64_t hi = n_rows * (t + 1) / n_threads;
-    Chunk& c = chunks[(size_t)t];
+    FmtChunk& c = chunks[(size_t)t];
     c.cap = (hi - lo) * 96 + 4096;
     c.buf = (char*)std::malloc((size_t)c.cap);
     if (!c.buf) {
@@ -617,37 +616,7 @@ static int64_t format_rows_mt_impl(int64_t n_rows, const char* labels,
       std::memcpy(p, l2, n2);
       p += n2;
       *p++ = '\t';
-      p = fmt_f0(p, dist[j]);
-      *p++ = '\t';
-      p = fmt_f6(p, r2p[j]);
-      *p++ = '\t';
-      p = fmt_f6(p, D[j]);
-      *p++ = '\t';
-      p = fmt_f6(p, Dp[j]);
-      *p++ = '\t';
-      p = fmt_f6(p, r2[j]);
-      if (extend) {
-        *p++ = '\t';
-        p = fmt_int(p, (long long)n_used[j]);
-        *p++ = '\t';
-        p = fmt_f6(p, maf1[j]);
-        *p++ = '\t';
-        p = fmt_f6(p, maf2[j]);
-        for (int h = 0; h < 4; h++) {
-          *p++ = '\t';
-          p = fmt_f6(p, hap[4 * j + h]);
-        }
-        *p++ = '\t';
-        p = fmt_f6(p, hmaf1[j]);
-        *p++ = '\t';
-        p = fmt_f6(p, hmaf2[j]);
-        *p++ = '\t';
-        p = fmt_f6(p, (double)chi2[j]);
-        *p++ = '\t';
-        p = fmt_f6(p, 0.0);
-        *p++ = '\t';
-        p = fmt_int(p, (long long)n_iter[j]);
-      }
+      p = fill(p, j);
       *p++ = '\n';
       c.len = p - c.buf;
     }
@@ -676,13 +645,90 @@ static int64_t format_rows_mt_impl(int64_t n_rows, const char* labels,
   return w;
 }
 
+// One row's numeric columns (the printf contract of ngsLD.cpp:314-351),
+// shared by the pass-through and derive formatters.
+template <typename TF>
+static inline char* emit_cols(char* p, double dist, TF r2p, TF D, TF Dp,
+                              TF r2, int extend, long long n_used,
+                              double maf1, double maf2, TF f0, TF f1, TF f2,
+                              TF f3, TF hm0, TF hm1, double chi2,
+                              long long n_iter) {
+  p = fmt_f0(p, dist);
+  *p++ = '\t';
+  p = fmt_f6(p, r2p);
+  *p++ = '\t';
+  p = fmt_f6(p, D);
+  *p++ = '\t';
+  p = fmt_f6(p, Dp);
+  *p++ = '\t';
+  p = fmt_f6(p, r2);
+  if (extend) {
+    *p++ = '\t';
+    p = fmt_int(p, n_used);
+    *p++ = '\t';
+    p = fmt_f6(p, maf1);
+    *p++ = '\t';
+    p = fmt_f6(p, maf2);
+    *p++ = '\t';
+    p = fmt_f6(p, f0);
+    *p++ = '\t';
+    p = fmt_f6(p, f1);
+    *p++ = '\t';
+    p = fmt_f6(p, f2);
+    *p++ = '\t';
+    p = fmt_f6(p, f3);
+    *p++ = '\t';
+    p = fmt_f6(p, hm0);
+    *p++ = '\t';
+    p = fmt_f6(p, hm1);
+    *p++ = '\t';
+    p = fmt_f6(p, chi2);
+    *p++ = '\t';
+    p = fmt_f6(p, 0.0);
+    *p++ = '\t';
+    p = fmt_int(p, n_iter);
+  }
+  return p;
+}
+
+// Pass-through formatter: every value column supplied as an array. The f32
+// engine hands its arrays straight through (float -> double promotion is
+// exact, so output bytes match converting host-side first). Extended-array
+// reads are guarded: callers pass 1-element dummies when extend == 0.
+template <typename TF>
+static int64_t format_rows_mt_impl(int64_t n_rows, const char* labels,
+                             const int64_t* label_off, const int64_t* s1,
+                             const int64_t* s2, const double* dist,
+                             const TF* r2p, const TF* D,
+                             const TF* Dp, const TF* r2, int extend,
+                             const int32_t* n_used, const double* maf1,
+                             const double* maf2, const TF* hap,
+                             const TF* hmaf1, const TF* hmaf2,
+                             const float* chi2, const int32_t* n_iter,
+                             char* out, int64_t out_cap, int n_threads) {
+  return mt_rows_driver(
+      n_rows, labels, label_off, s1, s2, out, out_cap, n_threads,
+      [&](char* p, int64_t j) {
+        if (!extend) {
+          return emit_cols<TF>(p, dist[j], r2p[j], D[j], Dp[j], r2[j], 0,
+                               0, 0.0, 0.0, (TF)0, (TF)0, (TF)0, (TF)0,
+                               (TF)0, (TF)0, 0.0, 0);
+        }
+        return emit_cols<TF>(p, dist[j], r2p[j], D[j], Dp[j], r2[j], 1,
+                             (long long)n_used[j], maf1[j], maf2[j],
+                             hap[4 * j], hap[4 * j + 1], hap[4 * j + 2],
+                             hap[4 * j + 3], hmaf1[j], hmaf2[j],
+                             (double)chi2[j], (long long)n_iter[j]);
+      });
+}
+
 // Derive-and-format: takes only (r2p, hap freqs) + metadata and computes
-// D, D', r2, hap MAFs, and chi2 per row inside the worker threads,
+// D, D\', r2, hap MAFs, and chi2 per row inside the worker threads,
 // mirroring engine._stats_host/_chi2_host op-for-op in the value type
-// (ld_stats semantics of ngsLD.cpp:296-306; float32-accumulated chi2 of
-// :328-333 — in the f32 engine all terms are f32, in f64 terms are f64
-// with a float accumulator). Output bytes are identical to deriving in
-// NumPy first (pinned by tests/test_native.py).
+// (ld_stats semantics of ngsLD.cpp:296-306; the reference\'s FLOAT allele
+// freqs and expected table inside chi2, :328-333, with a float
+// accumulator). Byte-identity vs deriving in NumPy first is pinned by
+// tests/test_native.py.
 template <typename TF>
 static int64_t format_rows_derive_impl(
     int64_t n_rows, const char* labels, const int64_t* label_off,
@@ -690,132 +736,43 @@ static int64_t format_rows_derive_impl(
     const TF* f, int extend, const int32_t* n_used, const double* maf1,
     const double* maf2, const int32_t* n_iter, char* out, int64_t out_cap,
     int n_threads) {
-  if (n_threads < 1) n_threads = 1;
-  if ((int64_t)n_threads > n_rows) n_threads = (int)(n_rows ? n_rows : 1);
-  struct Chunk {
-    char* buf = nullptr;
-    int64_t len = 0;
-    int64_t cap = 0;
-    bool oom = false;
-  };
-  std::vector<Chunk> chunks((size_t)n_threads);
   auto cmin = [](TF a, TF b) { return a <= b ? a : b; };  // C min() NaN rule
-  auto work = [&](int t) {
-    int64_t lo = n_rows * t / n_threads;
-    int64_t hi = n_rows * (t + 1) / n_threads;
-    Chunk& c = chunks[(size_t)t];
-    c.cap = (hi - lo) * 96 + 4096;
-    c.buf = (char*)std::malloc((size_t)c.cap);
-    if (!c.buf) {
-      c.oom = true;
-      return;
-    }
-    for (int64_t j = lo; j < hi; j++) {
-      const char* l1 = labels + label_off[s1[j]];
-      const char* l2 = labels + label_off[s2[j]];
-      size_t n1 = std::strlen(l1), n2 = std::strlen(l2);
-      if ((size_t)(c.cap - c.len) < n1 + n2 + 1024) {
-        c.cap = c.cap * 2 + (int64_t)(n1 + n2) + 4096;
-        char* nb = (char*)std::realloc(c.buf, (size_t)c.cap);
-        if (!nb) {
-          c.oom = true;
-          return;
+  return mt_rows_driver(
+      n_rows, labels, label_off, s1, s2, out, out_cap, n_threads,
+      [&](char* p, int64_t j) {
+        const TF f0 = f[4 * j], f1 = f[4 * j + 1], f2 = f[4 * j + 2],
+                 f3 = f[4 * j + 3];
+        const TF one = (TF)1;
+        const TF m0 = one - (f0 + f1);     // hap_maf1 (ngsLD.cpp:296)
+        const TF m1 = one - (f0 + f2);     // hap_maf2 (:298)
+        const TF D = f0 * f3 - f1 * f2;    // (:300)
+        const TF neg = -cmin(m0 * m1, (one - m0) * (one - m1));
+        const TF pos = cmin(m0 * (one - m1), (one - m0) * m1);
+        const TF Dp = D / (D < (TF)0 ? neg : pos);            // (:304)
+        const TF rr = D / (TF)std::sqrt(m0 * m1 * (one - m0) * (one - m1));
+        const TF r2v = rr * rr;                               // (:306)
+        if (!extend) {
+          return emit_cols<TF>(p, dist[j], r2p[j], D, Dp, r2v, 0, 0, 0.0,
+                               0.0, (TF)0, (TF)0, (TF)0, (TF)0, (TF)0,
+                               (TF)0, 0.0, 0);
         }
-        c.buf = nb;
-      }
-      const TF f0 = f[4 * j], f1 = f[4 * j + 1], f2 = f[4 * j + 2],
-               f3 = f[4 * j + 3];
-      const TF one = (TF)1;
-      const TF m0 = one - (f0 + f1);     // hap_maf1 (ngsLD.cpp:296)
-      const TF m1 = one - (f0 + f2);     // hap_maf2 (:298)
-      const TF D = f0 * f3 - f1 * f2;    // (:300)
-      const TF neg = -cmin(m0 * m1, (one - m0) * (one - m1));
-      const TF pos = cmin(m0 * (one - m1), (one - m0) * m1);
-      const TF Dp = D / (D < (TF)0 ? neg : pos);            // (:304)
-      const TF rr = D / (TF)std::sqrt(m0 * m1 * (one - m0) * (one - m1));
-      const TF r2 = rr * rr;                                // (:306)
-      char* p = c.buf + c.len;
-      std::memcpy(p, l1, n1);
-      p += n1;
-      *p++ = '\t';
-      std::memcpy(p, l2, n2);
-      p += n2;
-      *p++ = '\t';
-      p = fmt_f0(p, dist[j]);
-      *p++ = '\t';
-      p = fmt_f6(p, r2p[j]);
-      *p++ = '\t';
-      p = fmt_f6(p, D);
-      *p++ = '\t';
-      p = fmt_f6(p, Dp);
-      *p++ = '\t';
-      p = fmt_f6(p, r2);
-      if (extend) {
         // chi2 (:324-333): allele freqs and the expected table are FLOAT
-        // locals in the reference (and in _chi2_host's mirror) even when
-        // the freqs are double; terms then accumulate in the value type
-        // through a float accumulator
+        // locals even when the freqs are double
         const float fA = (float)(f0 + f1), fB = (float)(f0 + f2);
         const TF e0 = (TF)(fA * fB), e1 = (TF)(fA * (1.0f - fB)),
                  e2 = (TF)((1.0f - fA) * fB),
                  e3 = (TF)((1.0f - fA) * (1.0f - fB));
         const TF d0 = f0 - e0, d1 = f1 - e1, d2 = f2 - e2, d3 = f3 - e3;
-        float chi2 = 0.0f;
-        chi2 = (float)((TF)chi2 + d0 * d0 / e0);
-        chi2 = (float)((TF)chi2 + d1 * d1 / e1);
-        chi2 = (float)((TF)chi2 + d2 * d2 / e2);
-        chi2 = (float)((TF)chi2 + d3 * d3 / e3);
-        *p++ = '\t';
-        p = fmt_int(p, (long long)n_used[j]);
-        *p++ = '\t';
-        p = fmt_f6(p, maf1[j]);
-        *p++ = '\t';
-        p = fmt_f6(p, maf2[j]);
-        *p++ = '\t';
-        p = fmt_f6(p, f0);
-        *p++ = '\t';
-        p = fmt_f6(p, f1);
-        *p++ = '\t';
-        p = fmt_f6(p, f2);
-        *p++ = '\t';
-        p = fmt_f6(p, f3);
-        *p++ = '\t';
-        p = fmt_f6(p, m0);
-        *p++ = '\t';
-        p = fmt_f6(p, m1);
-        *p++ = '\t';
-        p = fmt_f6(p, (double)chi2);
-        *p++ = '\t';
-        p = fmt_f6(p, 0.0);
-        *p++ = '\t';
-        p = fmt_int(p, (long long)n_iter[j]);
-      }
-      *p++ = '\n';
-      c.len = p - c.buf;
-    }
-  };
-  std::vector<std::thread> ths;
-  for (int t = 1; t < n_threads; t++) ths.emplace_back(work, t);
-  work(0);
-  for (auto& th : ths) th.join();
-  bool oom = false;
-  for (auto& c : chunks) oom |= c.oom;
-  if (oom) {
-    for (auto& c : chunks) std::free(c.buf);
-    return -2;
-  }
-  int64_t total = 0;
-  for (auto& c : chunks) total += c.len;
-  int64_t w = -1;
-  if (total <= out_cap) {
-    w = 0;
-    for (auto& c : chunks) {
-      std::memcpy(out + w, c.buf, (size_t)c.len);
-      w += c.len;
-    }
-  }
-  for (auto& c : chunks) std::free(c.buf);
-  return w;
+        float chi2v = 0.0f;
+        chi2v = (float)((TF)chi2v + d0 * d0 / e0);
+        chi2v = (float)((TF)chi2v + d1 * d1 / e1);
+        chi2v = (float)((TF)chi2v + d2 * d2 / e2);
+        chi2v = (float)((TF)chi2v + d3 * d3 / e3);
+        return emit_cols<TF>(p, dist[j], r2p[j], D, Dp, r2v, 1,
+                             (long long)n_used[j], maf1[j], maf2[j], f0, f1,
+                             f2, f3, m0, m1, (double)chi2v,
+                             (long long)n_iter[j]);
+      });
 }
 
 extern "C" {

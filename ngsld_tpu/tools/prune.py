@@ -54,12 +54,13 @@ def build_graph(lines, field_dist: int, field_weight: int, max_dist: float,
             continue
         if min_weight is not None and w < min_weight:
             continue
-        if weight_type == "n":
-            w = 1.0
         if not math.isfinite(w):
             # degenerate pairs (zero-variance r2 etc.) print nan/inf; they
             # carry no usable LD weight and would overflow quantization
+            # (checked before the 'n' override so count-mode skips them too)
             continue
+        if weight_type == "n":
+            w = 1.0
         wq = int(w * scale)
         # parallel edges accumulate, like repeated rows in a graph
         adj[u][v] = adj[u].get(v, 0) + wq

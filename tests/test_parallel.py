@@ -173,8 +173,10 @@ def test_ring_cli_matches_strict(tmp_path):
             a, b = float(sf[c]), float(rf[c])
             if not (np.isfinite(a) and np.isfinite(b)):
                 # degenerate 0/0 forms (zero expected hap freqs) are
-                # garbage in both engines; test_engine.compare exempts
-                # them the same way
+                # garbage in both engines (inf vs nan spellings differ);
+                # but finite-vs-nonfinite would be a real regression
+                assert not (np.isfinite(a) or np.isfinite(b)), \
+                    f"col {c}: {sr}\n{rr}"
                 continue
             assert abs(a - b) <= 5e-5, f"col {c}: {sr}\n{rr}"
 
@@ -234,5 +236,7 @@ def test_ring_cli_call_geno_ignore_miss(tmp_path):
         for c in range(2, len(sf)):
             a, b = float(sf[c]), float(rf[c])
             if not (np.isfinite(a) and np.isfinite(b)):
+                assert not (np.isfinite(a) or np.isfinite(b)), \
+                    f"col {c}: {sr}\n{rr}"
                 continue
             assert abs(a - b) <= 5e-5, f"col {c}: {sr}\n{rr}"
