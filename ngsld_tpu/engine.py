@@ -1,22 +1,36 @@
 """JAX engine driver: the fast device path (TPU or CPU via XLA/Pallas).
 
-Pipeline (mirrors main(), ngsLD.cpp:27-223, re-architected for a device):
-  host: read GLs/positions (native/strict readers — exact reference
-        semantics)
-  dev:  preprocess (call_geno, MAF, normal-space GLs, E[G])   [jit]
-  host: banded pair plan (vectorized, RNG-exact)              [plan.band]
-  dev:  per block: pair EM + D/D'/r2/chi2 + Pearson r2        [jit or Pallas]
-  host: format + emit TSV rows in deterministic (s1, s2) order
+Pipeline (mirrors main(), ngsLD.cpp:27-223, re-architected for a device;
+every stage below overlaps its neighbors via bounded queues/threads):
+  host: binary GLs stream to the device in slabs while positions parse
+        (text inputs take the native/strict readers — exact reference
+        semantics); normalization happens on device (preprocess raw=True)
+  dev:  preprocess (call_geno, MAF, normal-space GLs, E[G])   [jit, sharded]
+  host: banded pair plan (native C++ slab enumerator, RNG-exact), produced
+        on a prefetch thread                                  [plan.band]
+  dev:  per block: pair EM (Pallas: column kernel, row kernel for large
+        cohorts, XLA fallback) + Pearson r2; only (r2p, hap freqs) +
+        int16 metadata return over the link
+  host: 3-stage emit pipeline — pull (tunnel IO) -> derive stats + format
+        (native C, stats computed in the formatter's worker threads) ->
+        write (disk IO) — rows in deterministic (s1, s2) order
+
+Two sharding modes: the default replicates the tables over a 1-D 'pairs'
+mesh (--shard); --ring keeps them site-sharded and ring-passes partner
+blocks for tables too large to replicate (multi-host: per-process shards).
 
 Precision: f64 on CPU (reference-grade), f32 on TPU (fast path; TPU f64 is
 software-emulated). Values agree with the strict engine to ~1e-12 (f64) /
 ~1e-4 (f32); the strict engine remains the byte-exact contract.
 
 Aux subsystems the reference lacks (SURVEY.md §5):
-  * phase timing + counters + EM-iteration histogram (--verbose)
+  * phase timing + stage wall-time counters + EM-iteration histogram
+    (--verbose 2)
   * JAX profiler traces (--profile DIR)
   * checkpoint/resume: per-block output shards + manifest (--checkpoint DIR);
-    a killed run re-runs only the missing blocks.
+    a killed run re-runs only the missing blocks
+  * graceful SIGINT/SIGTERM: in-flight blocks flush, exit 130, resumable
+  * activity-aware device-link keepalive for tunneled accelerators.
 """
 
 from __future__ import annotations
