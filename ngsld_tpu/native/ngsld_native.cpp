@@ -466,7 +466,9 @@ int ngsld_read_pos(const char* path, int64_t header_skip, int64_t n_sites,
       if (len > 0 && buf[len - 1] == '\n') break;
     }
     if (!got) {
-      set_err(err, errlen, "could not read specified number of lines!");
+      // read_split reads ALL lines; the reference errors on any count
+      // mismatch (read_data.cpp:178-179)
+      set_err(err, errlen, "wrong number of lines in POS file!");
       rc = 2;
       goto done;
     }
@@ -549,6 +551,30 @@ int ngsld_read_pos(const char* path, int64_t header_skip, int64_t n_sites,
     lab_w += (int64_t)len;
     labels[lab_w++] = '\0';
     s++;
+  }
+  // any further data line means the file has MORE lines than n_sites:
+  // the reference errors (read_data.cpp:178-179) instead of truncating
+  while (true) {
+    size_t len = 0;
+    bool got = false;
+    while (true) {
+      if (len + 2 >= cap) {
+        cap *= 2;
+        buf = (char*)std::realloc(buf, cap);
+      }
+      if (gzgets(fh, buf + len, (int)(cap - len)) == nullptr) break;
+      got = true;
+      len += std::strlen(buf + len);
+      if (len > 0 && buf[len - 1] == '\n') break;
+    }
+    if (!got) break;  // clean EOF
+    if (len > 0 && (buf[len - 1] == '\n' || buf[len - 1] == '\r')) {
+      buf[--len] = '\0';
+    }
+    if (len == 0 || buf[0] == '#') continue;  // read_file skip rules
+    set_err(err, errlen, "wrong number of lines in POS file!");
+    rc = 2;
+    goto done;
   }
   *labels_len = lab_w;
 done:

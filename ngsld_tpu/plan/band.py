@@ -48,7 +48,6 @@ def contig_positions(pos_dist: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     pos = np.where(np.isinf(pos_dist), 0.0, pos_dist)
     # cumulative within contig: global cumsum minus cumsum at contig start
     csum = np.cumsum(pos)
-    start_of_contig = np.zeros(n)
     first_idx = np.flatnonzero(np.r_[True, brk[1:]])
     # value of csum just before each contig's first site
     base = np.zeros(len(first_idx))
@@ -112,8 +111,11 @@ def iter_pair_blocks(pars, maf: np.ndarray, pos_dist: np.ndarray,
     # process anchors in slabs sized so the EMITTED pair count ~ block_pairs:
     # with sampling, only ~rnd_sample of candidates survive, so the
     # candidate budget scales by 1/rnd_sample (else blocks arrive ~5% full
-    # and the device computes 95% padding)
+    # and the device computes 95% padding). Capped: extreme rnd_sample
+    # would otherwise size multi-GB candidate slabs (native a/b/d output
+    # buffers are allocated at the candidate count)
     budget = block_pairs / pars.rnd_sample if need_rng else block_pairs
+    budget = min(budget, max(block_pairs, 32_000_000))
     cand_cum = np.cumsum(counts)
     use_native = os.environ.get("NGSLD_NO_NATIVE") != "1"
     s1 = 0
@@ -155,10 +157,22 @@ def iter_pair_blocks(pars, maf: np.ndarray, pos_dist: np.ndarray,
                 base = np.repeat(excl[grp_start], cslice)
                 ccum = excl - base
                 max_draws = int(cslice.max()) if len(cslice) else 0
-                u = taus_uniforms(seeds[s1:s1_end], max_draws) if max_draws else None
                 draw = np.zeros(len(a))
                 rows = a - s1
-                draw[keep] = u[rows[keep], ccum[keep]]
+                if max_draws:
+                    # uniforms matrix is (anchors, max band in chunk):
+                    # chunk anchors so a single wide-band anchor cannot
+                    # blow the allocation up for the whole slab
+                    n_anch = s1_end - s1
+                    step = max(1, (1 << 26) // max_draws)
+                    for a0 in range(0, n_anch, step):
+                        a1 = min(a0 + step, n_anch)
+                        sub_max = int(cslice[a0:a1].max())
+                        if sub_max == 0:
+                            continue
+                        u = taus_uniforms(seeds[s1 + a0:s1 + a1], sub_max)
+                        m = keep & (rows >= a0) & (rows < a1)
+                        draw[m] = u[rows[m] - a0, ccum[m]]
                 keep &= ~(draw > pars.rnd_sample)
             a, b = a[keep], b[keep]
             d = np.where(contig[a] == contig[b], pos[b] - pos[a], np.inf)

@@ -28,6 +28,7 @@ from __future__ import annotations
 import gzip
 import math
 import os
+import re
 import struct
 import sys
 import time
@@ -81,19 +82,31 @@ def chomp(line: str) -> str:
     return line
 
 
+_C_FLOAT_RE = re.compile(
+    r"[+-]?(?:(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+    r"|0[xX][0-9a-fA-F]+(?:\.[0-9a-fA-F]*)?(?:[pP][+-]?\d+)?"
+    r"|[iI][nN][fF](?:[iI][nN][iI][tT][yY])?"
+    r"|[nN][aA][nN])")
+
+
 def _strtod_full(tok: str) -> float | None:
     """C strtod that must consume the whole token (split drops partial
-    parses, gen_func.cpp:390-411: `if(*end_ptr) i--`)."""
+    parses, gen_func.cpp:390-411: `if(*end_ptr) i--`).
+
+    Python's float() is LOOSER than C strtod here: it strips surrounding
+    whitespace (so a CRLF file's trailing '\\r' would pass) and accepts
+    '1_0' digit separators — both of which C leaves in *end_ptr, making
+    the reference DROP the token. Validate C syntax first."""
+    if not _C_FLOAT_RE.fullmatch(tok):
+        return None
     try:
         return float(tok)
     except ValueError:
-        # strtod also accepts hex floats; float() does not.
-        if tok[:2].lower() in ("0x", "-0", "+0") and "x" in tok.lower():
-            try:
-                return float.fromhex(tok)
-            except ValueError:
-                return None
-        return None
+        # hex floats pass the regex but not float()
+        try:
+            return float.fromhex(tok)
+        except ValueError:
+            return None
 
 
 def split_doubles(line: str) -> list:
@@ -555,7 +568,11 @@ def _strtoul_prefix(tok: str) -> int:
         return 0  # bare "0"-prefixed with no octal digits is just 0
     if base == 16 and not seen:
         return 0
-    return -val if neg else val
+    # C strtoul negates MODULO 2^64: '-5' -> 2^64-5. A negative position
+    # then makes the next same-chr distance hugely negative, so the
+    # reference errors 'invalid distance' — returning a Python negative
+    # here would silently accept such files.
+    return (2**64 - val) % 2**64 if neg else val
 
 
 def read_pos(path: str, header: bool, n_sites: int) -> tuple:
@@ -574,7 +591,12 @@ def read_pos(path: str, header: bool, n_sites: int) -> tuple:
         if native is not None:
             return native
 
-    lines = _read_file_lines(path, 1 if header else 0, n_sites)
+    # read_split reads ALL lines and the reference errors on any count
+    # mismatch (read_data.cpp:175-179) — truncating extra lines would
+    # silently produce output the reference refuses to produce
+    lines = _read_file_lines(path, 1 if header else 0, None)
+    if len(lines) != n_sites:
+        raise StrictError("read_dist", "wrong number of lines in POS file!")
     rows = [ln.split("\t") for ln in lines]  # read_split sep="\t", keeps empties
     n_fields = len(rows[0])
     for r in rows:

@@ -97,28 +97,40 @@ def load_ld_file(path, ld_stats, min_maf, max_kb_dist, use_recomb, recomb_rate,
             rows.insert(0, first)
         idx = {c: i for i, c in enumerate(cols)}
 
-    def col(name):
-        return np.array([float(r[idx[name]]) for r in rows])
-
-    dist = col("dist")
-    keep = dist < max_kb_dist * 1000
+    # one parse pass over the rows: pull every needed column at once
+    # (col-at-a-time float() passes multiply load time on multi-GB files)
+    want = ["dist"] + [s for s in ld_stats]
     if "maf1" in idx and "maf2" in idx:
-        keep &= (col("maf1") >= min_maf) & (col("maf2") >= min_maf)
-    out = {}
+        want += ["maf1", "maf2"]
     for stat in ld_stats:
         if stat not in idx:
             raise SystemExit(f"column {stat} not in {path}")
-        v = col(stat)[keep]
+    take = [idx[c] for c in want]
+    mat = np.array([[float(r[i]) for i in take] for r in rows])
+    bycol = {c: mat[:, j] for j, c in enumerate(want)}
+
+    dist = bycol["dist"]
+    keep = dist < max_kb_dist * 1000
+    if "maf1" in bycol:
+        keep &= (bycol["maf1"] >= min_maf) & (bycol["maf2"] >= min_maf)
+    out = {}
+    for stat in ld_stats:
+        v = bycol[stat][keep]
         d = dist[keep]
         fin = np.isfinite(v) & np.isfinite(d)
         v, d = v[fin], d[fin]
         if use_recomb:
             d = (1 - (1 - recomb_rate * 0.01 / 1e6) ** d) / 2
         if fit_bin_size > 1 and len(d):
+            # left-open right-closed bins (a, b], like the R reference's
+            # cut() (fit_LDdecay.R:143-151): an edge-exact distance joins
+            # the LOWER bin, and dist <= 0 falls outside all bins (R's NA)
             edges = np.arange(0, d.max() + 2 * fit_bin_size, fit_bin_size)
-            which = np.digitize(d, edges) - 1
+            which = np.digitize(d, edges, right=True) - 1
             bd, bv = [], []
             for b in np.unique(which):
+                if b < 0:  # dist <= 0: R's cut() yields NA -> dropped
+                    continue
                 sel = which == b
                 bd.append(edges[b])
                 bv.append(np.quantile(v[sel], bin_quant / 100)
@@ -198,11 +210,16 @@ def main(argv=None) -> int:
             results.append(row)
             curves.append((path, stat, d, v, par))
 
-    cols = list(results[0].keys()) if results else []
+    # union of keys across rows: a row whose bootstrap fits all failed has
+    # no CI columns and must print nan there, not raise
+    cols = []
+    for row in results:
+        cols += [c for c in row if c not in cols]
     print("\t".join(cols))
     for row in results:
-        print("\t".join(f"{row[c]:.6g}" if isinstance(row[c], float) else str(row[c])
-                        for c in cols))
+        print("\t".join(
+            f"{row[c]:.6g}" if isinstance(row.get(c), float)
+            else str(row.get(c, "nan")) for c in cols))
 
     if args.out:
         _plot(curves, args, ld_stats)

@@ -70,25 +70,35 @@ def build_graph(lines, field_dist: int, field_weight: int, max_dist: float,
 
 def prune(nodes, adj, keep_heavy: bool = False, debug=None):
     """Iteratively drop the heaviest node (or its neighbors) until edgeless.
-    Returns (kept, dropped) label lists."""
+    Returns (kept, dropped) label lists.
+
+    The reference removes the max-weight node while ANY edges remain
+    (prune_ngsLD.py:163-186) — including zero/negative-weight ones (raw
+    D weights can be negative under --weight_type e), so candidacy is
+    by live degree, not weight sign. Self-loop rows (site1 == site2)
+    are tolerated."""
     weight = {u: sum(adj[u].values()) for u in nodes}
-    n_edges = sum(len(a) for a in adj.values()) // 2
+    n_self = sum(1 for u in nodes if u in adj[u])
+    n_edges = (sum(len(a) for a in adj.values()) + n_self) // 2
     alive = set(nodes)
     dropped = []
     # lazy max-heap keyed by (-weight, lowercase label) matches the
     # reference's max-weight-then-lexicographic-lowercase selection
-    heap = [(-w, u.lower(), u) for u, w in weight.items() if w > 0]
+    heap = [(-weight[u], u.lower(), u) for u in nodes if adj[u]]
     heapq.heapify(heap)
 
     def remove_node(u):
         """Remove u; returns the number of live edges it carried."""
         cut = 0
-        for v, w in adj[u].items():
+        for v, w in list(adj[u].items()):
+            if v == u:       # self-loop: one edge, no neighbor update
+                cut += 1
+                continue
             if v in alive:
                 cut += 1
                 weight[v] -= w
                 del adj[v][u]
-                if weight[v] > 0:
+                if adj[v]:
                     heapq.heappush(heap, (-weight[v], v.lower(), v))
         adj[u] = {}
         weight[u] = 0
@@ -99,7 +109,7 @@ def prune(nodes, adj, keep_heavy: bool = False, debug=None):
     while n_edges > 0:
         while heap:
             negw, _, u = heapq.heappop(heap)
-            if u in alive and weight[u] == -negw and weight[u] > 0:
+            if u in alive and weight[u] == -negw and adj[u]:
                 break
         else:
             break

@@ -93,3 +93,43 @@ def test_read_pos_nondecreasing_errors(tmp_path):
     p.write_text("chr1\t100\nchr1\t100\n")
     with pytest.raises(strict.StrictError):
         strict.read_pos(str(p), False, 2)
+
+
+def test_read_pos_extra_lines_error(tmp_path):
+    """The reference reads ALL pos lines and errors on a count mismatch
+    (read_data.cpp:178-179); truncation would emit output the reference
+    refuses. Both the native and pure-Python readers must error."""
+    import os
+
+    p = tmp_path / "extra.pos"
+    p.write_text("chr1\t100\nchr1\t200\nchr1\t300\n")
+    for no_native in ("0", "1"):
+        os.environ["NGSLD_NO_NATIVE"] = no_native
+        try:
+            with pytest.raises(strict.StrictError, match="wrong number"):
+                strict.read_pos(str(p), False, 2)
+        finally:
+            del os.environ["NGSLD_NO_NATIVE"]
+
+
+def test_read_pos_negative_position_errors(tmp_path):
+    """C strtoul wraps '-N' modulo 2^64, so a negative position makes the
+    next same-chr distance hugely negative -> 'invalid distance' error."""
+    p = tmp_path / "neg.pos"
+    p.write_text("chr1\t-10\nchr1\t-5\n")
+    with pytest.raises(strict.StrictError, match="invalid distance"):
+        strict.read_pos(str(p), False, 2)
+
+
+def test_strtod_full_rejects_c_incompatible_tokens():
+    """Python float() is looser than C strtod's consume-whole-token rule:
+    trailing whitespace (CRLF files) and '_' separators must be rejected."""
+    assert strict._strtod_full("0.33\r") is None
+    assert strict._strtod_full("1_0") is None
+    assert strict._strtod_full(" 0.33") is None
+    assert strict._strtod_full("0.33") == 0.33
+    assert strict._strtod_full("-1e-3") == -1e-3
+    assert strict._strtod_full("inf") == float("inf")
+    import math
+    assert math.isnan(strict._strtod_full("nan"))
+    assert strict._strtod_full("0x1p3") == 8.0

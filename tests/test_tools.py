@@ -163,3 +163,50 @@ def test_prune_nonfinite_weights(tmp_path):
     kept = out.read_text().splitlines()
     # only the finite edge (10, 30) prunes one of its ends; 20 is edgeless
     assert "chr1:20" in kept and len(kept) == 2
+
+
+def test_prune_self_loop_no_crash(tmp_path):
+    """A row with identical labels (self-loop) must not crash the pruner."""
+    ld = tmp_path / "x.ld"
+    ld.write_text(
+        "chr1:10\tchr1:10\t0\t0.5\t0.1\t0.9\t0.9\n"
+        "chr1:10\tchr1:20\t10\t0.5\t0.1\t0.9\t0.8\n")
+    out = tmp_path / "kept.pos"
+    from ngsld_tpu.tools.prune import main
+    assert main(["--input", str(ld), "--output", str(out),
+                 "--max_dist", "100", "--min_weight", "0.1"]) == 0
+    assert len(out.read_text().splitlines()) >= 1
+
+
+def test_prune_negative_weights_still_prunes(tmp_path):
+    """weight_type 'e' keeps raw (possibly negative) weights: the reference
+    removes the max-weight node while ANY edges remain, so connected pairs
+    must still be separated even when every weight is negative."""
+    ld = tmp_path / "x.ld"
+    ld.write_text("chr1:10\tchr1:20\t10\t0.5\t-0.1\t0.9\t0.8\n")
+    out = tmp_path / "kept.pos"
+    from ngsld_tpu.tools.prune import main
+    assert main(["--input", str(ld), "--output", str(out), "--max_dist",
+                 "100", "--min_weight", "-1", "--weight_type", "e",
+                 "--field_weight", "5"]) == 0
+    kept = out.read_text().splitlines()
+    assert len(kept) == 1  # one end of the edge must be dropped
+
+
+def test_fit_decay_bin_edges_right_closed(tmp_path):
+    """Binning mirrors R's cut(): intervals (a, b], so an edge-exact
+    distance joins the LOWER bin and dist == 0 is dropped."""
+    import numpy as np
+
+    from ngsld_tpu.tools.fit_decay import load_ld_file
+    ld = tmp_path / "x.ld"
+    rows = [("chr1:1", "chr1:2", "0", "0.9"),     # dist 0: dropped by cut
+            ("chr1:1", "chr1:3", "250", "0.5"),   # edge: joins bin (0,250]
+            ("chr1:1", "chr1:4", "251", "0.1")]   # next bin (250,500]
+    ld.write_text("site1\tsite2\tdist\tr2\n" +
+                  "".join("\t".join(r) + "\n" for r in rows))
+    out = load_ld_file(str(ld), ["r2"], 0.0, float("inf"), False, 1.0,
+                       250, 0)
+    d, v = out["r2"]
+    assert list(d) == [0.0, 250.0]
+    np.testing.assert_allclose(v, [0.5, 0.1])
