@@ -282,61 +282,73 @@ def pair_em_batch(gn1: np.ndarray, gn2: np.ndarray, maf1: np.ndarray,
     n_used = include.sum(axis=1).astype(np.int64)
 
     n_iter = np.full(P, ITER_MAX, dtype=np.int64)
-    active = np.ones(P, dtype=bool)
+
+    # Active-set compaction: every pair's EM is independent and converged
+    # pairs never change again, so retired rows are gathered OUT of the
+    # working arrays. Bit-exactness is unaffected (all ops below are
+    # elementwise per row); the win is that the per-individual fold (4 *
+    # n_ind numpy calls per iteration) runs only on still-active pairs —
+    # typically a small tail after ~20 iterations.
+    work = np.arange(P)
+    g1w, g2w, incw, xw = gn1, gn2, include, n_used
 
     with np.errstate(all="ignore"):
         for it in range(ITER_MAX):
-            f_old = f.copy()
-            fk = [f[:, k] for k in range(4)]
+            fw = f[work]
+            fk = [fw[:, k] for k in range(4)]
+            Pw = len(work)
             # Per-individual denominator: 16 sequential fused terms in C's
             # exact order ((f[k]*f[h])*p0)*p1 (gen_func.cpp:1094-1097).
-            SUM = np.zeros((P, n_ind))
+            SUM = np.zeros((Pw, n_ind))
             for k in range(4):
                 for h in range(4):
                     SUM = SUM + ((fk[k] * fk[h])[:, None]
-                                 * gn1[:, :, _G1[k][h]]) * gn2[:, :, _G2[k][h]]
+                                 * g1w[:, :, _G1[k][h]]) * g2w[:, :, _G2[k][h]]
             # Per-individual numerators tmp_k: 4 sequential terms each
             # (gen_func.cpp:1099-1104). The two orderings (h,k)/(k,h) index
             # the same (G1,G2) cell, so p+p == 2p exactly; keep C's explicit
             # x+x form anyway.
             TMP = []
             for k in range(4):
-                t = np.zeros((P, n_ind))
+                t = np.zeros((Pw, n_ind))
                 for h in range(4):
-                    x1 = gn1[:, :, _G1[h][k]] * gn2[:, :, _G2[h][k]]
-                    x2 = gn1[:, :, _G1[k][h]] * gn2[:, :, _G2[k][h]]
+                    x1 = g1w[:, :, _G1[h][k]] * g2w[:, :, _G2[h][k]]
+                    x2 = g1w[:, :, _G1[k][h]] * g2w[:, :, _G2[k][h]]
                     t = t + (fk[k] * fk[h])[:, None] * (x1 + x2)
                 TMP.append(t)
             # ff_k = sequential fold over individuals of tmp/sum
             # (gen_func.cpp:1106), skipping excluded individuals.
-            ff = np.zeros((P, 4))
+            ff = np.zeros((Pw, 4))
             for i in range(n_ind):
-                inc = include[:, i]
+                inc = incw[:, i]
                 for k in range(4):
                     ff[:, k] = np.where(inc, ff[:, k] + TMP[k][:, i] / SUM[:, i],
                                         ff[:, k])
             # f_k = ff_k / (2x) (gen_func.cpp:1109-1110)
-            two_x = (2.0 * n_used).astype(np.float64)
+            two_x = (2.0 * xw).astype(np.float64)
             f_new = ff / two_x[:, None]
             # In-place sequential normalization (gen_func.cpp:1112-1113):
             # each k's denominator sees already-normalized f[0..k-1].
             for k in range(4):
                 denom = ((f_new[:, 0] + f_new[:, 1]) + f_new[:, 2]) + f_new[:, 3]
                 f_new[:, k] = f_new[:, k] / denom
-            # freeze converged/inactive pairs
-            f = np.where(active[:, None], f_new, f)
+            f[work] = f_new
             # eps = fold of `if (x > eps) eps = x` over k (gen_func.cpp:1048-1052):
             # NaN diffs compare false and are SKIPPED, so an all-NaN update
             # (e.g. x=0 with --ignore_miss_data) leaves eps at 0 -> converged.
-            diffs = np.abs(f - f_old)
-            eps = np.zeros(P)
+            diffs = np.abs(f_new - fw)
+            eps = np.zeros(Pw)
             for k in range(4):
                 eps = np.where(diffs[:, k] > eps, diffs[:, k], eps)
-            newly = active & (eps < EPSILON)
-            n_iter[newly] = it
-            active &= ~newly
-            if not active.any():
+            conv = eps < EPSILON
+            n_iter[work[conv]] = it
+            if conv.all():
                 break
+            if conv.any():
+                keep = ~conv
+                work = work[keep]
+                g1w, g2w = g1w[keep], g2w[keep]
+                incw, xw = incw[keep], xw[keep]
     return f, n_iter, n_used
 
 
