@@ -291,39 +291,58 @@ def pair_em_batch(gn1: np.ndarray, gn2: np.ndarray, maf1: np.ndarray,
     # typically a small tail after ~20 iterations.
     work = np.arange(P)
     g1w, g2w, incw, xw = gn1, gn2, include, n_used
+    exclw = ~include
+    activew = np.ones(P, dtype=bool)  # active rows within the working set
+    # Preallocated scratch: the inner loop below otherwise allocates ~30
+    # (P, n_ind) temporaries per EM iteration, and mmap/munmap churn on
+    # multi-hundred-MB arrays dominates wall time at large cohorts. All
+    # in-place rewrites below preserve bit-exactness: values and operation
+    # ORDER are unchanged (IEEE multiply is commutative bitwise).
+    SUM = np.empty((P, n_ind))
+    TK = np.empty((P, n_ind))
+    U = np.empty((P, n_ind))
+    V = np.empty((P, n_ind))
 
     with np.errstate(all="ignore"):
         for it in range(ITER_MAX):
             fw = f[work]
             fk = [fw[:, k] for k in range(4)]
             Pw = len(work)
+            s_, tk, u, v = SUM[:Pw], TK[:Pw], U[:Pw], V[:Pw]
             # Per-individual denominator: 16 sequential fused terms in C's
             # exact order ((f[k]*f[h])*p0)*p1 (gen_func.cpp:1094-1097).
-            SUM = np.zeros((Pw, n_ind))
+            s_[:] = 0.0
             for k in range(4):
                 for h in range(4):
-                    SUM = SUM + ((fk[k] * fk[h])[:, None]
-                                 * g1w[:, :, _G1[k][h]]) * g2w[:, :, _G2[k][h]]
-            # Per-individual numerators tmp_k: 4 sequential terms each
-            # (gen_func.cpp:1099-1104). The two orderings (h,k)/(k,h) index
-            # the same (G1,G2) cell, so p+p == 2p exactly; keep C's explicit
-            # x+x form anyway.
-            TMP = []
-            for k in range(4):
-                t = np.zeros((Pw, n_ind))
-                for h in range(4):
-                    x1 = g1w[:, :, _G1[h][k]] * g2w[:, :, _G2[h][k]]
-                    x2 = g1w[:, :, _G1[k][h]] * g2w[:, :, _G2[k][h]]
-                    t = t + (fk[k] * fk[h])[:, None] * (x1 + x2)
-                TMP.append(t)
-            # ff_k = sequential fold over individuals of tmp/sum
-            # (gen_func.cpp:1106), skipping excluded individuals.
+                    np.multiply(g1w[:, :, _G1[k][h]],
+                                (fk[k] * fk[h])[:, None], out=u)
+                    u *= g2w[:, :, _G2[k][h]]
+                    s_ += u
+            # ff_k = per k: numerator tmp_k (4 sequential terms each, the
+            # two orderings (h,k)/(k,h) kept as explicit x+x like C,
+            # gen_func.cpp:1099-1104), then the sequential fold over
+            # individuals of tmp/sum (gen_func.cpp:1106) skipping excluded
+            # individuals. cumsum's per-row accumulation is the same
+            # strictly-sequential order as the reference's loop, and adding
+            # +0.0 for an excluded individual is bit-exact skipping here
+            # (terms and accumulator are always >= +0.0).
             ff = np.zeros((Pw, 4))
-            for i in range(n_ind):
-                inc = incw[:, i]
-                for k in range(4):
-                    ff[:, k] = np.where(inc, ff[:, k] + TMP[k][:, i] / SUM[:, i],
-                                        ff[:, k])
+            for k in range(4):
+                if not n_ind:
+                    break
+                tk[:] = 0.0
+                for h in range(4):
+                    np.multiply(g1w[:, :, _G1[h][k]],
+                                g2w[:, :, _G2[h][k]], out=u)
+                    np.multiply(g1w[:, :, _G1[k][h]],
+                                g2w[:, :, _G2[k][h]], out=v)
+                    u += v
+                    u *= (fk[k] * fk[h])[:, None]
+                    tk += u
+                tk /= s_
+                np.copyto(tk, 0.0, where=exclw)
+                np.cumsum(tk, axis=1, out=tk)  # in-place prefix sum is safe
+                ff[:, k] = tk[:, -1]
             # f_k = ff_k / (2x) (gen_func.cpp:1109-1110)
             two_x = (2.0 * xw).astype(np.float64)
             f_new = ff / two_x[:, None]
@@ -332,7 +351,8 @@ def pair_em_batch(gn1: np.ndarray, gn2: np.ndarray, maf1: np.ndarray,
             for k in range(4):
                 denom = ((f_new[:, 0] + f_new[:, 1]) + f_new[:, 2]) + f_new[:, 3]
                 f_new[:, k] = f_new[:, k] / denom
-            f[work] = f_new
+            # frozen (converged but not yet compacted) rows keep their state
+            f[work] = np.where(activew[:, None], f_new, fw)
             # eps = fold of `if (x > eps) eps = x` over k (gen_func.cpp:1048-1052):
             # NaN diffs compare false and are SKIPPED, so an all-NaN update
             # (e.g. x=0 with --ignore_miss_data) leaves eps at 0 -> converged.
@@ -340,15 +360,22 @@ def pair_em_batch(gn1: np.ndarray, gn2: np.ndarray, maf1: np.ndarray,
             eps = np.zeros(Pw)
             for k in range(4):
                 eps = np.where(diffs[:, k] > eps, diffs[:, k], eps)
-            conv = eps < EPSILON
-            n_iter[work[conv]] = it
-            if conv.all():
+            newly = activew & (eps < EPSILON)
+            n_iter[work[newly]] = it
+            activew &= ~newly
+            n_act = int(activew.sum())
+            if n_act == 0:
                 break
-            if conv.any():
-                keep = ~conv
+            # compact only when a quarter of the set is dead weight:
+            # per-iteration compaction would recopy the (P, n_ind, 3) GL
+            # slices every time a single straggler retires
+            if Pw - n_act >= max(256, Pw // 4):
+                keep = activew
                 work = work[keep]
                 g1w, g2w = g1w[keep], g2w[keep]
                 incw, xw = incw[keep], xw[keep]
+                exclw = exclw[keep]
+                activew = np.ones(len(work), dtype=bool)
     return f, n_iter, n_used
 
 
