@@ -211,7 +211,7 @@ class LabelBlob:
             return NotImplemented
 
 
-_READ_POS_WHERE = {1: "read_file", 2: "read_file", 3: "read_split",
+_READ_POS_WHERE = {1: "read_file", 2: "read_dist", 3: "read_split",
                    4: "read_dist", 5: "read_dist", 6: "read_dist"}
 
 

@@ -82,31 +82,41 @@ def chomp(line: str) -> str:
     return line
 
 
+_C_WS = " \t\r\n\v\f"
 _C_FLOAT_RE = re.compile(
+    r"[ \t\r\n\v\f]*"  # strtod skips LEADING whitespace (isspace)
     r"[+-]?(?:(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
-    r"|0[xX][0-9a-fA-F]+(?:\.[0-9a-fA-F]*)?(?:[pP][+-]?\d+)?"
+    r"|0[xX](?:[0-9a-fA-F]+(?:\.[0-9a-fA-F]*)?|\.[0-9a-fA-F]+)"
+    r"(?:[pP][+-]?\d+)?"
     r"|[iI][nN][fF](?:[iI][nN][iI][tT][yY])?"
-    r"|[nN][aA][nN])")
+    r"|[nN][aA][nN](?:\([0-9a-zA-Z_]*\))?)")
 
 
 def _strtod_full(tok: str) -> float | None:
     """C strtod that must consume the whole token (split drops partial
     parses, gen_func.cpp:390-411: `if(*end_ptr) i--`).
 
-    Python's float() is LOOSER than C strtod here: it strips surrounding
-    whitespace (so a CRLF file's trailing '\\r' would pass) and accepts
-    '1_0' digit separators — both of which C leaves in *end_ptr, making
-    the reference DROP the token. Validate C syntax first."""
+    Python's float() diverges from C strtod both ways: it strips TRAILING
+    whitespace (a CRLF file's '\\r' would pass where C leaves it in
+    *end_ptr and the reference DROPS the token) and accepts '1_0' digit
+    separators; C additionally skips leading whitespace and consumes
+    'nan(payload)' and digitless hex fractions like '0x.8p1' (all
+    verified against glibc). Validate C syntax, then parse."""
     if not _C_FLOAT_RE.fullmatch(tok):
         return None
-    try:
-        return float(tok)
-    except ValueError:
-        # hex floats pass the regex but not float()
+    t = tok.lstrip(_C_WS)
+    body = t.lstrip("+-").lower()
+    if body.startswith("nan"):
+        return math.copysign(math.nan, -1.0 if t[:1] == "-" else 1.0)
+    if body.startswith("0x"):
         try:
-            return float.fromhex(tok)
+            return float.fromhex(t)
         except ValueError:
             return None
+    try:
+        return float(t)
+    except ValueError:
+        return None
 
 
 def split_doubles(line: str) -> list:
@@ -290,7 +300,7 @@ def pair_em_batch(gn1: np.ndarray, gn2: np.ndarray, maf1: np.ndarray,
     # n_ind numpy calls per iteration) runs only on still-active pairs —
     # typically a small tail after ~20 iterations.
     work = np.arange(P)
-    g1w, g2w, incw, xw = gn1, gn2, include, n_used
+    g1w, g2w, xw = gn1, gn2, n_used
     exclw = ~include
     activew = np.ones(P, dtype=bool)  # active rows within the working set
     # Preallocated scratch: the inner loop below otherwise allocates ~30
@@ -373,7 +383,7 @@ def pair_em_batch(gn1: np.ndarray, gn2: np.ndarray, maf1: np.ndarray,
                 keep = activew
                 work = work[keep]
                 g1w, g2w = g1w[keep], g2w[keep]
-                incw, xw = incw[keep], xw[keep]
+                xw = xw[keep]
                 exclw = exclw[keep]
                 activew = np.ones(len(work), dtype=bool)
     return f, n_iter, n_used
@@ -607,10 +617,13 @@ def _strtoul_prefix(tok: str) -> int:
         return 0  # bare "0"-prefixed with no octal digits is just 0
     if base == 16 and not seen:
         return 0
-    # C strtoul negates MODULO 2^64: '-5' -> 2^64-5. A negative position
-    # then makes the next same-chr distance hugely negative, so the
-    # reference errors 'invalid distance' — returning a Python negative
-    # here would silently accept such files.
+    # C strtoul semantics (verified against glibc): overflow of the
+    # MAGNITUDE (either sign) clamps to ULONG_MAX; otherwise '-N' negates
+    # MODULO 2^64 ('-5' -> 2^64-5). A negative position then makes the
+    # next same-chr distance hugely negative, so the reference errors
+    # 'invalid distance' — a Python negative would silently accept it.
+    if val > 2**64 - 1:
+        return 2**64 - 1
     return (2**64 - val) % 2**64 if neg else val
 
 

@@ -107,6 +107,7 @@ def load_ld_file(path, ld_stats, min_maf, max_kb_dist, use_recomb, recomb_rate,
             raise SystemExit(f"column {stat} not in {path}")
     take = [idx[c] for c in want]
     mat = np.array([[float(r[i]) for i in take] for r in rows])
+    mat = mat.reshape(-1, len(want))  # empty input: (0,) -> (0, n_cols)
     bycol = {c: mat[:, j] for j, c in enumerate(want)}
 
     dist = bycol["dist"]

@@ -72,11 +72,12 @@ def prune(nodes, adj, keep_heavy: bool = False, debug=None):
     """Iteratively drop the heaviest node (or its neighbors) until edgeless.
     Returns (kept, dropped) label lists.
 
-    The reference removes the max-weight node while ANY edges remain
-    (prune_ngsLD.py:163-186) — including zero/negative-weight ones (raw
-    D weights can be negative under --weight_type e), so candidacy is
-    by live degree, not weight sign. Self-loop rows (site1 == site2)
-    are tolerated."""
+    The reference takes max(weight) over ALL vertices while ANY edges
+    remain (prune_ngsLD.py:163-186) — including zero/negative-weight and
+    isolated ones (raw D weights can be negative under --weight_type e;
+    isolated weight-0 vertices get selected and dropped before
+    negative-weight edged ones). Self-loop rows (site1 == site2) are
+    tolerated."""
     weight = {u: sum(adj[u].values()) for u in nodes}
     n_self = sum(1 for u in nodes if u in adj[u])
     n_edges = (sum(len(a) for a in adj.values()) + n_self) // 2
@@ -84,7 +85,7 @@ def prune(nodes, adj, keep_heavy: bool = False, debug=None):
     dropped = []
     # lazy max-heap keyed by (-weight, lowercase label) matches the
     # reference's max-weight-then-lexicographic-lowercase selection
-    heap = [(-weight[u], u.lower(), u) for u in nodes if adj[u]]
+    heap = [(-weight[u], u.lower(), u) for u in nodes]
     heapq.heapify(heap)
 
     def remove_node(u):
@@ -98,8 +99,7 @@ def prune(nodes, adj, keep_heavy: bool = False, debug=None):
                 cut += 1
                 weight[v] -= w
                 del adj[v][u]
-                if adj[v]:
-                    heapq.heappush(heap, (-weight[v], v.lower(), v))
+                heapq.heappush(heap, (-weight[v], v.lower(), v))
         adj[u] = {}
         weight[u] = 0
         alive.discard(u)
@@ -109,7 +109,7 @@ def prune(nodes, adj, keep_heavy: bool = False, debug=None):
     while n_edges > 0:
         while heap:
             negw, _, u = heapq.heappop(heap)
-            if u in alive and weight[u] == -negw and adj[u]:
+            if u in alive and weight[u] == -negw:
                 break
         else:
             break

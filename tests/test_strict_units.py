@@ -126,10 +126,22 @@ def test_strtod_full_rejects_c_incompatible_tokens():
     trailing whitespace (CRLF files) and '_' separators must be rejected."""
     assert strict._strtod_full("0.33\r") is None
     assert strict._strtod_full("1_0") is None
-    assert strict._strtod_full(" 0.33") is None
+    # C strtod SKIPS leading whitespace (verified against glibc)
+    assert strict._strtod_full(" 0.33") == 0.33
+    assert strict._strtod_full("\r0.33") == 0.33
+    assert strict._strtod_full("0x.8p1") == 1.0
+    import math as _m
+    assert _m.isnan(strict._strtod_full("nan(123)"))
     assert strict._strtod_full("0.33") == 0.33
     assert strict._strtod_full("-1e-3") == -1e-3
     assert strict._strtod_full("inf") == float("inf")
     import math
     assert math.isnan(strict._strtod_full("nan"))
     assert strict._strtod_full("0x1p3") == 8.0
+
+
+def test_strtoul_overflow_clamps():
+    """C strtoul clamps magnitude overflow to ULONG_MAX (either sign)."""
+    assert strict._strtoul_prefix("99999999999999999999999999") == 2**64 - 1
+    assert strict._strtoul_prefix("-99999999999999999999999999") == 2**64 - 1
+    assert strict._strtoul_prefix("-5") == 2**64 - 5

@@ -210,3 +210,31 @@ def test_fit_decay_bin_edges_right_closed(tmp_path):
     d, v = out["r2"]
     assert list(d) == [0.0, 250.0]
     np.testing.assert_allclose(v, [0.5, 0.1])
+
+
+def test_prune_isolated_node_with_nonpositive_weights(tmp_path):
+    """The reference takes max(weight) over ALL vertices: with all-negative
+    edge weights, an isolated (weight-0) node is selected and DROPPED
+    before the edged ones."""
+    ld = tmp_path / "x.ld"
+    ld.write_text("chr1:10\tchr1:20\t10\t0.5\t-0.1\t0.9\t0.8\n"
+                  "chr1:30\tchr1:40\t999999\t0.5\t-0.1\t0.9\t0.8\n")
+    out = tmp_path / "kept.pos"
+    from ngsld_tpu.tools.prune import main
+    # max_dist 100 filters the second row's edge -> chr1:30/40 isolated
+    assert main(["--input", str(ld), "--output", str(out), "--max_dist",
+                 "100", "--min_weight", "-1", "--weight_type", "e",
+                 "--field_weight", "5"]) == 0
+    kept = out.read_text().splitlines()
+    # isolated weight-0 nodes drop first (reference semantics), then one
+    # end of the negative-weight edge
+    assert len(kept) == 1
+
+
+def test_fit_decay_empty_file_ok(tmp_path):
+    from ngsld_tpu.tools.fit_decay import load_ld_file
+    ld = tmp_path / "x.ld"
+    ld.write_text("site1\tsite2\tdist\tr2\n")
+    out = load_ld_file(str(ld), ["r2"], 0.0, float("inf"), False, 1.0, 250, 0)
+    d, v = out["r2"]
+    assert len(d) == 0 and len(v) == 0
