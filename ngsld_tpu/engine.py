@@ -226,6 +226,123 @@ class _StreamedGLLoader:
                 if len(self._slabs) > 1 else self._slabs[0])
 
 
+class _StreamedTextLoader:
+    """gz-text GL fast path (Beagle probs / called-genotype formats):
+    decompressed chunks parse through the native line parser in a reader
+    thread while an uploader thread device_puts the slabs — the text-input
+    analogue of _StreamedGLLoader. Records arrive already log-normalized
+    (parse_geno_line is the same code path as ngsld_read_geno_text), so the
+    engine's standard (raw=False) preprocess applies.
+
+    EOF parity with read_geno (read_data.cpp:33,106-109): fewer lines than
+    n_sites -> 'premature EOF'; ANY byte after the n_sites-th record ->
+    'not at EOF'. NGSLD_NO_FASTTEXT=1 opts out."""
+
+    CHUNK_BYTES = 48 << 20
+
+    @staticmethod
+    def applicable(pars) -> bool:
+        if pars.in_bin or os.environ.get("NGSLD_NO_FASTTEXT") == "1":
+            return False
+        try:
+            from .native import get_lib
+            return get_lib() is not None
+        except Exception:
+            return False
+
+    def __init__(self, pars, np_dtype, touch=lambda: None, hold=None):
+        import contextlib
+        import queue
+        import threading
+        self._pars = pars
+        self._dt = np_dtype
+        self._touch = touch
+        self._hold = hold or contextlib.nullcontext
+        self._q = queue.Queue(maxsize=2)
+        self._slabs = []
+        self._err = []
+        self._reader = threading.Thread(
+            target=self._read, daemon=True, name="ngsld-gltext-read")
+        self._uploader = threading.Thread(
+            target=self._upload, daemon=True, name="ngsld-gltext-upload")
+        self._reader.start()
+        self._uploader.start()
+
+    def _read(self):
+        from .native import parse_geno_text_native
+        p = self._pars
+        n = p.n_sites
+        try:
+            with strict.open_maybe_gz(p.in_geno, "rb") as fh:
+                carry = b""
+                s = 0
+                leftover = b""
+                while True:
+                    data = fh.read(self.CHUNK_BYTES)
+                    eof = not data
+                    buf = carry + data
+                    if eof:
+                        if not buf:
+                            break
+                        chunk, carry = buf + b"\n", b""  # final bare line
+                    else:
+                        cut = buf.rfind(b"\n")
+                        if cut < 0:
+                            carry = buf
+                            continue
+                        chunk, carry = buf[:cut + 1], buf[cut + 1:]
+                    if s >= n:
+                        leftover = chunk
+                        break
+                    recs, used = parse_geno_text_native(
+                        chunk, p.in_probs, p.in_logscale, p.n_ind, s,
+                        min(chunk.count(b"\n"), n - s))
+                    if len(recs):
+                        self._q.put(recs.astype(self._dt, copy=False))
+                    s += len(recs)
+                    if used < len(chunk):
+                        leftover = chunk[used:]
+                        break
+                    if eof:
+                        break
+                if s < n:
+                    raise strict.StrictError(
+                        "read_geno", "GENO file at premature EOF. "
+                        "Check GENO file and number of sites!")
+                if leftover or carry or fh.read(1):
+                    raise strict.StrictError(
+                        "read_geno", "GENO file not at EOF. "
+                        "Check GENO file and number of sites!")
+            self._q.put(None)
+        except BaseException as e:
+            self._err.append(e)
+            self._q.put(None)
+
+    def _upload(self):
+        import jax
+        try:
+            while True:
+                a = self._q.get()
+                if a is None:
+                    return
+                with self._hold():
+                    self._slabs.append(jax.device_put(a))
+                self._touch()
+        except BaseException as e:
+            self._err.append(e)
+            while self._q.get() is not None:  # unblock the reader
+                pass
+
+    def join(self):
+        import jax.numpy as jnp
+        self._reader.join()
+        self._uploader.join()
+        if self._err:
+            raise self._err[0]
+        return (jnp.concatenate(self._slabs, axis=0)
+                if len(self._slabs) > 1 else self._slabs[0])
+
+
 def _prefetch_blocks(gen, depth: int = 4):
     """Run a generator in a daemon thread, yielding through a bounded queue.
 
@@ -611,12 +728,17 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
 
     try:
         loader = None
+        raw_gl = False  # loader delivers UNNORMALIZED records
+        np_dt = np.float64 if dt == jnp.float64 else np.float32
         if _StreamedGLLoader.applicable(pars):
             # binary input: stream file slabs straight to the device while
             # the positions parse below runs; normalize on device
-            loader = _StreamedGLLoader(
-                pars, np.float64 if dt == jnp.float64 else np.float32,
-                touch=touch, hold=hold)
+            loader = _StreamedGLLoader(pars, np_dt, touch=touch, hold=hold)
+            raw_gl = True
+        elif _StreamedTextLoader.applicable(pars):
+            # gz-text input: native line parsing streams to the device the
+            # same way; records arrive already log-normalized
+            loader = _StreamedTextLoader(pars, np_dt, touch=touch, hold=hold)
         else:
             with log.phase("Reading data from file"):
                 geno_log = strict.read_geno(pars.in_geno, pars.in_bin,
@@ -638,7 +760,7 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
                 preprocess, call=pars.call_geno, N_thresh=pars.N_thresh,
                 call_thresh=pars.call_thresh,
                 ignore_miss_data=pars.ignore_miss_data,
-                raw=loader is not None, in_log=pars.in_logscale))
+                raw=raw_gl, in_log=pars.in_logscale))
             if loader is not None:
                 with log.phase("  gl stream+upload", level=2), hold():
                     gl_d = loader.join()

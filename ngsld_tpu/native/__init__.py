@@ -102,6 +102,11 @@ def get_lib():
         lib.ngsld_fmt_batch.argtypes = [
             ctypes.POINTER(ctypes.c_double), i64, ctypes.c_int,
             ctypes.c_char_p]
+        lib.ngsld_parse_geno_text.restype = i64
+        lib.ngsld_parse_geno_text.argtypes = [
+            ctypes.POINTER(ctypes.c_char), i64, ctypes.c_int, ctypes.c_int,
+            i64, i64, ctypes.POINTER(ctypes.c_double), i64,
+            ctypes.POINTER(i64), ctypes.c_char_p, ctypes.c_long]
         u64 = ctypes.c_uint64
         lib.ngsld_child_seeds.restype = None
         lib.ngsld_child_seeds.argtypes = [u64, i64, ctypes.POINTER(u64)]
@@ -213,6 +218,31 @@ class LabelBlob:
 
 _READ_POS_WHERE = {1: "read_file", 2: "read_dist", 3: "read_split",
                    4: "read_dist", 5: "read_dist", 6: "read_dist"}
+
+
+def parse_geno_text_native(chunk: bytes, in_probs: bool, in_logscale: bool,
+                           n_ind: int, s_global: int, max_sites: int):
+    """Parse a decompressed text-GL chunk of WHOLE '\\n'-terminated lines
+    into at most max_sites log-normalized site records (the streaming
+    loader's per-chunk step; semantics identical to ngsld_read_geno_text).
+    Returns (records (got, n_ind, 3) float64, bytes_consumed) or None if
+    the native library is unavailable. Raises StrictError on bad input."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..strict import StrictError
+    i64 = ctypes.c_int64
+    data = np.frombuffer(bytearray(chunk), dtype=np.uint8)  # writable copy
+    out = np.empty((max(max_sites, 1), n_ind, 3), np.float64)
+    consumed = i64(0)
+    err = ctypes.create_string_buffer(256)
+    got = lib.ngsld_parse_geno_text(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_char)), len(chunk),
+        int(in_probs), int(in_logscale), n_ind, s_global, _dp(out),
+        max_sites, ctypes.byref(consumed), err, 256)
+    if got < 0:
+        raise StrictError("read_geno", err.value.decode())
+    return out[:got], int(consumed.value)
 
 
 def read_pos_native(path: str, header: bool, n_sites: int):

@@ -227,6 +227,89 @@ int64_t ngsld_plan_slab(int64_t s_start, int64_t s_end, const int64_t* counts,
   return k;
 }
 
+}  // extern "C"
+
+namespace {
+
+// Parse one CHOMPED text GL line into a single site record (n_ind*3
+// doubles, log-scale normalized). fields is a caller-owned growable
+// scratch. Returns 0 = record written, 1 = header line (skip, no slot),
+// 2 = empty line (slot consumed, record left at the raw sentinel),
+// negative = error code with err filled.
+int parse_geno_line(char* line, size_t len, int in_probs, int in_logscale,
+                    int64_t n_ind, bool first_site, double** fields,
+                    int64_t* fields_cap, double* g_site, char* err,
+                    long errlen) {
+  const int64_t n_geno = in_probs ? kNGeno : 1;
+  const int64_t need = n_ind * n_geno;
+  const double log_third = std::log(1.0 / kNGeno);
+  if (len == 0) {
+    // empty line consumes a site slot, left at the raw -1e15 init
+    for (int64_t i = 0; i < n_ind * kNGeno; i++) g_site[i] = kNegInfSentinel;
+    return 2;
+  }
+  // tokenize on space/tab runs; keep fully-numeric tokens only
+  int64_t nf = 0;
+  char* p = line;
+  while (*p) {
+    while (*p == ' ' || *p == '\t') p++;
+    if (!*p) break;
+    char* tok = p;
+    while (*p && *p != ' ' && *p != '\t') p++;
+    size_t tlen = (size_t)(p - tok);
+    char saved = *p;
+    *p = '\0';
+    double v;
+    if (strtod_full(tok, tlen, &v)) {
+      if (nf >= *fields_cap) {
+        *fields_cap *= 2;
+        *fields = (double*)std::realloc(*fields,
+                                        sizeof(double) * (size_t)*fields_cap);
+      }
+      (*fields)[nf++] = v;
+    }
+    *p = saved;
+    if (saved) p++;
+  }
+  if (nf == 0 || (first_site && nf < need)) {
+    std::fprintf(stderr, "> Header found! Skipping line...\n");
+    return 1;
+  }
+  if (nf < need) {
+    set_err(err, errlen, "wrong GENO file format. Less fields than expected!");
+    return -3;
+  }
+  const double* ptr = *fields + (nf - need);
+  for (int64_t i = 0; i < n_ind; i++) {
+    double* g = g_site + i * kNGeno;
+    if (in_probs) {
+      for (int k = 0; k < kNGeno; k++) {
+        double v = ptr[i * kNGeno + k];
+        g[k] = in_logscale ? v : log_or_sentinel(v, /*clamp=*/false);
+      }
+    } else {
+      int64_t gc = (int64_t)ptr[i];  // C double->int truncation
+      if (gc >= 0) {
+        if (gc > 2) {
+          set_err(err, errlen,
+                  "wrong GENO file format. Genotypes must be coded as {-1,0,1,2} !");
+          return -4;
+        }
+        g[0] = g[1] = g[2] = kNegInfSentinel;
+        g[gc] = 0.0;  // log(1)
+      } else {
+        g[0] = g[1] = g[2] = log_third;
+      }
+    }
+    post_prob3(g);
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
 // Read a gz (or plain) TEXT genotype/GL file.
 //   in_probs: 3 numeric cols per individual; else 1 genotype col in
 //             {-1,0,1,2}
@@ -243,14 +326,10 @@ int ngsld_read_geno_text(const char* path, int in_probs, int in_logscale,
   }
   gzbuffer(fh, 1 << 20);
 
-  const int64_t n_geno = in_probs ? kNGeno : 1;
-  const int64_t need = n_ind * n_geno;
-  const double log_third = std::log(1.0 / kNGeno);
-
   size_t cap = 1 << 20;
   char* buf = (char*)std::malloc(cap);
-  double* fields = (double*)std::malloc(sizeof(double) * (need + 4096));
-  int64_t fields_cap = need + 4096;
+  double* fields = (double*)std::malloc(sizeof(double) * (n_ind * 3 + 4096));
+  int64_t fields_cap = n_ind * 3 + 4096;
 
   int64_t s = 0;
   int rc = 0;
@@ -272,83 +351,23 @@ int ngsld_read_geno_text(const char* path, int in_probs, int in_logscale,
       set_err(err, errlen,
               "GENO file at premature EOF. Check GENO file and number of sites!");
       rc = 2;
-      goto done;
+      break;
     }
     // chomp: remove ONE trailing \n or \r
     if (len > 0 && (buf[len - 1] == '\n' || buf[len - 1] == '\r')) {
       buf[--len] = '\0';
     }
-    if (len == 0) {
-      // empty line consumes a site slot, left at the raw -1e15 init
-      for (int64_t i = 0; i < n_ind * kNGeno; i++)
-        out[(s * n_ind * kNGeno) + i] = kNegInfSentinel;
-      s++;
-      continue;
+    int r = parse_geno_line(buf, len, in_probs, in_logscale, n_ind, s == 0,
+                            &fields, &fields_cap,
+                            out + s * n_ind * kNGeno, err, errlen);
+    if (r < 0) {
+      rc = -r;
+      break;
     }
-    // tokenize on space/tab runs; keep fully-numeric tokens only
-    int64_t nf = 0;
-    {
-      char* p = buf;
-      while (*p) {
-        while (*p == ' ' || *p == '\t') p++;
-        if (!*p) break;
-        char* tok = p;
-        while (*p && *p != ' ' && *p != '\t') p++;
-        size_t tlen = (size_t)(p - tok);
-        char saved = *p;
-        *p = '\0';
-        double v;
-        if (strtod_full(tok, tlen, &v)) {
-          if (nf >= fields_cap) {
-            fields_cap *= 2;
-            fields = (double*)std::realloc(fields, sizeof(double) * fields_cap);
-          }
-          fields[nf++] = v;
-        }
-        *p = saved;
-        if (saved) p++;
-      }
-    }
-    if (nf == 0 || (s == 0 && nf < need)) {
-      std::fprintf(stderr, "> Header found! Skipping line...\n");
-      continue;
-    }
-    if (nf < need) {
-      set_err(err, errlen, "wrong GENO file format. Less fields than expected!");
-      rc = 3;
-      goto done;
-    }
-    {
-      const double* ptr = fields + (nf - need);
-      for (int64_t i = 0; i < n_ind; i++) {
-        double* g = out + (s * n_ind + i) * kNGeno;
-        if (in_probs) {
-          for (int k = 0; k < kNGeno; k++) {
-            double v = ptr[i * kNGeno + k];
-            g[k] = in_logscale ? v : log_or_sentinel(v, /*clamp=*/false);
-          }
-        } else {
-          int64_t gc = (int64_t)ptr[i];  // C double->int truncation
-          if (gc >= 0) {
-            if (gc > 2) {
-              set_err(err, errlen,
-                      "wrong GENO file format. Genotypes must be coded as {-1,0,1,2} !");
-              rc = 4;
-              goto done;
-            }
-            g[0] = g[1] = g[2] = kNegInfSentinel;
-            g[gc] = 0.0;  // log(1)
-          } else {
-            g[0] = g[1] = g[2] = log_third;
-          }
-        }
-        post_prob3(g);
-      }
-    }
-    s++;
+    if (r != 1) s++;  // header lines consume no site slot
   }
   // EOF check
-  {
+  if (rc == 0) {
     char c;
     if (gzread(fh, &c, 1) == 1) {
       set_err(err, errlen,
@@ -356,11 +375,50 @@ int ngsld_read_geno_text(const char* path, int in_probs, int in_logscale,
       rc = 5;
     }
   }
-done:
   std::free(buf);
   std::free(fields);
   gzclose(fh);
   return rc;
+}
+
+// Chunked text parsing for the streaming loader: `data` holds WHOLE
+// chomp-able lines (the caller splits the decompressed stream at '\n';
+// data is MUTATED for tokenization). Parses at most max_sites site
+// records starting at global site index s_global (the header rule only
+// applies at global site 0). Writes the number of BYTES consumed to
+// *consumed (the caller detects not-at-EOF trailing data). Returns the
+// number of site records written, or a negative error code.
+int64_t ngsld_parse_geno_text(char* data, int64_t len, int in_probs,
+                              int in_logscale, int64_t n_ind,
+                              int64_t s_global, double* out,
+                              int64_t max_sites, int64_t* consumed,
+                              char* err, long errlen) {
+  double* fields = (double*)std::malloc(sizeof(double) * (n_ind * 3 + 4096));
+  int64_t fields_cap = n_ind * 3 + 4096;
+  int64_t s = 0;
+  int64_t pos = 0;
+  int rc = 0;
+  while (pos < len && s < max_sites) {
+    char* line = data + pos;
+    int64_t end = pos;
+    while (end < len && data[end] != '\n') end++;
+    size_t llen = (size_t)(end - pos);
+    pos = end < len ? end + 1 : end;
+    data[(line - data) + llen] = '\0';  // safe: either '\n' slot or end pad
+    // chomp removed the '\n'; strip ONE trailing '\r' like the gz reader
+    if (llen > 0 && line[llen - 1] == '\r') line[--llen] = '\0';
+    int r = parse_geno_line(line, llen, in_probs, in_logscale, n_ind,
+                            s_global + s == 0, &fields, &fields_cap,
+                            out + s * n_ind * kNGeno, err, errlen);
+    if (r < 0) {
+      rc = r;
+      break;
+    }
+    if (r != 1) s++;
+  }
+  std::free(fields);
+  *consumed = pos;
+  return rc < 0 ? rc : s;
 }
 
 // Binary doubles reader (site-major triplets); always in_probs.

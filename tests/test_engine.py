@@ -123,3 +123,58 @@ def test_streamed_loader_nan_parity(tmp_path):
     assert _StreamedGLLoader.applicable(pars)
     with pytest.raises(strict.StrictError, match="NaN found"):
         run_jax(pars, out_fh=io.BytesIO())
+
+
+def test_streamed_text_loader_matches_strict_reader(tmp_path, monkeypatch):
+    """The streaming gz-text loader must deliver the same records as
+    strict.read_geno — engine outputs byte-identical in f64 — for both
+    Beagle probs and called-genotype formats, across chunk boundaries."""
+    import io
+
+    from ngsld_tpu.engine import _StreamedTextLoader, run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    sim = simulate(n_ind=9, n_sites=300, seed=23)
+    files = write_all(sim, str(tmp_path / "fix"))
+    monkeypatch.setattr(_StreamedTextLoader, "CHUNK_BYTES", 4096)  # force
+    # many chunks so line-boundary carry logic is exercised
+    for key, extra in (("beagle", dict(in_probs=True)),
+                       ("geno_text", {})):
+        pars_kw = dict(in_geno=files[key], n_ind=9, n_sites=300,
+                       in_pos=files["pos"], max_kb_dist=5, extend_out=True,
+                       **extra)
+        a = io.BytesIO()
+        run_jax(Params(**pars_kw).finalize(), out_fh=a)
+        monkeypatch.setenv("NGSLD_NO_FASTTEXT", "1")
+        b = io.BytesIO()
+        run_jax(Params(**pars_kw).finalize(), out_fh=b)
+        monkeypatch.delenv("NGSLD_NO_FASTTEXT")
+        import jax
+        if jax.default_backend() == "cpu":  # f64: byte-identical
+            assert a.getvalue() == b.getvalue(), key
+        else:
+            assert a.getvalue().count(b"\n") == b.getvalue().count(b"\n")
+
+
+def test_streamed_text_loader_eof_parity(tmp_path):
+    """Line-count mismatches raise the reference's EOF errors."""
+    import gzip
+    import io
+
+    from ngsld_tpu import strict
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    sim = simulate(n_ind=6, n_sites=50, seed=2)
+    files = write_all(sim, str(tmp_path / "fix"))
+
+    def pars(n_sites):
+        return Params(in_geno=files["beagle"], in_probs=True, n_ind=6,
+                      n_sites=n_sites, in_pos=None, max_kb_dist=0,
+                      max_snp_dist=10).finalize()
+
+    with pytest.raises(strict.StrictError, match="not at EOF"):
+        run_jax(pars(49), out_fh=io.BytesIO())
+    # too many expected sites: the pos file has 50 lines, so use no pos
+    with pytest.raises(strict.StrictError, match="premature EOF"):
+        run_jax(pars(51), out_fh=io.BytesIO())
