@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "GL table stays sharded by site block and partner "
                         "blocks ride the ring (for tables too large to "
                         "replicate per device); no --rnd_sample/--checkpoint")
+    p.add_argument("--ring_sub", type=int, default=0, metavar="N",
+                   help="ring sub-blocks per device block: bounds the "
+                        "per-step stat tile to (block x block/N) and skips "
+                        "out-of-band sub-rings [0 = auto, ~4k sites each]")
     return p
 
 
@@ -76,7 +80,7 @@ def params_from_args(argv) -> Params:
         out=args.out, n_threads=args.n_threads, verbose=args.verbose,
         engine=args.engine, precision=args.precision, chunk_pairs=args.chunk_pairs,
         profile=args.profile, checkpoint=args.checkpoint, shard=args.shard,
-        ring=args.ring,
+        ring=args.ring, ring_sub=args.ring_sub,
     )
     if args.in_pos_header_file:
         pars.in_pos = args.in_pos_header_file

@@ -48,6 +48,8 @@ class Params:
     shard: int = 1                # devices for the pair sweep (0 = all local)
     ring: bool = False            # site-sharded ring sweep (GL table too
     # large to replicate per device; SURVEY.md §7 "Memory at 5M×500")
+    ring_sub: int = 0             # ring sub-blocks per device block
+    # (0 = auto: ~4k sites per sub-block)
 
     # derived
     in_bin: bool = field(default=False, init=False)

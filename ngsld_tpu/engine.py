@@ -592,7 +592,7 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
     from jax.sharding import PartitionSpec as PS
 
     from .io.writer import RowWriter
-    from .parallel.ring import ring_sweep_stepper, steps_for_band
+    from .parallel.ring import ring_sweep_stepper
     from .plan.band import band_limits, contig_positions
 
     n_dev = pars.shard or len(jax.devices())
@@ -616,6 +616,14 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
 
         n = pars.n_sites
         B = -(-n // n_dev)
+        # sub-block ring: visiting state rotates B_sub-row sub-blocks so the
+        # per-step stat tile is (B, B_sub) — a full (B, B) tile would not
+        # fit device memory at pod scale, and narrow bands waste less
+        # out-of-band compute. 0 = auto (~4k sites per sub-block).
+        n_sub = getattr(pars, "ring_sub", 0) or max(1, -(-B // 4096))
+        n_sub = min(n_sub, B)
+        B = -(-B // n_sub) * n_sub   # sub-blocks must divide the block
+        B_sub = B // n_sub
         Sp = B * n_dev
         from .ops.preprocess import preprocess
         with log.phase("Preprocessing (site-sharded) on device"):
@@ -647,9 +655,14 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         hi = band_limits(pos_dist, pars.max_kb_dist, pars.max_snp_dist)
         contig, pos = contig_positions(pos_dist)
         ok = ~(maf < pars.min_maf)            # NaN passes, ngsLD.cpp:264/270
-        n_steps = min(steps_for_band(hi, B), n_dev)
-        log.log(2, f"==> ring: {n_dev} blocks of {B} sites, "
-                   f"{n_steps} ring steps")
+        # max forward reach of any device's anchors past its block start:
+        # sub-ring (si) needs ring steps t while t*B + si*B_sub < maxspan
+        starts = np.arange(n_dev) * B
+        maxspan = int(max(
+            (hi[s:min(s + B, n)].max(initial=0) - s) for s in starts
+            if s < n))
+        log.log(2, f"==> ring: {n_dev} blocks of {B} sites, {n_sub} "
+                   f"sub-blocks of {B_sub}")
 
         stepper = ring_sweep_stepper(mesh, pars.ignore_miss_data,
                                      pars.extend_out)
@@ -659,12 +672,12 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
             # shard carries the header
             writer.write_header()
 
-        def compact_tile(i, t, tiles):
-            """Mask one resident block's (B, B) step tile down to its
+        def compact_tile(i, si, t, tiles):
+            """Mask one resident block's (B, B_sub) step tile down to its
             surviving rows (triangle, real sites, MAF, band)."""
             A = (i * B + np.arange(B, dtype=np.int64))[:, None]    # (B, 1)
-            PJ = (((i + t) % n_dev) * B
-                  + np.arange(B, dtype=np.int64))[None, :]         # (1, B)
+            PJ = (((i + t) % n_dev) * B + si * B_sub
+                  + np.arange(B_sub, dtype=np.int64))[None, :]     # (1, Bs)
             valid = (PJ > A) & (PJ < n) & (A < n)
             valid &= ok[np.minimum(A, n - 1)] & ok[np.minimum(PJ, n - 1)]
             valid &= PJ < hi[np.minimum(A, n - 1)]   # band: s2 < hi[s1]
@@ -675,21 +688,31 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
             out["pj"] = np.broadcast_to(PJ, valid.shape)[valid]
             return out
 
+        from .parallel.ring import ring_subblock_taker
         buckets = {}   # resident block -> list of compacted step rows
         with log.phase("compute: ring sweep"):
-            vis = (gn_d, eg_d, maf_d)
-            for t in range(n_steps):
+            for si in range(n_sub):
+                # steps needed by THIS sub-ring: partners at ring step t
+                # start t*B + si*B_sub past the anchor block's start
+                t_max = min(n_dev,
+                            -(-(maxspan - si * B_sub) // B) if B else 0)
+                if t_max <= 0:
+                    continue
                 with hold():
-                    stats, vg, ve, vm = stepper(gn_d, eg_d, maf_d, *vis)
-                    vis = (vg, ve, vm)
-                    tiles = {k: _local_blocks(v, B) for k, v in
-                             stats.items()}
-                touch()
-                for i in sorted(next(iter(tiles.values())).keys()):
-                    c = compact_tile(i, t, tiles)
-                    if c is not None:
-                        buckets.setdefault(i, []).append(c)
-                log.count("ring_steps")
+                    vis = ring_subblock_taker(mesh, n_sub, si)(
+                        gn_d, eg_d, maf_d)
+                for t in range(t_max):
+                    with hold():
+                        stats, vg, ve, vm = stepper(gn_d, eg_d, maf_d, *vis)
+                        vis = (vg, ve, vm)
+                        tiles = {k: _local_blocks(v, B) for k, v in
+                                 stats.items()}
+                    touch()
+                    for i in sorted(next(iter(tiles.values())).keys()):
+                        c = compact_tile(i, si, t, tiles)
+                        if c is not None:
+                            buckets.setdefault(i, []).append(c)
+                    log.count("ring_steps")
 
         with log.phase("emit: order + format"):
             for i in sorted(buckets):

@@ -107,6 +107,27 @@ def ring_sweep_stepper(mesh, ignore_miss_data: bool = False,
     return jax.jit(mapped)
 
 
+def ring_subblock_taker(mesh, n_sub: int, si: int):
+    """jitted fn(gn, eg, maf) -> (vgn, veg, vmaf): the si-th of n_sub
+    equal sub-blocks of every device's resident rows, as 'sites'-sharded
+    arrays of global length S/n_sub. Seeds a sub-block ring: rotating
+    B_sub-row sub-blocks instead of whole device blocks bounds the per-step
+    tile to (B, B_sub) — at pod scale a full (B, B) tile of stats would
+    not fit device memory, and banded sweeps waste less out-of-band work."""
+
+    def local(gn, eg, maf):
+        B_sub = gn.shape[0] // n_sub
+        lo = si * B_sub
+        return (gn[lo:lo + B_sub], eg[lo:lo + B_sub], maf[lo:lo + B_sub])
+
+    spec3 = P("sites", None, None)
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec3, P("sites", None), P("sites")),
+        out_specs=(spec3, P("sites", None), P("sites")), check_vma=False)
+    return jax.jit(mapped)
+
+
 def ring_sweep(mesh, n_steps: int, ignore_miss_data: bool = False,
                extend_out: bool = True, row_chunk: int = 0):
     """Build the jitted ring sweep over mesh axis 'sites'.

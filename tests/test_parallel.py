@@ -198,7 +198,7 @@ def test_ring_cli_all_pairs(tmp_path):
     strict.run(params_from_args(argv + ["--engine", "strict",
                                         "--out", str(s_out)]))
     run_jax(params_from_args(argv + ["--ring", "--shard", "0",
-                                     "--out", str(r_out)]))
+                                     "--ring_sub", "2", "--out", str(r_out)]))
     s_rows = s_out.read_text().splitlines()
     r_rows = r_out.read_text().splitlines()
     assert len(s_rows) == len(r_rows)
@@ -226,7 +226,7 @@ def test_ring_cli_call_geno_ignore_miss(tmp_path):
     strict.run(params_from_args(argv + ["--engine", "strict",
                                         "--out", str(s_out)]))
     run_jax(params_from_args(argv + ["--ring", "--shard", "0",
-                                     "--out", str(r_out)]))
+                                     "--ring_sub", "3", "--out", str(r_out)]))
     s_rows = s_out.read_text().splitlines()
     r_rows = r_out.read_text().splitlines()
     assert len(s_rows) == len(r_rows) and len(s_rows) > 20
