@@ -87,8 +87,6 @@ class Params:
                 raise ConfigError("--ring does not support --rnd_sample "
                                   "(per-pair draws are host-planned; the ring "
                                   "path masks on device)")
-            if self.checkpoint:
-                raise ConfigError("--ring does not support --checkpoint")
             if self.engine == "strict":
                 raise ConfigError("--ring requires the jax engine")
 

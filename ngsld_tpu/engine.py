@@ -432,7 +432,7 @@ def _unpack(fmat, imat, extend_out=True):
     return (r2p, f, imat[:, 0], imat[:, 1], hmaf0, hmaf1, D, Dp, r2, chi2)
 
 
-def _config_fingerprint(pars: Params) -> str:
+def _config_fingerprint(pars: Params, extra: dict = None) -> str:
     """Identifies a run for checkpoint compatibility: anything that changes
     the pair plan or the numbers invalidates existing shards."""
     key = {k: getattr(pars, k) for k in (
@@ -444,7 +444,70 @@ def _config_fingerprint(pars: Params) -> str:
         # the seed shapes the pair plan only when sampling; with the default
         # time-based seed and no sampling, resume must still work
         key["seed"] = pars.seed
+    if extra:
+        key.update(extra)
     return hashlib.sha256(json.dumps(key, sort_keys=True).encode()).hexdigest()[:16]
+
+
+class _RingCheckpoint:
+    """Ring-mode (--ring --checkpoint) resume state: one .npz per
+    (sub-ring, ring step) per host, holding every RESIDENT block's
+    compacted surviving rows for that step (the step tile after band /
+    triangle / MAF masking — exactly what the sweep appends to its emit
+    buckets). Files commit atomically; completed steps are loaded instead
+    of recomputed and the visiting ring state fast-forwards with a single
+    offset ppermute (parallel.ring.ring_subblock_taker offset=).
+
+    The reference has no checkpointing at all (SURVEY.md §5: a killed run
+    restarts); step-granular shards make a multi-hour pod sweep resumable.
+    On a multi-host pod every process writes its own p{proc} files into
+    the shared dir; the manifest is identical across hosts so the
+    concurrent writes are benign."""
+
+    def __init__(self, cdir: str, pars: Params, extra: dict, proc: int):
+        self.dir = cdir
+        self.proc = proc
+        os.makedirs(cdir, exist_ok=True)
+        fp = _config_fingerprint(pars, extra)
+        mpath = os.path.join(cdir, "MANIFEST.json")
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                man = json.load(fh)
+            if man.get("fingerprint") != fp:
+                raise strict.StrictError(
+                    "checkpoint", f"checkpoint dir {cdir} belongs to a "
+                    "different run configuration; remove it or change --checkpoint")
+        else:
+            with open(mpath, "w") as fh:
+                json.dump({"fingerprint": fp, "mode": "ring"}, fh)
+
+    def path(self, si: int, t: int) -> str:
+        return os.path.join(
+            self.dir, f"ring_p{self.proc:05d}_s{si:04d}_t{t:04d}.npz")
+
+    def done(self, si: int, t: int) -> bool:
+        return os.path.exists(self.path(si, t))
+
+    def save(self, si: int, t: int, blocks: dict) -> None:
+        """blocks: {resident block index -> {col: ndarray} or None}."""
+        flat = {}
+        for i, cols in blocks.items():
+            if cols is None:
+                continue
+            for k, v in cols.items():
+                flat[f"b{i}:{k}"] = v
+        tmp = self.path(si, t) + ".tmp.npz"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **flat)
+        os.replace(tmp, self.path(si, t))
+
+    def load(self, si: int, t: int) -> dict:
+        out = {}
+        with np.load(self.path(si, t)) as z:
+            for key in z.files:
+                b, k = key.split(":", 1)
+                out.setdefault(int(b[1:]), {})[k] = z[key]
+        return out
 
 
 class _Checkpoint:
@@ -538,7 +601,10 @@ def run_jax(pars: Params, out_fh=None) -> None:
             out_fh = getattr(sys.stdout, "buffer", sys.stdout)
 
     ckpt_dir = getattr(pars, "checkpoint", None)
-    ckpt = _Checkpoint(ckpt_dir, pars, log) if ckpt_dir else None
+    # ring mode owns its own step-granular checkpoint (_RingCheckpoint,
+    # built inside _run_jax_ring once the block decomposition is known)
+    ckpt = (_Checkpoint(ckpt_dir, pars, log)
+            if ckpt_dir and not getattr(pars, "ring", False) else None)
 
     from .utils.keepalive import DeviceKeepalive
     try:
@@ -583,6 +649,11 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
     are emitted per resident block in (s1, s2) order — on a multi-host pod
     every host runs the same program (collectives ride ICI/DCN) and writes
     the shard holding its own blocks' rows.
+
+    With --checkpoint the sweep is resumable at (sub-ring, ring step)
+    granularity (_RingCheckpoint): completed steps' compacted rows load
+    from disk and the visiting state fast-forwards via an offset ppermute
+    (the reference has no resume at all, SURVEY.md §5).
     """
     import contextlib
     hold = hold or contextlib.nullcontext
@@ -664,6 +735,14 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         log.log(2, f"==> ring: {n_dev} blocks of {B} sites, {n_sub} "
                    f"sub-blocks of {B_sub}")
 
+        rck = None
+        if getattr(pars, "checkpoint", None):
+            rck = _RingCheckpoint(
+                pars.checkpoint, pars,
+                dict(mode="ring", n_dev=n_dev, n_sub=n_sub,
+                     n_proc=jax.process_count()),
+                jax.process_index())
+
         stepper = ring_sweep_stepper(mesh, pars.ignore_miss_data,
                                      pars.extend_out)
         writer = RowWriter(out_fh, labels, pars.extend_out)
@@ -698,20 +777,39 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                             -(-(maxspan - si * B_sub) // B) if B else 0)
                 if t_max <= 0:
                     continue
+                t0 = 0
+                if rck is not None:
+                    # resume: load completed steps' compacted rows; steps
+                    # commit in order, so the first missing one is where
+                    # the interrupted sweep stopped
+                    while t0 < t_max and rck.done(si, t0):
+                        for i, cols in rck.load(si, t0).items():
+                            buckets.setdefault(i, []).append(cols)
+                        log.count("ring_steps_resumed")
+                        t0 += 1
+                    if t0:
+                        log.log(2, f"==> ring ckpt: sub-ring {si} resumes "
+                                   f"at step {t0}/{t_max}")
+                if t0 >= t_max:
+                    continue
                 with hold():
-                    vis = ring_subblock_taker(mesh, n_sub, si)(
+                    vis = ring_subblock_taker(mesh, n_sub, si, offset=t0)(
                         gn_d, eg_d, maf_d)
-                for t in range(t_max):
+                for t in range(t0, t_max):
                     with hold():
                         stats, vg, ve, vm = stepper(gn_d, eg_d, maf_d, *vis)
                         vis = (vg, ve, vm)
                         tiles = {k: _local_blocks(v, B) for k, v in
                                  stats.items()}
                     touch()
+                    step_rows = {}
                     for i in sorted(next(iter(tiles.values())).keys()):
                         c = compact_tile(i, si, t, tiles)
+                        step_rows[i] = c
                         if c is not None:
                             buckets.setdefault(i, []).append(c)
+                    if rck is not None:
+                        rck.save(si, t, step_rows)
                     log.count("ring_steps")
 
         with log.phase("emit: order + format"):

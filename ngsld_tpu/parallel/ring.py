@@ -107,18 +107,29 @@ def ring_sweep_stepper(mesh, ignore_miss_data: bool = False,
     return jax.jit(mapped)
 
 
-def ring_subblock_taker(mesh, n_sub: int, si: int):
+def ring_subblock_taker(mesh, n_sub: int, si: int, offset: int = 0):
     """jitted fn(gn, eg, maf) -> (vgn, veg, vmaf): the si-th of n_sub
     equal sub-blocks of every device's resident rows, as 'sites'-sharded
     arrays of global length S/n_sub. Seeds a sub-block ring: rotating
     B_sub-row sub-blocks instead of whole device blocks bounds the per-step
     tile to (B, B_sub) — at pod scale a full (B, B) tile of stats would
-    not fit device memory, and banded sweeps waste less out-of-band work."""
+    not fit device memory, and banded sweeps waste less out-of-band work.
+
+    offset > 0 fast-forwards the ring: device i receives the sub-block of
+    device (i + offset) mod n_dev in a single ppermute, exactly the state
+    the one-step stepper reaches after `offset` rotations — used by
+    checkpoint resume to skip already-emitted ring steps without replaying
+    their compute."""
+    n_dev = mesh.shape["sites"]
+    perm = [(k, (k - offset) % n_dev) for k in range(n_dev)]
 
     def local(gn, eg, maf):
         B_sub = gn.shape[0] // n_sub
         lo = si * B_sub
-        return (gn[lo:lo + B_sub], eg[lo:lo + B_sub], maf[lo:lo + B_sub])
+        out = (gn[lo:lo + B_sub], eg[lo:lo + B_sub], maf[lo:lo + B_sub])
+        if offset % n_dev:
+            out = tuple(jax.lax.ppermute(v, "sites", perm) for v in out)
+        return out
 
     spec3 = P("sites", None, None)
     mapped = shard_map(

@@ -48,6 +48,51 @@ def test_resume_skips_completed_blocks(fixdir, tmp_path):
     assert first.getvalue() == second.getvalue()
 
 
+def ring_pars(fixdir, **kw):
+    # max_kb_dist=0 (all pairs) so the band spans several ring steps even
+    # at this tiny fixture scale — the resume test needs steps beyond t=0
+    d = dict(ring=True, ring_sub=2, max_kb_dist=0, shard=8)
+    d.update(kw)
+    return base_pars(fixdir, **d)
+
+
+def test_ring_checkpoint_output_identical(fixdir, tmp_path):
+    plain = io.StringIO()
+    run_jax(ring_pars(fixdir), out_fh=plain)
+    ck = io.StringIO()
+    run_jax(ring_pars(fixdir, checkpoint=str(tmp_path / "rck")), out_fh=ck)
+    assert plain.getvalue() == ck.getvalue()
+    steps = [p for p in os.listdir(tmp_path / "rck") if p.startswith("ring_")]
+    assert len(steps) > 1  # step-granular shards exist
+
+
+def test_ring_resume_mid_sweep(fixdir, tmp_path):
+    cdir = tmp_path / "rck"
+    first = io.StringIO()
+    run_jax(ring_pars(fixdir, checkpoint=str(cdir)), out_fh=first)
+    # simulate a crash mid-sweep: keep only step 0 of every sub-ring (a
+    # prefix, as an interrupted run would leave) and resume
+    kept = removed = 0
+    for p in os.listdir(cdir):
+        if p.startswith("ring_") and "_t0000" not in p:
+            os.remove(cdir / p)
+            removed += 1
+        elif p.startswith("ring_"):
+            kept += 1
+    assert kept and removed
+    second = io.StringIO()
+    run_jax(ring_pars(fixdir, checkpoint=str(cdir)), out_fh=second)
+    assert first.getvalue() == second.getvalue()
+
+
+def test_ring_manifest_guards_decomposition(fixdir, tmp_path):
+    cdir = tmp_path / "rck"
+    run_jax(ring_pars(fixdir, checkpoint=str(cdir)), out_fh=io.StringIO())
+    with pytest.raises(StrictError, match="different run configuration"):
+        run_jax(ring_pars(fixdir, checkpoint=str(cdir), ring_sub=1),
+                out_fh=io.StringIO())
+
+
 def test_manifest_guards_config_mismatch(fixdir, tmp_path):
     cdir = tmp_path / "ck"
     run_jax(base_pars(fixdir, checkpoint=str(cdir)), out_fh=io.StringIO())
