@@ -768,9 +768,13 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
             return out
 
         from .parallel.ring import ring_subblock_taker
+        from .utils.signals import GracefulStop
         buckets = {}   # resident block -> list of compacted step rows
-        with log.phase("compute: ring sweep"):
+        interrupted = False
+        with log.phase("compute: ring sweep"), GracefulStop(log) as gs:
             for si in range(n_sub):
+                if interrupted:
+                    break
                 # steps needed by THIS sub-ring: partners at ring step t
                 # start t*B + si*B_sub past the anchor block's start
                 t_max = min(n_dev,
@@ -796,6 +800,11 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                     vis = ring_subblock_taker(mesh, n_sub, si, offset=t0)(
                         gn_d, eg_d, maf_d)
                 for t in range(t0, t_max):
+                    if gs.stopped:
+                        # the last completed step is committed; a rerun
+                        # with the same --checkpoint resumes right here
+                        interrupted = True
+                        break
                     with hold():
                         stats, vg, ve, vm = stepper(gn_d, eg_d, maf_d, *vis)
                         vis = (vg, ve, vm)
@@ -811,6 +820,14 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                     if rck is not None:
                         rck.save(si, t, step_rows)
                     log.count("ring_steps")
+
+        if interrupted:
+            hint = (f"resume with the same --checkpoint {rck.dir}"
+                    if rck is not None else
+                    "rerun with --checkpoint DIR to make ring runs resumable")
+            log.log(0, f"==> Interrupted mid ring sweep; completed steps "
+                       f"are committed. {hint}")
+            raise SystemExit(130)
 
         with log.phase("emit: order + format"):
             for i in sorted(buckets):

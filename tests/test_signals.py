@@ -58,6 +58,49 @@ def test_sigint_then_resume(tmp_path, monkeypatch):
     assert out2.read_bytes() == expected
 
 
+def _ring_pars(files, out, ckpt):
+    return params_from_args([
+        "--geno", files["beagle"], "--probs", "--n_ind", "8",
+        "--n_sites", "500", "--pos", files["pos"], "--max_kb_dist", "0",
+        "--extend_out", "--engine", "jax", "--ring", "--shard", "8",
+        "--ring_sub", "2", "--checkpoint", ckpt, "--out", out,
+        "--verbose", "0"])
+
+
+def test_ring_sigint_then_resume(tmp_path, monkeypatch):
+    """SIGINT mid ring sweep: exit 130 with committed step shards; a rerun
+    with the same --checkpoint resumes and matches the straight run."""
+    sim = simulate(n_ind=8, n_sites=500, seed=34)
+    files = write_all(sim, str(tmp_path / "fix"))
+    ckpt = str(tmp_path / "ckpt")
+
+    straight = tmp_path / "straight.ld"
+    run_jax(_ring_pars(files, str(straight), str(tmp_path / "cks")))
+    expected = straight.read_bytes()
+
+    real_save = engine_mod._RingCheckpoint.save
+    calls = []
+
+    def save_with_sigint(self, si, t, blocks):
+        real_save(self, si, t, blocks)
+        calls.append((si, t))
+        if len(calls) == 2:
+            os.kill(os.getpid(), signal.SIGINT)
+
+    monkeypatch.setattr(engine_mod._RingCheckpoint, "save", save_with_sigint)
+    out1 = tmp_path / "interrupted.ld"
+    with pytest.raises(SystemExit) as ei:
+        run_jax(_ring_pars(files, str(out1), ckpt))
+    assert ei.value.code == 130
+    steps = [p for p in os.listdir(ckpt) if p.startswith("ring_")]
+    assert len(steps) == 2          # exactly the committed steps remain
+    monkeypatch.setattr(engine_mod._RingCheckpoint, "save", real_save)
+
+    out2 = tmp_path / "resumed.ld"
+    run_jax(_ring_pars(files, str(out2), ckpt))
+    assert out2.read_bytes() == expected
+
+
 def test_signal_handlers_restored(tmp_path):
     from ngsld_tpu.utils.signals import GracefulStop
     before = signal.getsignal(signal.SIGINT)
