@@ -59,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="site-sharded ring sweep over the --shard mesh: the "
                         "GL table stays sharded by site block and partner "
                         "blocks ride the ring (for tables too large to "
-                        "replicate per device); no --rnd_sample")
+                        "replicate per device)")
     p.add_argument("--ring_sub", type=int, default=0, metavar="N",
                    help="ring sub-blocks per device block: bounds the "
                         "per-step stat tile to (block x block/N) and skips "

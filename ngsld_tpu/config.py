@@ -83,10 +83,6 @@ class Params:
         if self.rnd_sample <= 0 or self.rnd_sample > 1:
             raise ConfigError("proportion of comparisons to sample must be in ]0,1]!")
         if self.ring:
-            if self.rnd_sample < 1.0:
-                raise ConfigError("--ring does not support --rnd_sample "
-                                  "(per-pair draws are host-planned; the ring "
-                                  "path masks on device)")
             if self.engine == "strict":
                 raise ConfigError("--ring requires the jax engine")
 

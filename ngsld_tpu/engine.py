@@ -726,6 +726,45 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         hi = band_limits(pos_dist, pars.max_kb_dist, pars.max_snp_dist)
         contig, pos = contig_positions(pos_dist)
         ok = ~(maf < pars.min_maf)            # NaN passes, ngsLD.cpp:264/270
+
+        # --rnd_sample: replicate the reference's draw discipline (one taus
+        # uniform per surviving candidate, in s2 order, from a per-anchor
+        # child stream, ngsLD.cpp:164-166,277) without host-planning the
+        # global pair set: each host materializes only its RESIDENT anchors'
+        # sampled draw-index sets (cost/memory ~ its own emitted rows), and
+        # a pair's draw index is recovered in O(1) as the ok-prefix-sum
+        # rank of the partner within the anchor's band.
+        samp = okc = None
+        if pars.rnd_sample < 1.0:
+            from .gsl_rng import taus_uniforms
+            from .plan.band import child_seeds
+            seeds = child_seeds(pars.seed, n)
+            okc = np.cumsum(ok.astype(np.int64))  # okc[j] = #ok in [0, j]
+            my_blocks = [k for k, d in enumerate(jax.devices()[:n_dev])
+                         if d.process_index == jax.process_index()]
+            samp = {}
+            with log.phase("Sampling plan (taus draws, resident anchors)"):
+                for k in my_blocks:
+                    lo_s, hi_s = k * B, min(k * B + B, n)
+                    if lo_s >= n:
+                        continue
+                    anchors = np.arange(lo_s, hi_s)[ok[lo_s:hi_s]]
+                    if not len(anchors):
+                        continue
+                    # kept-candidate count per anchor (ok partners in band)
+                    m = (okc[np.maximum(hi[anchors] - 1, anchors)]
+                         - okc[anchors])
+                    max_m = int(m.max())
+                    step = max(1, (1 << 26) // max(max_m, 1))
+                    for a0 in range(0, len(anchors), step):
+                        a1 = min(a0 + step, len(anchors))
+                        sub_max = int(m[a0:a1].max())
+                        if sub_max == 0:
+                            continue
+                        u = taus_uniforms(seeds[anchors[a0:a1]], sub_max)
+                        for r in range(a1 - a0):
+                            samp[int(anchors[a0 + r])] = np.flatnonzero(
+                                u[r, :m[a0 + r]] <= pars.rnd_sample)
         # max forward reach of any device's anchors past its block start:
         # sub-ring (si) needs ring steps t while t*B + si*B_sub < maxspan
         starts = np.arange(n_dev) * B
@@ -760,6 +799,22 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
             valid = (PJ > A) & (PJ < n) & (A < n)
             valid &= ok[np.minimum(A, n - 1)] & ok[np.minimum(PJ, n - 1)]
             valid &= PJ < hi[np.minimum(A, n - 1)]   # band: s2 < hi[s1]
+            if samp is not None and valid.any():
+                # draw index of (a, pj) = #ok candidates strictly before pj
+                c = (okc[np.maximum(np.minimum(PJ, n) - 1, 0)]
+                     - okc[np.minimum(A, n - 1)])
+                sampled = np.zeros_like(valid)
+                for r in np.flatnonzero(valid.any(axis=1)):
+                    sa = samp.get(int(A[r, 0]))
+                    if sa is None or not len(sa):
+                        continue
+                    cols = np.flatnonzero(valid[r])
+                    cv = c[r, cols]
+                    pos_in = np.searchsorted(sa, cv)
+                    hit = pos_in < len(sa)
+                    hit[hit] = sa[pos_in[hit]] == cv[hit]
+                    sampled[r, cols[hit]] = True
+                valid &= sampled
             if not valid.any():
                 return None
             out = {k: tiles[k][i][valid] for k in tiles}

@@ -240,3 +240,37 @@ def test_ring_cli_call_geno_ignore_miss(tmp_path):
                     f"col {c}: {sr}\n{rr}"
                 continue
             assert abs(a - b) <= 5e-5, f"col {c}: {sr}\n{rr}"
+
+
+def test_ring_cli_rnd_sample_matches_strict(tmp_path):
+    """--ring with --rnd_sample --seed must select EXACTLY the oracle's
+    pair set: the ring engine recovers each pair's taus draw index from
+    ok-prefix-sum ranks instead of host-planning the global pair walk."""
+    from ngsld_tpu import strict
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    sim = simulate(n_ind=8, n_sites=200, seed=21, contig_kb=3.0)
+    files = write_all(sim, str(tmp_path / "fix"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "8",
+            "--n_sites", "200", "--pos", files["pos"], "--max_kb_dist", "2",
+            "--min_maf", "0.05", "--rnd_sample", "0.4", "--seed", "12345",
+            "--extend_out", "--verbose", "0"]
+    s_out, r_out = tmp_path / "s.ld", tmp_path / "r.ld"
+    strict.run(params_from_args(argv + ["--engine", "strict",
+                                        "--out", str(s_out)]))
+    run_jax(params_from_args(argv + ["--ring", "--shard", "0",
+                                     "--ring_sub", "2", "--out", str(r_out)]))
+    s_rows = s_out.read_text().splitlines()
+    r_rows = r_out.read_text().splitlines()
+    # sampling is the point: the pair SET (and order) must match exactly
+    assert len(s_rows) == len(r_rows) and len(s_rows) > 30
+    assert [r.split("\t")[:2] for r in s_rows] == \
+           [r.split("\t")[:2] for r in r_rows]
+    # and it must actually have thinned the band
+    full = tmp_path / "full.ld"
+    strict.run(params_from_args(
+        [a for a in argv if a not in ("--rnd_sample", "0.4")]
+        + ["--engine", "strict", "--out", str(full)]))
+    assert len(s_rows) < len(full.read_text().splitlines())
