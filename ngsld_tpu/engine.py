@@ -838,14 +838,24 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                     continue
                 t0 = 0
                 if rck is not None:
-                    # resume: load completed steps' compacted rows; steps
-                    # commit in order, so the first missing one is where
-                    # the interrupted sweep stopped
+                    # resume: steps commit in order, so the first missing
+                    # one is where the interrupted sweep stopped. On a
+                    # multi-host pod the hosts may have died at different
+                    # points; every host must run the SAME collective
+                    # sequence, so they agree on the minimum resume step
+                    # (hosts that committed further simply recompute and
+                    # overwrite — loads stay below the agreed point so no
+                    # rows double-append).
                     while t0 < t_max and rck.done(si, t0):
-                        for i, cols in rck.load(si, t0).items():
+                        t0 += 1
+                    if jax.process_count() > 1:
+                        from jax.experimental import multihost_utils
+                        t0 = int(multihost_utils.process_allgather(
+                            np.array([t0])).min())
+                    for t in range(t0):
+                        for i, cols in rck.load(si, t).items():
                             buckets.setdefault(i, []).append(cols)
                         log.count("ring_steps_resumed")
-                        t0 += 1
                     if t0:
                         log.log(2, f"==> ring ckpt: sub-ring {si} resumes "
                                    f"at step {t0}/{t_max}")
@@ -855,7 +865,15 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                     vis = ring_subblock_taker(mesh, n_sub, si, offset=t0)(
                         gn_d, eg_d, maf_d)
                 for t in range(t0, t_max):
-                    if gs.stopped:
+                    stop = gs.stopped
+                    if jax.process_count() > 1:
+                        # SPMD: every host must break at the SAME step or
+                        # the survivors hang in the next collective — make
+                        # the stop decision collective (any host stops all)
+                        from jax.experimental import multihost_utils
+                        stop = bool(multihost_utils.process_allgather(
+                            np.array([stop])).any())
+                    if stop:
                         # the last completed step is committed; a rerun
                         # with the same --checkpoint resumes right here
                         interrupted = True
