@@ -50,8 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a JAX profiler trace of the run to DIR")
     p.add_argument("--checkpoint", default=None, metavar="DIR",
-                   help="write per-block output shards to DIR; rerunning with "
-                        "the same config resumes, computing only missing blocks")
+                   help="make the run resumable via shards in DIR: per-block "
+                        "output TSVs (block engine) or per-ring-step .npz "
+                        "state (--ring); rerunning with the same config "
+                        "computes only what is missing")
     p.add_argument("--shard", type=int, default=1, metavar="N",
                    help="split each pair block across N local devices "
                         "(0 = all; 1 = single-device) [1]")

@@ -478,8 +478,12 @@ class _RingCheckpoint:
                     "checkpoint", f"checkpoint dir {cdir} belongs to a "
                     "different run configuration; remove it or change --checkpoint")
         else:
-            with open(mpath, "w") as fh:
+            # atomic: concurrent first-writers (multi-host shared dir) and
+            # crashes must never leave a truncated manifest behind
+            tmp = mpath + f".tmp{proc}"
+            with open(tmp, "w") as fh:
                 json.dump({"fingerprint": fp, "mode": "ring"}, fh)
+            os.replace(tmp, mpath)
 
     def path(self, si: int, t: int) -> str:
         return os.path.join(
@@ -529,8 +533,10 @@ class _Checkpoint:
                     "checkpoint", f"checkpoint dir {cdir} belongs to a "
                     "different run configuration; remove it or change --checkpoint")
         else:
-            with open(mpath, "w") as fh:
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as fh:
                 json.dump({"fingerprint": fp}, fh)
+            os.replace(tmp, mpath)  # never leave a truncated manifest
 
     def path(self, i: int) -> str:
         return os.path.join(self.dir, f"part_{i:06d}.tsv")
@@ -734,15 +740,18 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         # sampled draw-index sets (cost/memory ~ its own emitted rows), and
         # a pair's draw index is recovered in O(1) as the ok-prefix-sum
         # rank of the partner within the anchor's band.
-        samp = okc = None
+        samp_keys = okc = None
         if pars.rnd_sample < 1.0:
-            from .gsl_rng import taus_uniforms
+            from .gsl_rng import iter_uniform_chunks
             from .plan.band import child_seeds
             seeds = child_seeds(pars.seed, n)
             okc = np.cumsum(ok.astype(np.int64))  # okc[j] = #ok in [0, j]
-            my_blocks = [k for k, d in enumerate(jax.devices()[:n_dev])
-                         if d.process_index == jax.process_index()]
-            samp = {}
+            my_blocks = sorted(k for k, d in enumerate(jax.devices()[:n_dev])
+                               if d.process_index == jax.process_index())
+            # sampled pairs as a SORTED array of keys anchor*n + draw_index
+            # (ascending anchors x ascending draw indices => concatenation
+            # is already sorted; membership below is one searchsorted)
+            parts = []
             with log.phase("Sampling plan (taus draws, resident anchors)"):
                 for k in my_blocks:
                     lo_s, hi_s = k * B, min(k * B + B, n)
@@ -754,17 +763,14 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                     # kept-candidate count per anchor (ok partners in band)
                     m = (okc[np.maximum(hi[anchors] - 1, anchors)]
                          - okc[anchors])
-                    max_m = int(m.max())
-                    step = max(1, (1 << 26) // max(max_m, 1))
-                    for a0 in range(0, len(anchors), step):
-                        a1 = min(a0 + step, len(anchors))
-                        sub_max = int(m[a0:a1].max())
-                        if sub_max == 0:
-                            continue
-                        u = taus_uniforms(seeds[anchors[a0:a1]], sub_max)
-                        for r in range(a1 - a0):
-                            samp[int(anchors[a0 + r])] = np.flatnonzero(
-                                u[r, :m[a0 + r]] <= pars.rnd_sample)
+                    for a0, a1, u in iter_uniform_chunks(seeds[anchors], m):
+                        for r in range(a0, a1):
+                            c_hit = np.flatnonzero(
+                                u[r - a0, :m[r]] <= pars.rnd_sample)
+                            if len(c_hit):
+                                parts.append(anchors[r] * np.int64(n) + c_hit)
+            samp_keys = (np.concatenate(parts) if parts
+                         else np.empty(0, np.int64))
         # max forward reach of any device's anchors past its block start:
         # sub-ring (si) needs ring steps t while t*B + si*B_sub < maxspan
         starts = np.arange(n_dev) * B
@@ -799,22 +805,18 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
             valid = (PJ > A) & (PJ < n) & (A < n)
             valid &= ok[np.minimum(A, n - 1)] & ok[np.minimum(PJ, n - 1)]
             valid &= PJ < hi[np.minimum(A, n - 1)]   # band: s2 < hi[s1]
-            if samp is not None and valid.any():
-                # draw index of (a, pj) = #ok candidates strictly before pj
+            if samp_keys is not None and valid.any():
+                # draw index of (a, pj) = #ok candidates strictly before pj;
+                # one vectorized searchsorted over all valid cells
                 c = (okc[np.maximum(np.minimum(PJ, n) - 1, 0)]
                      - okc[np.minimum(A, n - 1)])
+                q = (np.minimum(A, n - 1) * np.int64(n) + c)[valid]
+                pos_in = np.searchsorted(samp_keys, q)
+                hit = pos_in < len(samp_keys)
+                hit[hit] = samp_keys[pos_in[hit]] == q[hit]
                 sampled = np.zeros_like(valid)
-                for r in np.flatnonzero(valid.any(axis=1)):
-                    sa = samp.get(int(A[r, 0]))
-                    if sa is None or not len(sa):
-                        continue
-                    cols = np.flatnonzero(valid[r])
-                    cv = c[r, cols]
-                    pos_in = np.searchsorted(sa, cv)
-                    hit = pos_in < len(sa)
-                    hit[hit] = sa[pos_in[hit]] == cv[hit]
-                    sampled[r, cols[hit]] = True
-                valid &= sampled
+                sampled[valid] = hit
+                valid = sampled
             if not valid.any():
                 return None
             out = {k: tiles[k][i][valid] for k in tiles}

@@ -95,3 +95,23 @@ def taus_uniforms(seeds: np.ndarray, n_draws: int) -> np.ndarray:
         s1, s2, s3 = _taus_step_vec(s1, s2, s3)
         out[:, j] = (s1 ^ s2 ^ s3).astype(np.float64) / 4294967296.0
     return out
+
+
+def iter_uniform_chunks(seeds: np.ndarray, n_draws: np.ndarray,
+                        max_elems: int = 1 << 26):
+    """Yield (a0, a1, u) stream chunks where u is the
+    (a1-a0, max(n_draws[a0:a1])) uniforms matrix for streams [a0, a1).
+
+    Bounds the transient allocation to ~max_elems doubles when per-stream
+    draw counts are ragged: a single wide stream cannot blow the matrix up
+    for the whole batch (the memory discipline of the banded pair plan and
+    the ring sampling plan, which both consume per-anchor draw prefixes).
+    Chunks with max draws == 0 are skipped."""
+    max_m = int(n_draws.max()) if len(n_draws) else 0
+    step = max(1, max_elems // max(max_m, 1))
+    for a0 in range(0, len(seeds), step):
+        a1 = min(a0 + step, len(seeds))
+        sub_max = int(n_draws[a0:a1].max())
+        if sub_max == 0:
+            continue
+        yield a0, a1, taus_uniforms(seeds[a0:a1], sub_max)

@@ -27,7 +27,7 @@ from typing import Iterator
 import numpy as np
 
 from ..constants import INF
-from ..gsl_rng import TausRNG, taus_uniforms
+from ..gsl_rng import TausRNG, iter_uniform_chunks
 
 
 @dataclass
@@ -156,23 +156,14 @@ def iter_pair_blocks(pars, maf: np.ndarray, pos_dist: np.ndarray,
                 excl = kc - within
                 base = np.repeat(excl[grp_start], cslice)
                 ccum = excl - base
-                max_draws = int(cslice.max()) if len(cslice) else 0
                 draw = np.zeros(len(a))
                 rows = a - s1
-                if max_draws:
-                    # uniforms matrix is (anchors, max band in chunk):
-                    # chunk anchors so a single wide-band anchor cannot
-                    # blow the allocation up for the whole slab
-                    n_anch = s1_end - s1
-                    step = max(1, (1 << 26) // max_draws)
-                    for a0 in range(0, n_anch, step):
-                        a1 = min(a0 + step, n_anch)
-                        sub_max = int(cslice[a0:a1].max())
-                        if sub_max == 0:
-                            continue
-                        u = taus_uniforms(seeds[s1 + a0:s1 + a1], sub_max)
-                        m = keep & (rows >= a0) & (rows < a1)
-                        draw[m] = u[rows[m] - a0, ccum[m]]
+                # chunked so a single wide-band anchor cannot blow the
+                # uniforms allocation up for the whole slab
+                for a0, a1, u in iter_uniform_chunks(seeds[s1:s1_end],
+                                                     cslice):
+                    m = keep & (rows >= a0) & (rows < a1)
+                    draw[m] = u[rows[m] - a0, ccum[m]]
                 keep &= ~(draw > pars.rnd_sample)
             a, b = a[keep], b[keep]
             d = np.where(contig[a] == contig[b], pos[b] - pos[a], np.inf)
