@@ -185,11 +185,22 @@ class _StreamedGLLoader:
                                     count=k * m * 3).reshape(k, m, 3)
                     a = a.astype(self._dt, copy=False)
                     # NaN parity checks on the NARROWED slab (half the
-                    # bytes): NaN and -inf survive f64->f32; log-GLs never
-                    # reach f32's finite range boundary, so no new -infs
-                    if np.isnan(a).any() or (
-                            p.in_logscale and
-                            np.isneginf(a).all(axis=-1).any()):
+                    # bytes), mirroring the reference's NaN-after-post_prob
+                    # error (read_data.cpp:42-45): raw NaN; +inf anywhere
+                    # (inf - inf in the normalize); log-scale all-(-inf)
+                    # records (-inf - -inf); linear-scale negatives (log ->
+                    # NaN). Linear zeros are FINE: conv_space clamps the
+                    # -inf to a finite -INF (gen_func.cpp:127-128). The one
+                    # deviation: a finite f64 > f32-max narrows to +inf and
+                    # errors here where the f64 reference would accept it —
+                    # use --precision f64 for such (pathological) inputs.
+                    bad = np.isnan(a).any() or np.isposinf(a).any()
+                    if not bad:
+                        if p.in_logscale:
+                            bad = np.isneginf(a).all(axis=-1).any()
+                        else:
+                            bad = bool((a < 0).any())
+                    if bad:
                         raise strict.StrictError(
                             "read_geno",
                             "NaN found! Is the file format correct?")
@@ -341,6 +352,184 @@ class _StreamedTextLoader:
             raise self._err[0]
         return (jnp.concatenate(self._slabs, axis=0)
                 if len(self._slabs) > 1 else self._slabs[0])
+
+
+def _ring_sharded_tables(pars, mesh, n_dev, B, Sp, np_dt, log,
+                         touch=lambda: None, hold=None):
+    """Site-sharded table load for --ring: stream each ADDRESSABLE device's
+    B-row block straight from the GENO file and assemble the global
+    (Sp, n_ind, 3) 'sites'-sharded array with
+    jax.make_array_from_single_device_arrays — the global table is never
+    materialized on any host. Host RSS is O(one block + one slab); on a
+    multi-host pod each process reads only its own devices' blocks (binary
+    input seeks; text input is parsed once per host, discarding
+    non-resident records as it goes).
+
+    Returns (gl_global, raw, n_nan_pad_rows_are_log): `raw=True` means the
+    records are UNNORMALIZED file values (binary fast path) and preprocess
+    must run with raw=True/in_log=pars.in_logscale; `raw=False` means
+    log-normalized (text parse / strict fallback). Falls back to
+    strict.read_geno (exact reference error surface) when neither fast
+    path applies; that fallback IS O(table) on the host and logs a note.
+
+    Reference parity: the load semantics per record match read_data.cpp
+    13-116 via the same code paths the block engine's streamed loaders use.
+    """
+    import contextlib
+    import jax
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as PS
+    hold = hold or contextlib.nullcontext
+
+    n, m = pars.n_sites, pars.n_ind
+    shd = NamedSharding(mesh, PS("sites", None, None))
+    devices = list(mesh.devices.reshape(-1))
+    my = [(k, d) for k, d in enumerate(devices) if
+          d.process_index == jax.process_index()]
+    pad_val = np_dt(np.log(1.0 / 3.0))
+
+    def assemble(shards):
+        return jax.make_array_from_single_device_arrays(
+            (Sp, m, 3), shd, shards)
+
+    slab_bytes = int(os.environ.get("NGSLD_SLAB_BYTES",
+                                    _StreamedGLLoader.SLAB_BYTES))
+
+    if _StreamedGLLoader.applicable(pars):
+        # binary fast path: RAW f64 records; seek straight to each resident
+        # block, narrow + NaN-check slab-wise (read_data.cpp:42-45 parity,
+        # same checks as _StreamedGLLoader), normalize on device
+        rec = m * 3
+        slab_sites = max(1, slab_bytes // (rec * 8))
+        shards = []
+        with open(pars.in_geno, "rb") as fh:
+            for k, d in my:
+                lo = k * B
+                rows = max(0, min(B, n - lo))
+                # pad rows must normalize to a harmless uniform record in
+                # whichever space the RAW file is in
+                buf = np.full((B, m, 3),
+                              pad_val if pars.in_logscale
+                              else np_dt(1.0 / 3.0), np_dt)
+                fh.seek(lo * rec * 8)
+                s = 0
+                while s < rows:
+                    cnt = min(slab_sites, rows - s)
+                    a = np.fromfile(fh, dtype=np.float64,
+                                    count=cnt * rec).reshape(cnt, m, 3)
+                    a = a.astype(np_dt, copy=False)
+                    bad = np.isnan(a).any() or np.isposinf(a).any()
+                    if not bad:
+                        bad = (np.isneginf(a).all(axis=-1).any()
+                               if pars.in_logscale else bool((a < 0).any()))
+                    if bad:
+                        raise strict.StrictError(
+                            "read_geno",
+                            "NaN found! Is the file format correct?")
+                    buf[s:s + cnt] = a
+                    s += cnt
+                with hold():
+                    shards.append(jax.device_put(buf, d))
+                touch()
+                del buf
+        return assemble(shards), True
+
+    if _StreamedTextLoader.applicable(pars):
+        # gz-text: native chunked parse of the whole file (records arrive
+        # log-normalized); only resident blocks are buffered, everything
+        # else is discarded as soon as it parses
+        from .native import parse_geno_text_native
+        mine = {k: None for k, _ in my}
+        dev_of = dict(my)
+        shards = []
+        chunk_bytes = min(slab_bytes, _StreamedTextLoader.CHUNK_BYTES)
+        with strict.open_maybe_gz(pars.in_geno, "rb") as fh:
+            carry = b""
+            s = 0
+            leftover = b""
+            while True:
+                data = fh.read(chunk_bytes)
+                eof = not data
+                buf = carry + data
+                if eof:
+                    if not buf:
+                        break
+                    chunk, carry = buf + b"\n", b""
+                else:
+                    cut = buf.rfind(b"\n")
+                    if cut < 0:
+                        carry = buf
+                        continue
+                    chunk, carry = buf[:cut + 1], buf[cut + 1:]
+                if s >= n:
+                    leftover = chunk
+                    break
+                recs, used = parse_geno_text_native(
+                    chunk, pars.in_probs, pars.in_logscale, m, s,
+                    min(chunk.count(b"\n"), n - s))
+                got = len(recs)
+                # scatter this chunk's records into resident block buffers
+                r0 = 0
+                while r0 < got:
+                    g = s + r0
+                    k = g // B
+                    take = min(got - r0, (k + 1) * B - g)
+                    if k in mine:
+                        if mine[k] is None:
+                            mine[k] = np.full((B, m, 3), pad_val, np_dt)
+                        mine[k][g - k * B:g - k * B + take] = \
+                            recs[r0:r0 + take].astype(np_dt, copy=False)
+                    r0 += take
+                s += got
+                # a block is complete once the stream passes its end
+                for k in sorted(mine):
+                    if mine[k] is not None and (k + 1) * B <= s:
+                        with hold():
+                            shards.append(
+                                jax.device_put(mine[k], dev_of[k]))
+                        touch()
+                        mine[k] = None
+                        del mine[k]
+                if used < len(chunk):
+                    leftover = chunk[used:]
+                    break
+                if eof:
+                    break
+            if s < n:
+                raise strict.StrictError(
+                    "read_geno", "GENO file at premature EOF. "
+                    "Check GENO file and number of sites!")
+            if leftover or carry or fh.read(1):
+                raise strict.StrictError(
+                    "read_geno", "GENO file not at EOF. "
+                    "Check GENO file and number of sites!")
+        for k in sorted(mine):   # tail blocks (partial or all-pad)
+            b = mine[k]
+            if b is None:
+                b = np.full((B, m, 3), pad_val, np_dt)
+            with hold():
+                shards.append(jax.device_put(b, dev_of[k]))
+            touch()
+        return assemble(shards), False
+
+    # fallback: strict reader (exact reference error surface); this DOES
+    # materialize the table on the host — fine for small runs, logged so
+    # at-scale users notice
+    log.log(2, "==> ring: input not stream-shardable; using the strict "
+               "reader (host memory O(table))")
+    geno_log = strict.read_geno(pars.in_geno, pars.in_bin, pars.in_probs,
+                                pars.in_logscale, m, n)
+    shards = []
+    for k, d in my:
+        lo = k * B
+        buf = np.full((B, m, 3), pad_val, np_dt)
+        rows = max(0, min(B, n - lo))
+        if rows:
+            buf[:rows] = np.asarray(geno_log[lo:lo + rows], np_dt)
+        with hold():
+            shards.append(jax.device_put(buf, d))
+        touch()
+    return assemble(shards), False
 
 
 def _prefetch_blocks(gen, depth: int = 4):
@@ -519,11 +708,11 @@ class _Checkpoint:
     manifest pins the config fingerprint. Completed blocks are skipped on
     resume; the final output is the in-order concatenation."""
 
-    def __init__(self, cdir: str, pars: Params, log: RunLog):
+    def __init__(self, cdir: str, pars: Params, log: RunLog, extra: dict = None):
         self.dir = cdir
         self.log = log
         os.makedirs(cdir, exist_ok=True)
-        fp = _config_fingerprint(pars)
+        fp = _config_fingerprint(pars, extra)
         mpath = os.path.join(cdir, "MANIFEST.json")
         if os.path.exists(mpath):
             with open(mpath) as fh:
@@ -586,6 +775,21 @@ def run_jax(pars: Params, out_fh=None) -> None:
     if pars.verbose >= 1:
         echo_config(pars, f"(jax, {jax.default_backend()}, {prec})")
 
+    # resolve --shard 0 ("all devices") to a CONCRETE count exactly once:
+    # the block decomposition (and therefore checkpoint shard compatibility)
+    # must not silently depend on the device count of whatever machine a
+    # checkpoint is resumed on — the resolved value joins the fingerprint
+    n_avail = len(jax.devices())
+    if not pars.shard:
+        pars.shard = n_avail
+    if pars.shard > n_avail:
+        raise strict.StrictError(
+            "shard", f"--shard {pars.shard} > {n_avail} devices")
+    if getattr(pars, "ring", False) and pars.shard == 1 and n_avail > 1:
+        log.log(1, "==> WARNING: --ring with --shard 1 runs a degenerate "
+                   f"1-device ring ({n_avail} devices available); "
+                   "pass --shard 0 for all devices")
+
     profile_dir = getattr(pars, "profile", None)
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -608,9 +812,16 @@ def run_jax(pars: Params, out_fh=None) -> None:
 
     ckpt_dir = getattr(pars, "checkpoint", None)
     # ring mode owns its own step-granular checkpoint (_RingCheckpoint,
-    # built inside _run_jax_ring once the block decomposition is known)
-    ckpt = (_Checkpoint(ckpt_dir, pars, log)
-            if ckpt_dir and not getattr(pars, "ring", False) else None)
+    # built inside _run_jax_ring once the block decomposition is known).
+    # The block engine's fingerprint pins the EFFECTIVE chunk (chunk_pairs
+    # rounded up to a shard multiple): a resume with a different --shard
+    # that changes the rounding would reuse part shards from a different
+    # block decomposition.
+    ckpt = None
+    if ckpt_dir and not getattr(pars, "ring", False):
+        eff_chunk = -(-int(pars.chunk_pairs) // pars.shard) * pars.shard
+        ckpt = _Checkpoint(ckpt_dir, pars, log,
+                           extra={"chunk": eff_chunk})
 
     from .utils.keepalive import DeviceKeepalive
     try:
@@ -672,17 +883,10 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
     from .parallel.ring import ring_sweep_stepper
     from .plan.band import band_limits, contig_positions
 
-    n_dev = pars.shard or len(jax.devices())
-    if n_dev > len(jax.devices()):
-        raise strict.StrictError(
-            "shard", f"--shard {n_dev} > {len(jax.devices())} devices")
+    n_dev = pars.shard   # resolved once in run_jax
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("sites",))
 
     try:
-        with log.phase("Reading data from file"):
-            geno_log = strict.read_geno(pars.in_geno, pars.in_bin,
-                                        pars.in_probs, pars.in_logscale,
-                                        pars.n_ind, pars.n_sites)
         with log.phase("Getting sites coordinates"):
             if pars.in_pos:
                 pos_dist, labels = strict.read_pos(
@@ -703,22 +907,24 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         B_sub = B // n_sub
         Sp = B * n_dev
         from .ops.preprocess import preprocess
+        np_dt = np.float64 if prec == "f64" else np.float32
+        with log.phase("Reading data from file (site-sharded stream)"):
+            gl_d, raw_gl = _ring_sharded_tables(
+                pars, mesh, n_dev, B, Sp, np_dt, log, touch=touch, hold=hold)
         with log.phase("Preprocessing (site-sharded) on device"):
-            np_dt = np.float64 if prec == "f64" else np.float32
-            glp = np.full((Sp, pars.n_ind, 3), np.log(1.0 / 3.0), np_dt)
-            glp[:n] = np.asarray(geno_log, np_dt)
-            del geno_log
-            shd = NamedSharding(mesh, PS("sites", None, None))
-            with hold():
-                gl_d = jax.device_put(glp, shd)
-            touch()
-            del glp
             pre = jax.jit(functools.partial(
                 preprocess, call=pars.call_geno, N_thresh=pars.N_thresh,
                 call_thresh=pars.call_thresh,
-                ignore_miss_data=pars.ignore_miss_data))
+                ignore_miss_data=pars.ignore_miss_data,
+                raw=raw_gl, in_log=pars.in_logscale),
+                # free the log-GL table as the normalized tables build:
+                # device memory is the ring's scarce resource (CPU ignores
+                # donation, so only donate where it works)
+                donate_argnums=(0,) if jax.default_backend() == "tpu"
+                else ())
             with hold():
                 gn_d, maf_d, eg_d = pre(gl_d)
+                del gl_d
                 if jax.process_count() == 1:
                     maf = np.asarray(maf_d, np.float64)[:n]
                 else:
@@ -1006,10 +1212,7 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
         from .io.writer import RowWriter
         from .plan.band import iter_pair_blocks
         use_pallas = jax.default_backend() == "tpu" and prec == "f32"
-        n_shards = getattr(pars, "shard", 1) or len(jax.devices())
-        if n_shards > len(jax.devices()):
-            raise strict.StrictError(
-                "shard", f"--shard {n_shards} > {len(jax.devices())} devices")
+        n_shards = pars.shard   # resolved once in run_jax
         compute = _compute_block_fn(pars.ignore_miss_data, use_pallas,
                                     n_shards)
         # every device must receive the same per-shard shape

@@ -26,7 +26,9 @@ def findmax(fn, x0, lower=None, upper=None, grad=None, **kw):
         lo = np.full_like(x0, -np.inf) if lower is None else np.asarray(lower, float)
         hi = np.full_like(x0, np.inf) if upper is None else np.asarray(upper, float)
         bounds = list(zip(lo, hi))
-    neg = (lambda x: -fn(x)) if grad is None else (lambda x: -fn(x))
+    def neg(x):
+        return -fn(x)
+
     jac = (lambda x: -np.asarray(grad(x))) if grad is not None else None
     res = minimize(neg, x0, jac=jac, method="L-BFGS-B", bounds=bounds, **kw)
     return res.x, -res.fun, bool(res.success)

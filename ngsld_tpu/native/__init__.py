@@ -232,7 +232,9 @@ def parse_geno_text_native(chunk: bytes, in_probs: bool, in_logscale: bool,
         return None
     from ..strict import StrictError
     i64 = ctypes.c_int64
-    data = np.frombuffer(bytearray(chunk), dtype=np.uint8)  # writable copy
+    # writable copy with one spare byte: the C parser NUL-terminates the
+    # final line at data[len] when the chunk does not end in '\n'
+    data = np.frombuffer(bytearray(chunk) + b"\0", dtype=np.uint8)
     out = np.empty((max(max_sites, 1), n_ind, 3), np.float64)
     consumed = i64(0)
     err = ctypes.create_string_buffer(256)

@@ -101,3 +101,15 @@ def test_manifest_guards_config_mismatch(fixdir, tmp_path):
                 out_fh=io.StringIO())
     man = json.load(open(cdir / "MANIFEST.json"))
     assert "fingerprint" in man
+
+
+def test_manifest_guards_shard_decomposition(fixdir, tmp_path):
+    """Resuming with a --shard that changes the EFFECTIVE chunk (and thus
+    the part_NNNNNN block decomposition) must be rejected: silently reusing
+    shards from a different decomposition would duplicate/drop pairs."""
+    cdir = tmp_path / "ck"
+    run_jax(base_pars(fixdir, checkpoint=str(cdir), chunk_pairs=101,
+                      shard=1), out_fh=io.StringIO())
+    with pytest.raises(StrictError, match="different run configuration"):
+        run_jax(base_pars(fixdir, checkpoint=str(cdir), chunk_pairs=101,
+                          shard=4), out_fh=io.StringIO())

@@ -178,3 +178,35 @@ def test_streamed_text_loader_eof_parity(tmp_path):
     # too many expected sites: the pos file has 50 lines, so use no pos
     with pytest.raises(strict.StrictError, match="premature EOF"):
         run_jax(pars(51), out_fh=io.BytesIO())
+
+
+@pytest.mark.parametrize("val,logscale", [
+    (np.inf, True),          # +inf log-GL: inf - inf in the normalize
+    (np.inf, False),         # +inf likelihood: log -> +inf -> NaN
+    (-0.25, False),          # negative linear likelihood: log -> NaN
+])
+def test_streamed_loader_rejects_nonfinite(tmp_path, val, logscale):
+    """read_data.cpp:42-45 parity: inputs whose post_prob would be NaN must
+    error on the streamed binary fast path, not emit NaN rows."""
+    import io
+
+    from ngsld_tpu import strict
+    from ngsld_tpu.engine import _StreamedGLLoader, run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_glf_bin, write_pos
+
+    sim = simulate(n_ind=6, n_sites=50, seed=13)
+    glf = str(tmp_path / "bad.glf")
+    posf = str(tmp_path / "bad.pos")
+    write_glf_bin(sim, glf)
+    write_pos(sim, posf)
+    raw = np.fromfile(glf, dtype=np.float64)
+    if not logscale:
+        raw = np.exp(raw)    # linear-scale file
+    raw[77] = val
+    raw.tofile(glf)
+
+    pars = Params(in_geno=glf, in_probs=True, in_logscale=logscale, n_ind=6,
+                  n_sites=50, in_pos=posf, max_kb_dist=5).finalize()
+    assert _StreamedGLLoader.applicable(pars)
+    with pytest.raises(strict.StrictError, match="NaN found"):
+        run_jax(pars, out_fh=io.BytesIO())
