@@ -638,25 +638,43 @@ def _config_fingerprint(pars: Params, extra: dict = None) -> str:
     return hashlib.sha256(json.dumps(key, sort_keys=True).encode()).hexdigest()[:16]
 
 
-class _RingCheckpoint:
-    """Ring-mode (--ring --checkpoint) resume state: one .npz per
-    (sub-ring, ring step) per host, holding every RESIDENT block's
-    compacted surviving rows for that step (the step tile after band /
-    triangle / MAF masking — exactly what the sweep appends to its emit
-    buckets). Files commit atomically; completed steps are loaded instead
-    of recomputed and the visiting ring state fast-forwards with a single
-    offset ppermute (parallel.ring.ring_subblock_taker offset=).
+_RING_COLS = ("r2p", "f", "n_iter", "n_used", "hmaf1", "hmaf2",
+              "D", "Dp", "r2", "chi2")
 
-    The reference has no checkpointing at all (SURVEY.md §5: a killed run
-    restarts); step-granular shards make a multi-hour pod sweep resumable.
-    On a multi-host pod every process writes its own p{proc} files into
-    the shared dir; the manifest is identical across hosts so the
-    concurrent writes are benign."""
 
-    def __init__(self, cdir: str, pars: Params, extra: dict, proc: int):
+class _RingSpill:
+    """Ring-mode emission spill + (--checkpoint) resume state.
+
+    Every completed (sub-ring, ring step) writes each RESIDENT block's
+    compacted surviving rows — the step tile after band / triangle / MAF
+    masking — as one structured .npy per block, then commits the step with
+    an atomic .done marker. Host memory during the sweep is O(one step's
+    rows); the end-of-sweep emit is a bounded-memory merge over the spill
+    (see _run_jax_ring), not an in-RAM accumulation — the all-pairs pod
+    configs (SURVEY.md §7: ~1e13 pairs) are output-dominated and would OOM
+    any host otherwise.
+
+    With --checkpoint the spill dir IS the checkpoint: completed steps
+    (markers present) skip compute on resume and their tiles feed the merge
+    straight from disk; the visiting ring state fast-forwards with a single
+    offset ppermute (parallel.ring.ring_subblock_taker offset=). Without
+    --checkpoint the spill lives in a TemporaryDirectory. The reference has
+    no checkpointing at all (SURVEY.md §5: a killed run restarts).
+
+    On a multi-host pod every process writes its own p{proc} files into the
+    shared dir; the manifest is identical across hosts so the concurrent
+    writes are benign, and recomputed steps overwrite tiles with identical
+    bytes (the sweep is deterministic), so heterogeneous death points can't
+    corrupt."""
+
+    def __init__(self, cdir: str, pars: Params, extra: dict, proc: int,
+                 persistent: bool):
         self.dir = cdir
         self.proc = proc
+        self.persistent = persistent
         os.makedirs(cdir, exist_ok=True)
+        if not persistent:
+            return
         fp = _config_fingerprint(pars, extra)
         mpath = os.path.join(cdir, "MANIFEST.json")
         if os.path.exists(mpath):
@@ -674,33 +692,54 @@ class _RingCheckpoint:
                 json.dump({"fingerprint": fp, "mode": "ring"}, fh)
             os.replace(tmp, mpath)
 
-    def path(self, si: int, t: int) -> str:
+    def _stem(self, si: int, t: int) -> str:
         return os.path.join(
-            self.dir, f"ring_p{self.proc:05d}_s{si:04d}_t{t:04d}.npz")
+            self.dir, f"ring_p{self.proc:05d}_s{si:04d}_t{t:04d}")
+
+    def tile_path(self, si: int, t: int, i: int) -> str:
+        return f"{self._stem(si, t)}_b{i:05d}.npy"
 
     def done(self, si: int, t: int) -> bool:
-        return os.path.exists(self.path(si, t))
+        return os.path.exists(self._stem(si, t) + ".done")
 
-    def save(self, si: int, t: int, blocks: dict) -> None:
-        """blocks: {resident block index -> {col: ndarray} or None}."""
-        flat = {}
+    @staticmethod
+    def pack(cols: dict) -> np.ndarray:
+        """{col: ndarray} -> one structured record array (rows stay in the
+        tile's row-major (a, pj) order)."""
+        n = len(cols["a"])
+        fields = [("a", np.int64), ("pj", np.int64)]
+        for k in _RING_COLS:
+            v = cols[k]
+            fields.append((k, v.dtype, v.shape[1:]) if v.ndim > 1
+                          else (k, v.dtype))
+        rec = np.empty(n, dtype=np.dtype(fields))
+        rec["a"], rec["pj"] = cols["a"], cols["pj"]
+        for k in _RING_COLS:
+            rec[k] = cols[k]
+        return rec
+
+    def save_step(self, si: int, t: int, blocks: dict) -> None:
+        """blocks: {resident block index -> {col: ndarray} or None}.
+        Tiles write atomically; the .done marker commits the step last."""
         for i, cols in blocks.items():
             if cols is None:
                 continue
-            for k, v in cols.items():
-                flat[f"b{i}:{k}"] = v
-        tmp = self.path(si, t) + ".tmp.npz"
-        with open(tmp, "wb") as fh:
-            np.savez(fh, **flat)
-        os.replace(tmp, self.path(si, t))
+            p = self.tile_path(si, t, i)
+            with open(p + ".tmp", "wb") as fh:
+                np.save(fh, self.pack(cols))
+            os.replace(p + ".tmp", p)
+        marker = self._stem(si, t) + ".done"
+        with open(marker + ".tmp", "w"):
+            pass
+        os.replace(marker + ".tmp", marker)
 
-    def load(self, si: int, t: int) -> dict:
-        out = {}
-        with np.load(self.path(si, t)) as z:
-            for key in z.files:
-                b, k = key.split(":", 1)
-                out.setdefault(int(b[1:]), {})[k] = z[key]
-        return out
+    def block_tiles(self, i: int) -> list:
+        """All committed spill tiles of resident block i, (si, t)-sorted
+        (merge order is re-established by the (a, pj) lexsort anyway)."""
+        import glob as _g
+        pat = os.path.join(self.dir,
+                           f"ring_p{self.proc:05d}_s*_t*_b{i:05d}.npy")
+        return sorted(_g.glob(pat))
 
 
 class _Checkpoint:
@@ -886,6 +925,7 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
     n_dev = pars.shard   # resolved once in run_jax
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("sites",))
 
+    tmp_spill = None
     try:
         with log.phase("Getting sites coordinates"):
             if pars.in_pos:
@@ -986,13 +1026,19 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         log.log(2, f"==> ring: {n_dev} blocks of {B} sites, {n_sub} "
                    f"sub-blocks of {B_sub}")
 
-        rck = None
-        if getattr(pars, "checkpoint", None):
-            rck = _RingCheckpoint(
-                pars.checkpoint, pars,
-                dict(mode="ring", n_dev=n_dev, n_sub=n_sub,
-                     n_proc=jax.process_count()),
-                jax.process_index())
+        import tempfile
+        persistent = bool(getattr(pars, "checkpoint", None))
+        if persistent:
+            spill_dir = pars.checkpoint
+        else:
+            tmp_spill = tempfile.TemporaryDirectory(prefix="ngsld_ring_")
+            spill_dir = tmp_spill.name
+        spill = _RingSpill(
+            spill_dir, pars,
+            dict(mode="ring", n_dev=n_dev, n_sub=n_sub,
+                 n_proc=jax.process_count()),
+            jax.process_index(), persistent)
+        rck = spill if persistent else None
 
         stepper = ring_sweep_stepper(mesh, pars.ignore_miss_data,
                                      pars.extend_out)
@@ -1032,7 +1078,6 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
 
         from .parallel.ring import ring_subblock_taker
         from .utils.signals import GracefulStop
-        buckets = {}   # resident block -> list of compacted step rows
         interrupted = False
         with log.phase("compute: ring sweep"), GracefulStop(log) as gs:
             for si in range(n_sub):
@@ -1060,9 +1105,9 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                         from jax.experimental import multihost_utils
                         t0 = int(multihost_utils.process_allgather(
                             np.array([t0])).min())
+                    # resumed steps' tiles are already in the spill; the
+                    # merge phase reads them straight from disk
                     for t in range(t0):
-                        for i, cols in rck.load(si, t).items():
-                            buckets.setdefault(i, []).append(cols)
                         log.count("ring_steps_resumed")
                     if t0:
                         log.log(2, f"==> ring ckpt: sub-ring {si} resumes "
@@ -1094,12 +1139,9 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                     touch()
                     step_rows = {}
                     for i in sorted(next(iter(tiles.values())).keys()):
-                        c = compact_tile(i, si, t, tiles)
-                        step_rows[i] = c
-                        if c is not None:
-                            buckets.setdefault(i, []).append(c)
-                    if rck is not None:
-                        rck.save(si, t, step_rows)
+                        step_rows[i] = compact_tile(i, si, t, tiles)
+                    spill.save_step(si, t, step_rows)
+                    del step_rows, tiles
                     log.count("ring_steps")
 
         if interrupted:
@@ -1110,29 +1152,56 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                        f"are committed. {hint}")
             raise SystemExit(130)
 
-        with log.phase("emit: order + format"):
-            for i in sorted(buckets):
-                parts = buckets.pop(i)
-                cat = {k: np.concatenate([p[k] for p in parts])
-                       for k in parts[0]}
-                order = np.lexsort((cat["pj"], cat["a"]))
-                af, pf = cat["a"][order], cat["pj"][order]
-                dist = np.where(contig[af] == contig[pf],
-                                pos[pf] - pos[af], np.inf)
-
-                def col(k):
-                    return cat[k][order]
-
-                writer.write_block(
-                    af, pf, dist, col("r2p"), col("D"), col("Dp"),
-                    col("r2"), n_used=col("n_used").astype(np.int32),
-                    maf1=maf[af], maf2=maf[pf], hap=col("f"),
-                    hmaf1=col("hmaf1"), hmaf2=col("hmaf2"),
-                    chi2=col("chi2").astype(np.float32),
-                    n_iter=col("n_iter").astype(np.int32))
-                log.count("pairs_emitted", len(af))
+        # Emit: bounded-memory merge over the spill. Each tile file is
+        # already (a, pj)-sorted (row-major compaction), so rows for an
+        # anchor RANGE are a contiguous slice of every tile — memmap the
+        # tiles, walk per-tile cursors, and lexsort only one anchor-chunk
+        # of rows at a time. Host memory is O(chunk rows), not O(emitted
+        # rows); byte-identical to a global per-block lexsort because
+        # (a, pj) is unique across a block's tiles.
+        budget = int(os.environ.get("NGSLD_RING_EMIT_ROWS", 2_000_000))
+        my_blocks = sorted(
+            k for k, d in enumerate(jax.devices()[:n_dev])
+            if d.process_index == jax.process_index())
+        with log.phase("emit: merge + format"):
+            for i in my_blocks:
+                mms = [np.load(p, mmap_mode="r")
+                       for p in spill.block_tiles(i)]
+                total = sum(len(x) for x in mms)
+                if total == 0:
+                    continue
+                a_lo, a_hi = i * B, min(i * B + B, n)
+                step = max(1, int(budget // max(1, total // max(1, B))))
+                cursors = [0] * len(mms)
+                a0 = a_lo
+                while a0 < a_hi:
+                    a1 = min(a0 + step, a_hi)
+                    parts = []
+                    for j, x in enumerate(mms):
+                        e = int(np.searchsorted(x["a"], a1, side="left"))
+                        if e > cursors[j]:
+                            parts.append(np.asarray(x[cursors[j]:e]))
+                            cursors[j] = e
+                    a0 = a1
+                    if not parts:
+                        continue
+                    cat = np.concatenate(parts)
+                    cat = cat[np.lexsort((cat["pj"], cat["a"]))]
+                    af, pf = cat["a"], cat["pj"]
+                    dist = np.where(contig[af] == contig[pf],
+                                    pos[pf] - pos[af], np.inf)
+                    writer.write_block(
+                        af, pf, dist, cat["r2p"], cat["D"], cat["Dp"],
+                        cat["r2"], n_used=cat["n_used"].astype(np.int32),
+                        maf1=maf[af], maf2=maf[pf], hap=cat["f"],
+                        hmaf1=cat["hmaf1"], hmaf2=cat["hmaf2"],
+                        chi2=cat["chi2"].astype(np.float32),
+                        n_iter=cat["n_iter"].astype(np.int32))
+                    log.count("pairs_emitted", len(af))
         log.summary()
     finally:
+        if tmp_spill is not None:
+            tmp_spill.cleanup()
         if profile_dir:
             jax.profiler.stop_trace()
 

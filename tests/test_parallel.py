@@ -371,3 +371,28 @@ def test_ring_text_sharded_load_matches_strict(tmp_path):
     got = np.asarray(gl_d)
     np.testing.assert_array_equal(got[:n], np.asarray(ref))
     assert np.allclose(got[n:], np.log(1.0 / 3.0))  # pad rows
+
+
+def test_ring_emit_merge_chunking_invariant(tmp_path, monkeypatch):
+    """The bounded-memory spill merge must produce byte-identical output
+    whatever the anchor-chunk budget (guards VERDICT weakness #2: emission
+    no longer buffers all rows in RAM, so correctness must not depend on
+    the chunk boundaries)."""
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    sim = simulate(n_ind=6, n_sites=160, seed=51, contig_kb=3.0)
+    files = write_all(sim, str(tmp_path / "fix"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "6",
+            "--n_sites", "160", "--pos", files["pos"], "--max_kb_dist", "0",
+            "--extend_out", "--ring", "--shard", "0", "--ring_sub", "2",
+            "--verbose", "0"]
+    outs = []
+    for budget in ("1", "37", "1000000"):
+        monkeypatch.setenv("NGSLD_RING_EMIT_ROWS", budget)
+        out = tmp_path / f"o{budget}.ld"
+        run_jax(params_from_args(argv + ["--out", str(out)]))
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0].count(b"\n") > 1000

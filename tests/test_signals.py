@@ -78,7 +78,7 @@ def test_ring_sigint_then_resume(tmp_path, monkeypatch):
     run_jax(_ring_pars(files, str(straight), str(tmp_path / "cks")))
     expected = straight.read_bytes()
 
-    real_save = engine_mod._RingCheckpoint.save
+    real_save = engine_mod._RingSpill.save_step
     calls = []
 
     def save_with_sigint(self, si, t, blocks):
@@ -87,14 +87,14 @@ def test_ring_sigint_then_resume(tmp_path, monkeypatch):
         if len(calls) == 2:
             os.kill(os.getpid(), signal.SIGINT)
 
-    monkeypatch.setattr(engine_mod._RingCheckpoint, "save", save_with_sigint)
+    monkeypatch.setattr(engine_mod._RingSpill, "save_step", save_with_sigint)
     out1 = tmp_path / "interrupted.ld"
     with pytest.raises(SystemExit) as ei:
         run_jax(_ring_pars(files, str(out1), ckpt))
     assert ei.value.code == 130
-    steps = [p for p in os.listdir(ckpt) if p.startswith("ring_")]
-    assert len(steps) == 2          # exactly the committed steps remain
-    monkeypatch.setattr(engine_mod._RingCheckpoint, "save", real_save)
+    done = [p for p in os.listdir(ckpt) if p.endswith(".done")]
+    assert len(done) == 2           # exactly the committed steps remain
+    monkeypatch.setattr(engine_mod._RingSpill, "save_step", real_save)
 
     out2 = tmp_path / "resumed.ld"
     run_jax(_ring_pars(files, str(out2), ckpt))
