@@ -966,14 +966,34 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                 gn_d, maf_d, eg_d = pre(gl_d)
                 del gl_d
                 if jax.process_count() == 1:
-                    maf = np.asarray(maf_d, np.float64)[:n]
+                    maf = np.array(maf_d, np.float64)[:n]
                 else:
                     # masks need GLOBAL MAFs (partner blocks live on other
                     # hosts); allgather the (tiny) vector over DCN
                     from jax.experimental import multihost_utils
-                    maf = np.asarray(multihost_utils.process_allgather(
+                    maf = np.array(multihost_utils.process_allgather(
                         maf_d, tiled=True), np.float64)[:n]
             touch()
+
+        from .refine import StrictRefiner, degenerate_mask, knife_edge_sites
+        refiner = None
+
+        def get_refiner():
+            nonlocal refiner
+            if refiner is None:
+                refiner = StrictRefiner(pars)
+            return refiner
+
+        # pair-set stability: knife-edge sites take the strict f64 MAF so
+        # the band masks below can never flip vs the reference. The maf
+        # vector is identical on every host (allgathered above) and the
+        # strict recompute is deterministic, so all hosts stay in agreement.
+        ks = knife_edge_sites(maf, pars.min_maf, prec)
+        if len(ks):
+            maf[ks] = get_refiner().exact_maf(ks)
+            log.log(2, f"==> strict MAF refinement: {len(ks)} knife-edge "
+                       f"site(s) at min_maf={pars.min_maf}")
+            log.count("maf_refined_sites", len(ks))
 
         hi = band_limits(pos_dist, pars.max_kb_dist, pars.max_snp_dist)
         contig, pos = contig_positions(pos_dist)
@@ -1190,13 +1210,37 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                     af, pf = cat["a"], cat["pj"]
                     dist = np.where(contig[af] == contig[pf],
                                     pos[pf] - pos[af], np.inf)
-                    writer.write_block(
-                        af, pf, dist, cat["r2p"], cat["D"], cat["Dp"],
-                        cat["r2"], n_used=cat["n_used"].astype(np.int32),
-                        maf1=maf[af], maf2=maf[pf], hap=cat["f"],
-                        hmaf1=cat["hmaf1"], hmaf2=cat["hmaf2"],
+                    cols = dict(
+                        r2p=cat["r2p"], D=cat["D"], Dp=cat["Dp"],
+                        r2=cat["r2"], f=cat["f"], hmaf1=cat["hmaf1"],
+                        hmaf2=cat["hmaf2"],
                         chi2=cat["chi2"].astype(np.float32),
-                        n_iter=cat["n_iter"].astype(np.int32))
+                        n_iter=cat["n_iter"].astype(np.int32),
+                        n_used=cat["n_used"].astype(np.int32),
+                        maf1=maf[af], maf2=maf[pf])
+                    flag = degenerate_mask(
+                        cat["f"], extra_nonfinite=(cat["Dp"], cat["r2"]))
+                    if flag.any():
+                        # strict-exact values for numerically fragile pairs
+                        # (refine.py); widen the chunk to f64 so one
+                        # formatter call emits both populations
+                        log.count("pairs_refined", int(flag.sum()))
+                        for k in ("r2p", "D", "Dp", "r2", "f",
+                                  "hmaf1", "hmaf2"):
+                            cols[k] = np.asarray(cols[k], np.float64)
+                        cols["maf1"] = cols["maf1"].copy()
+                        cols["maf2"] = cols["maf2"].copy()
+                        ref = get_refiner().refine_columns(af[flag],
+                                                           pf[flag])
+                        for k in cols:
+                            cols[k][flag] = ref[k]
+                    writer.write_block(
+                        af, pf, dist, cols["r2p"], cols["D"], cols["Dp"],
+                        cols["r2"], n_used=cols["n_used"],
+                        maf1=cols["maf1"], maf2=cols["maf2"],
+                        hap=cols["f"], hmaf1=cols["hmaf1"],
+                        hmaf2=cols["hmaf2"], chi2=cols["chi2"],
+                        n_iter=cols["n_iter"])
                     log.count("pairs_emitted", len(af))
         log.summary()
     finally:
@@ -1269,8 +1313,28 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
             # only MAF returns to the host (the plan needs it); GL/E[G]
             # tables stay device-resident for the sweep
             with log.phase("  maf to host", level=2), hold():
-                maf = np.asarray(maf_d, np.float64)
+                # np.array: a writable copy (knife-edge refinement writes)
+                maf = np.array(maf_d, np.float64)
                 touch()
+
+        from .refine import StrictRefiner, degenerate_mask, knife_edge_sites
+        refiner = None
+
+        def get_refiner():
+            nonlocal refiner
+            if refiner is None:
+                refiner = StrictRefiner(pars)
+            return refiner
+
+        # pair-set stability: sites whose device MAF sits within precision
+        # noise of min_maf get the bit-exact strict MAF, so `maf < min_maf`
+        # (ngsLD.cpp:264,270) can never flip a band vs the reference
+        ks = knife_edge_sites(maf, pars.min_maf, prec)
+        if len(ks):
+            maf[ks] = get_refiner().exact_maf(ks)
+            log.log(2, f"==> strict MAF refinement: {len(ks)} knife-edge "
+                       f"site(s) at min_maf={pars.min_maf}")
+            log.count("maf_refined_sites", len(ks))
         if pars.verbose >= 7:
             log.log(7, "==> Geno data")
             gn0 = np.asarray(gn_d[:min(10, pars.n_sites), 0, :])
@@ -1315,7 +1379,12 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
             return bi, blk, fm, im
 
         def fmt(bi, blk, fm, im):
-            """Stage 2 (CPU): derive stats, format rows to bytes."""
+            """Stage 2 (CPU): derive stats, format rows to bytes.
+
+            Degenerate pairs (Dp/r2/chi2 denominators ~0 — refine.py) are
+            recomputed with the strict pipeline and emit the reference's
+            exact values; everything else takes the native derive+format
+            fast path."""
             t0 = time.perf_counter()
             n_iter = im[:, 0].astype(np.int32)
             n_used = im[:, 1].astype(np.int32)
@@ -1323,8 +1392,38 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
             if pars.verbose >= 2:
                 log.hist("em_iteration_histogram",
                          np.bincount(np.clip(n_iter, 0, 100)))
+            flag = degenerate_mask(fm[:, 1:5])
             data = None
-            if fmt_rw.native:
+            if flag.any():
+                # full host derive in the EM dtype (bitwise what the native
+                # derive path prints), widened to f64 for the formatter,
+                # with flagged rows overwritten by strict-exact values
+                log.count("pairs_refined", int(flag.sum()))
+                r2p, f, n_iter64, n_used64, hmaf0, hmaf1, D, Dp, r2, chi2 \
+                    = _unpack(fm, im, pars.extend_out)
+                cols = dict(      # copies: fm-backed views are read-only
+                    r2p=np.array(r2p, np.float64),
+                    f=np.array(f, np.float64),
+                    hmaf1=np.array(hmaf0, np.float64),
+                    hmaf2=np.array(hmaf1, np.float64),
+                    D=np.array(D, np.float64),
+                    Dp=np.array(Dp, np.float64),
+                    r2=np.array(r2, np.float64),
+                    chi2=np.array(chi2, np.float32),
+                    maf1=maf[blk.s1].copy(), maf2=maf[blk.s2].copy(),
+                    n_iter=np.array(n_iter64, np.int32),
+                    n_used=np.array(n_used64, np.int32))
+                ref = get_refiner().refine_columns(blk.s1[flag],
+                                                   blk.s2[flag])
+                for k in cols:
+                    cols[k][flag] = ref[k]
+                data = fmt_rw.format_block(
+                    blk.s1, blk.s2, blk.dist, cols["r2p"], cols["D"],
+                    cols["Dp"], cols["r2"], n_used=cols["n_used"],
+                    maf1=cols["maf1"], maf2=cols["maf2"], hap=cols["f"],
+                    hmaf1=cols["hmaf1"], hmaf2=cols["hmaf2"],
+                    chi2=cols["chi2"], n_iter=cols["n_iter"])
+            elif fmt_rw.native:
                 # single native pass: D/D'/r2/hap-MAFs/chi2 derive inside
                 # the formatter's worker threads from (r2p, f) directly
                 from .native import format_rows_derive
@@ -1333,13 +1432,13 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
                     fm[:, 0], fm[:, 1:5], maf[blk.s1], maf[blk.s2],
                     n_used, n_iter, pars.extend_out)
             if data is None:
-                r2p, f, n_iter, n_used, hmaf0, hmaf1, D, Dp, r2, chi2 = \
-                    _unpack(fm, im, pars.extend_out)
+                r2p, f, n_iter64, n_used64, hmaf0, hmaf1, D, Dp, r2, chi2 \
+                    = _unpack(fm, im, pars.extend_out)
                 data = fmt_rw.format_block(
                     blk.s1, blk.s2, blk.dist, r2p, D, Dp, r2,
-                    n_used=n_used.astype(np.int32), maf1=maf[blk.s1],
+                    n_used=n_used64.astype(np.int32), maf1=maf[blk.s1],
                     maf2=maf[blk.s2], hap=f, hmaf1=hmaf0, hmaf2=hmaf1,
-                    chi2=chi2, n_iter=n_iter.astype(np.int32))
+                    chi2=chi2, n_iter=n_iter64.astype(np.int32))
             log.count_time("sweep: format", time.perf_counter() - t0)
             return bi, data
 

@@ -117,18 +117,12 @@ def _assert_pod_matches_strict(pod_bytes, strict_bytes):
     for a, b in zip(pr[1:], sr[1:]):
         fa, fb = a.split("\t"), b.split("\t")
         assert fa[:3] == fb[:3], (fa[:3], fb[:3])
-        degenerate = abs(float(fa[4])) < 1e-5   # D ~ 0
         for c in range(3, len(fa)):
-            if degenerate and c in (5, 6, 16):
-                # Dp/r2/chi2 are 0/0 forms when D ~ 0 and a hap freq
-                # pins to 0: strict's exact-zero denominator gives inf
-                # where f64-EM's ~1e-17 gives garbage finite values.
-                # These tests pin the DISTRIBUTION (pair sets, shards,
-                # resume); the degenerate-value story has its own fix.
-                continue
             x, y = float(fa[c]), float(fb[c])
             if not (np.isfinite(x) and np.isfinite(y)):
-                assert not (np.isfinite(x) or np.isfinite(y)), (a, b)
+                # degenerate rows are strict-refined (refine.py): the
+                # engines must agree exactly on inf/nan spellings now
+                assert x == y or (np.isnan(x) and np.isnan(y)), (c, a, b)
                 continue
             assert abs(x - y) <= 5e-5, (c, a, b)
 
