@@ -714,7 +714,8 @@ def header_line(extend_out: bool) -> str:
 # Banded pair sweep + driver (mirror ngsLD.cpp:27-359)
 # ---------------------------------------------------------------------------
 
-def enumerate_pairs(pars, maf: np.ndarray, pos_dist: np.ndarray):
+def enumerate_pairs(pars, maf: np.ndarray, pos_dist: np.ndarray,
+                    trace=None):
     """Replicates calc_pair_LD's band walk and filter semantics
     (ngsLD.cpp:229-286) for every anchor site, including the RNG discipline:
     a master taus stream seeded with --seed hands ONE child seed per anchor
@@ -728,11 +729,34 @@ def enumerate_pairs(pars, maf: np.ndarray, pos_dist: np.ndarray):
       3. break  if maf[s1] < min_maf        (low-MAF anchor emits nothing)
       4. skip   if maf[s2] < min_maf
       5. skip   if child_uniform() > rnd_sample
-    """
+
+    trace: optional (labels, expected_geno) — with --verbose > 8 every
+    candidate prints the reference's per-pair filter trace
+    (ngsLD.cpp:242-283: the header with [min_maf: mafs], [max_bp: dist],
+    [max_snp: span] and the joined E[G] rows, then the break/skip/PASS
+    verdict). join() uses %.10f with ',' (gen_func.cpp:479-487)."""
     n_sites = pars.n_sites
     master = TausRNG(pars.seed)
     max_bp = pars.max_kb_dist * 1000
     need_rng = pars.rnd_sample < 1.0
+    tr = None
+    if trace is not None and pars.verbose > 8:
+        labels, eg = trace
+        egj = {}   # joined E[G] rows are reused across the anchor's band
+
+        def _join(s):
+            if s not in egj:
+                egj[s] = ",".join("%.10f" % v for v in eg[s])
+            return egj[s]
+
+        def tr(s1, s2, dist):
+            sys.stderr.write(
+                f"{s1}\t{labels[s1]}\t{s2}\t{labels[s2]}: "
+                + "\t[%f: %f,%f]" % (pars.min_maf, maf[s1], maf[s2])
+                + "\t[%d: %.0f]" % (max_bp, dist)
+                + "\t[%d: %d]" % (pars.max_snp_dist, s2 - s1)
+                + f"\t{_join(s1)}\t{_join(s2)}\n")
+
     out = []
     for s1 in range(n_sites):
         child_seed = int(master.uniform() * INF)  # draw_rnd(rnd, 0, INF) -> uint64
@@ -741,18 +765,34 @@ def enumerate_pairs(pars, maf: np.ndarray, pos_dist: np.ndarray):
         s2 = s1 + 1
         while s2 < n_sites:
             dist = dist + pos_dist[s2]
+            if tr:
+                tr(s1, s2, dist)
             if pars.max_kb_dist > 0 and max_bp < dist:
+                if tr:
+                    sys.stderr.write("\tMax dist (kb) exceeded: %f\n"
+                                     % (dist / 1000))
                 break
             if pars.max_snp_dist > 0 and pars.max_snp_dist < s2 - s1:
+                if tr:
+                    sys.stderr.write("\tMax number of SNPs exceeded: %d\n"
+                                     % (s2 - s1))
                 break
             if maf[s1] < pars.min_maf:
+                if tr:
+                    sys.stderr.write("\tLow MAF on site1: %f\n" % maf[s1])
                 break
             if maf[s2] < pars.min_maf:
+                if tr:
+                    sys.stderr.write("\tLow MAF on site2: %f\n" % maf[s2])
                 s2 += 1
                 continue
             if need_rng and child.uniform() > pars.rnd_sample:
+                if tr:
+                    sys.stderr.write("\tRandom sampling\n")
                 s2 += 1
                 continue
+            if tr:
+                sys.stderr.write("\tPASS\n")
             out.append((s1, s2, float(dist)))
             s2 += 1
     return out
@@ -789,6 +829,9 @@ def run(pars, out_fh=None) -> None:
 
         if pars.in_pos:
             pos_dist, labels = read_pos(pars.in_pos, pars.in_pos_header, pars.n_sites)
+            if pars.verbose >= 6:   # ngsLD.cpp:120-122
+                for s in range(min(10, pars.n_sites)):
+                    sys.stderr.write("%d\t%f\n" % (s, pos_dist[s]))
         else:
             pos_dist = np.full(pars.n_sites, math.inf)
             # the reference's no-pos label alloc returns NULL pointers which
@@ -796,11 +839,20 @@ def run(pars, out_fh=None) -> None:
             # gen_func.cpp:749-772); reproduce that output contract.
             labels = ["(null)"] * pars.n_sites
 
+        if pars.verbose >= 7:   # ngsLD.cpp:138-143 (normal-space GLs)
+            sys.stderr.write("==> Geno data\n")
+            for s in range(min(10, pars.n_sites)):
+                sys.stderr.write(
+                    "%d\t%s\t%f (%f %f %f)\n"
+                    % (s, labels[s], maf[s], gn[s, 0, 0], gn[s, 0, 1],
+                       gn[s, 0, 2]))
+
         from .io.writer import RowWriter
         writer = RowWriter(out_fh, labels, pars.extend_out)
         writer.write_header()
 
-        pairs = enumerate_pairs(pars, maf, pos_dist)
+        pairs = enumerate_pairs(pars, maf, pos_dist,
+                                trace=(labels, expected_geno))
 
         chunk = max(1, int(pars.chunk_pairs))
         for lo in range(0, len(pairs), chunk):

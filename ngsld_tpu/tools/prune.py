@@ -143,8 +143,16 @@ def main(argv=None) -> int:
     ap.add_argument("--output", default=None, help="kept positions out [STDOUT]")
     ap.add_argument("--field_dist", type=int, default=3)
     ap.add_argument("--field_weight", type=int, default=7)
-    ap.add_argument("--max_dist", type=float, required=True,
+    ap.add_argument("--max_dist", type=float, default=None,
                     help="max bp distance for nodes to be connected")
+    ap.add_argument("--max_kb_dist", type=float, default=None,
+                    help="prune_graph.pl-compatible alias: max distance in "
+                         "KB (prune_graph.pl:22); mutually exclusive with "
+                         "--max_dist")
+    ap.add_argument("--in_file", dest="input_alias", default=None,
+                    help="prune_graph.pl-compatible alias for --input")
+    ap.add_argument("--out", dest="output_alias", default=None,
+                    help="prune_graph.pl-compatible alias for --output")
     ap.add_argument("--min_weight", type=float, required=True,
                     help="min edge weight for nodes to be connected")
     ap.add_argument("--weight_type", choices=["a", "e", "n"], default="a",
@@ -156,6 +164,15 @@ def main(argv=None) -> int:
     ap.add_argument("--weight_precision", type=int, default=4)
     ap.add_argument("--debug", action="store_true")
     args = ap.parse_args(argv)
+    if (args.max_dist is None) == (args.max_kb_dist is None):
+        ap.error("exactly one of --max_dist (bp) or --max_kb_dist (kb) "
+                 "is required")
+    if args.max_kb_dist is not None:
+        args.max_dist = args.max_kb_dist * 1000.0
+    if args.input_alias is not None:
+        args.input = args.input_alias
+    if args.output_alias is not None:
+        args.output = args.output_alias
 
     fh = open_maybe_gz(args.input) if args.input else sys.stdin
     lines = iter(fh)

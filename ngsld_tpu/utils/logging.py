@@ -88,29 +88,45 @@ class RunLog:
 
 
 def echo_config(pars, engine_info: str = "") -> None:
-    """Startup config echo, parse_args.cpp:135-159 style."""
+    """Startup config echo — field-for-field the reference's stderr block
+    (parse_args.cpp:135-159), incl. glibc's "(null)" for NULL strings and
+    the >4 debugging note; the engine line is appended as an extension."""
     from .. import __version__
+
+    def s(v):
+        return "(null)" if v is None else str(v)
+
+    def b(v):
+        return "true" if v else "false"
+
     lines = [
         "==> Input Arguments:",
-        f"\tgeno: {pars.in_geno}",
-        f"\tprobs: {str(pars.in_probs).lower()}",
-        f"\tlog_scale: {str(pars.in_logscale).lower()}",
+        f"\tgeno: {s(pars.in_geno)}",
+        f"\tprobs: {b(pars.in_probs)}",
+        f"\tlog_scale: {b(pars.in_logscale)}",
         f"\tn_ind: {pars.n_ind}",
         f"\tn_sites: {pars.n_sites}",
-        f"\tpos: {pars.in_pos} ({'WITH' if pars.in_pos_header else 'WITHOUT'} header)",
+        f"\tpos: {s(pars.in_pos)} ({'WITH' if pars.in_pos_header else 'WITHOUT'} header)",
         f"\tmax_kb_dist (kb): {pars.max_kb_dist}",
         f"\tmax_snp_dist: {pars.max_snp_dist}",
-        f"\tmin_maf: {pars.min_maf:.6f}",
-        f"\tignore_miss_data: {str(pars.ignore_miss_data).lower()}",
-        f"\tcall_geno: {str(pars.call_geno).lower()}",
-        f"\tN_thresh: {pars.N_thresh:.6f}",
-        f"\tcall_thresh: {pars.call_thresh:.6f}",
-        f"\trnd_sample: {pars.rnd_sample:.6f}",
+        f"\tmin_maf: {pars.min_maf:f}",
+        f"\tignore_miss_data: {b(pars.ignore_miss_data)}",
+        f"\tcall_geno: {b(pars.call_geno)}",
+        f"\tN_thresh: {pars.N_thresh:f}",
+        f"\tcall_thresh: {pars.call_thresh:f}",
+        f"\trnd_sample: {pars.rnd_sample:f}",
         f"\tseed: {pars.seed}",
-        f"\textend_out: {str(pars.extend_out).lower()}",
-        f"\tout: {pars.out}",
+        f"\textend_out: {b(pars.extend_out)}",
+        f"\tout: {s(pars.out)}",
+        f"\tn_threads: {pars.n_threads}",
+        f"\tverbose: {pars.verbose}",
+        f"\tversion: {__version__} (ngsld-tpu)",
+        "",
         f"\tengine: {pars.engine} {engine_info}",
-        f"\tversion: {__version__}",
         "",
     ]
     sys.stderr.write("\n".join(lines))
+    if pars.verbose > 4:
+        sys.stderr.write("==> Verbose values greater than 4 for debugging "
+                         "purpose only. Expect large amounts of info on "
+                         "screen\n")

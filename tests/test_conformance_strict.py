@@ -117,3 +117,91 @@ def test_binary_nonlog_roundtrip(ref_binary, tmp_path):
     h1, a = sorted_rows(ref_out)
     h2, b = sorted_rows(my_out)
     assert h1 == h2 and a == b and len(a) > 0
+
+
+def test_deep_verbose_traces_match_reference(fixtures, ref_binary, tmp_path):
+    """--verbose 6/7/9 diagnostics byte-match the reference: the pos/geno
+    dumps (ngsLD.cpp:120-122,138-143) and the per-pair filter trace with
+    break/skip/PASS verdicts (ngsLD.cpp:242-283)."""
+    import re
+    import sys
+
+    args = ["--geno", fixtures["beagle"], "--probs", "--n_ind", str(N_IND),
+            "--n_sites", str(N_SITES), "--pos", fixtures["pos"],
+            "--max_kb_dist", "3", "--min_maf", "0.1", "--rnd_sample", "0.8",
+            "--seed", "7", "--verbose", "9"]
+    ref = subprocess.run([ref_binary] + args + ["--out", os.devnull],
+                         capture_output=True, text=True, check=True)
+
+    from ngsld_tpu.cli import params_from_args
+    import io
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stderr(buf):
+        strict.run(params_from_args(args + ["--engine", "strict",
+                                            "--out", os.devnull]))
+    mine = buf.getvalue()
+
+    def diag(text):
+        # pos dump, geno dump, pair-trace headers and verdict lines —
+        # engine-specific banners (config echo, threads) excluded: the
+        # diagnostics start at the first pos-dump line "0\t..."
+        lines = text.splitlines()
+        start = next(i for i, ln in enumerate(lines)
+                     if re.match(r"^0\t", ln))
+        keep = []
+        for ln in lines[start:]:
+            if re.match(r"^[0-9]", ln) or ln.startswith("\t") \
+                    or ln == "==> Geno data":
+                keep.append(ln)
+        return keep
+
+    r, m = diag(ref.stderr), diag(mine)
+    assert len(r) > 2000
+    assert r == m
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fmt,extra", MATRIX[:8])
+def test_matrix_testsh_scale(ref_binary, tmp_path_factory, fmt, extra):
+    """The reference's own regression scale (examples/test.sh:9-34: 24
+    individuals x 10,000 sites, 8 configs, sort + compare): byte-identical.
+    Opt-in (slow): `pytest -m slow tests/test_conformance_strict.py`."""
+    global _BIG
+    try:
+        fixtures = _BIG
+    except NameError:
+        d = tmp_path_factory.mktemp("testsh")
+        sim = simulate(n_ind=24, n_sites=10000, seed=11,
+                       all_missing_site_rate=0.02, mono_rate=0.05)
+        fixtures = _BIG = write_all(sim, str(d))
+    tmp_path = tmp_path_factory.mktemp("out")
+    geno = fixtures[fmt]
+    ref_out = str(tmp_path / "ref.ld")
+    my_out = str(tmp_path / "mine.ld")
+    cmd = [ref_binary, "--geno", geno, "--n_ind", "24", "--n_sites",
+           "10000", "--pos", fixtures["pos"], "--extend_out",
+           "--out", ref_out] + extra
+    subprocess.run(cmd, check=True, capture_output=True)
+    argmap = {"--probs": ("in_probs", True),
+              "--log_scale": ("in_logscale", True),
+              "--call_geno": ("call_geno", True),
+              "--ignore_miss_data": ("ignore_miss_data", True)}
+    kw = dict(in_geno=geno, n_ind=24, n_sites=10000,
+              in_pos=fixtures["pos"], extend_out=True, out=my_out)
+    it = iter(extra)
+    for a in it:
+        if a in argmap:
+            k, v = argmap[a]
+            kw[k] = v
+        elif a in ("--max_kb_dist", "--max_snp_dist"):
+            kw[a.lstrip("-")] = int(next(it))
+        elif a in ("--min_maf", "--N_thresh", "--call_thresh",
+                   "--rnd_sample"):
+            kw[a.lstrip("-")] = float(next(it))
+        elif a == "--seed":
+            kw["seed"] = int(next(it))
+    strict.run(Params(**kw).finalize())
+    h1, a = sorted_rows(ref_out)
+    h2, b = sorted_rows(my_out)
+    assert h1 == h2 and len(a) == len(b) and a == b and len(a) > 10000

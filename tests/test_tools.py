@@ -238,3 +238,25 @@ def test_fit_decay_empty_file_ok(tmp_path):
     out = load_ld_file(str(ld), ["r2"], 0.0, float("inf"), False, 1.0, 250, 0)
     d, v = out["r2"]
     assert len(d) == 0 and len(v) == 0
+
+
+def test_prune_graph_pl_compat_aliases(tmp_path):
+    """prune_graph.pl interface compat (prune_graph.pl:19-28): --in_file /
+    --out / kb-denominated --max_kb_dist behave like --input / --output /
+    --max_dist*1000."""
+    ld = tmp_path / "x.ld"
+    ld.write_text("chr1:10\tchr1:20\t5000\t0.5\t0.1\t0.9\t0.8\n"
+                  "chr1:20\tchr1:30\t90000\t0.5\t0.1\t0.9\t0.7\n")
+    from ngsld_tpu.tools.prune import main
+    a, b = tmp_path / "a.pos", tmp_path / "b.pos"
+    assert main(["--input", str(ld), "--output", str(a),
+                 "--max_dist", "50000", "--min_weight", "0.5"]) == 0
+    assert main(["--in_file", str(ld), "--out", str(b),
+                 "--max_kb_dist", "50", "--min_weight", "0.5"]) == 0
+    assert a.read_text() == b.read_text()
+    import pytest
+    with pytest.raises(SystemExit):   # mutually exclusive / required
+        main(["--input", str(ld), "--min_weight", "0.5"])
+    with pytest.raises(SystemExit):
+        main(["--input", str(ld), "--min_weight", "0.5",
+              "--max_dist", "1", "--max_kb_dist", "1"])
