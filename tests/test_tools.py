@@ -260,3 +260,95 @@ def test_prune_graph_pl_compat_aliases(tmp_path):
     with pytest.raises(SystemExit):
         main(["--input", str(ld), "--min_weight", "0.5",
               "--max_dist", "1", "--max_kb_dist", "1"])
+
+
+def _random_ld_rows(seed, n_nodes=40, n_edges=120):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n_edges):
+        u, v = rng.integers(0, n_nodes, 2)
+        if u == v:
+            continue
+        # two contigs, tie-prone quantized weights
+        nu = f"chr{u % 2 + 1}:{100 + int(u) * 10}"
+        nv = f"chr{v % 2 + 1}:{100 + int(v) * 10}"
+        dist = int(rng.integers(1, 2000))
+        w = round(float(rng.choice([-0.8, -0.2, 0.1, 0.25, 0.25, 0.7,
+                                    0.9])), 4)
+        rows.append(f"{nu}\t{nv}\t{dist}\t0\t0\t0\t{w}\n")
+    return rows
+
+
+@pytest.mark.parametrize("wt,keep_heavy", [("a", False), ("e", False),
+                                           ("n", False), ("a", True)])
+def test_prune_matches_reference_algorithm(tmp_path, wt, keep_heavy):
+    """Diff ngsld-prune against a direct transcription of
+    prune_ngsLD.py:104-186 (tests/oracle_prune.py) on randomized graphs —
+    the reference-script oracle the property tests could not provide."""
+    from ngsld_tpu.tools.prune import main
+    from tests.oracle_prune import prune_reference
+
+    for seed in (1, 2, 3, 4):
+        rows = _random_ld_rows(seed)
+        ld = tmp_path / f"g{seed}.ld"
+        ld.write_text("".join(rows))
+        out = tmp_path / f"k{seed}.pos"
+        argv = ["--input", str(ld), "--output", str(out),
+                "--max_dist", "1000", "--min_weight", "0.3",
+                "--weight_type", wt]
+        if keep_heavy:
+            argv.append("--keep_heavy")
+        assert main(argv) == 0
+        kept, _ = prune_reference(rows, max_dist=1000, min_weight=0.3,
+                                  weight_type=wt, keep_heavy=keep_heavy)
+        assert out.read_text().splitlines() == kept, (wt, keep_heavy, seed)
+
+
+def test_prune_golden_real_ld_output(tmp_path):
+    """Golden regression: prune a REAL strict-engine .ld file and pin the
+    kept set against the committed golden (generated by the reference-
+    algorithm oracle, tests/golden/prune_kept.pos)."""
+    import os
+
+    from ngsld_tpu.tools.prune import main
+    from tests.oracle_prune import prune_reference
+
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "prune_kept.pos")
+    from ngsld_tpu import strict
+    from ngsld_tpu.config import Params
+    from ngsld_tpu.utils.simulate import simulate, write_all
+    files = write_all(simulate(n_ind=10, n_sites=150, seed=19),
+                      str(tmp_path / "fx"))
+    ld = tmp_path / "x.ld"
+    strict.run(Params(in_geno=files["beagle"], in_probs=True, n_ind=10,
+                      n_sites=150, in_pos=files["pos"], max_kb_dist=5,
+                      out=str(ld), verbose=0).finalize())
+    out = tmp_path / "kept.pos"
+    assert main(["--input", str(ld), "--output", str(out), "--max_dist",
+                 "3000", "--min_weight", "0.2"]) == 0
+    rows = ld.read_text().splitlines()[1:]
+    kept, _ = prune_reference(rows, max_dist=3000, min_weight=0.2)
+    assert out.read_text().splitlines() == kept
+    with open(golden) as fh:
+        assert out.read_text() == fh.read()
+
+
+def test_fit_decay_recovers_known_decay(tmp_path):
+    """Golden-style oracle for ngsld-fit-decay: data generated from the
+    exact Hill & Weir expectation with known parameters must fit back to
+    those parameters (fit_LDdecay.R:179-247 objective)."""
+    import numpy as np
+
+    from ngsld_tpu.tools.fit_decay import _fit_one, ld_exp
+
+    rng = np.random.default_rng(5)
+    dist = rng.integers(1, 100000, 4000).astype(float)
+    rho_true, n_ind = 8e-5, 50
+    r2 = ld_exp([rho_true, 0, 0], dist, "r2", n_ind, 1.0)
+    r2 = np.clip(r2 + rng.normal(0, 0.004, len(dist)), 0, 1)
+    par = _fit_one(dist, r2, "r2", n_ind, 1.0, fit_level=3,
+                   rng=np.random.default_rng(1))
+    assert par is not None
+    assert abs(par[0] - rho_true) / rho_true < 0.08, par
