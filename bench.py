@@ -6,17 +6,35 @@ pair_freq_iter, gen_func.cpp:1076-1119). Baseline target: 1e9/s
 (BASELINE.md north-star for one TPU chip).
 
 Workload: realistic simulated GLs (depth/error model), 512k pairs x 100
-individuals, Pallas kernel, convergence-exact EM. Prints ONE JSON line.
+individuals, Pallas kernel, convergence-exact EM. The `detail` field
+additionally carries the roofline accounting (achieved FLOP/s, fraction
+of the measured fixed-iteration structural ceiling — see PERF.md for the
+measurement series) and an END-TO-END run of BASELINE.json config #3
+(100k sites x 100 ind, banded --max_kb_dist 100 --extend_out, binary GL
+input -> TSV), best-of-2 against the reference's measured 870 s
+(10 threads). Prints ONE JSON line.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+# flops per (pair, individual, iteration) of the EM update: Q(12) + D(12)
+# + s(7) + masked newton reciprocal(5) + D*r(4) + sum(4); the per-pair
+# (I-independent) tail adds <1% at I=100. See PERF.md.
+FLOPS_PER_EVAL = 44
+# measured structural ceiling of the same kernel with fixed iteration
+# count and register-carried state (no convergence/early-exit machinery):
+# 2.5e10 evals/s on this v5e (PERF.md, round 2). The gap to it is the
+# price of exact per-pair nIter/freeze semantics + pipeline overheads.
+EXEC_CEILING = 2.5e10
 
-def main():
+
+def kernel_bench():
     import jax
     import jax.numpy as jnp
     from ngsld_tpu.kernels.pallas_em import pair_em_sorted
@@ -61,19 +79,73 @@ def main():
 
     iters = host_iters.astype(np.int64) + 1
     evals_per_sec = float(iters.sum()) * I / dt
+    return {
+        "evals_per_sec": evals_per_sec,
+        "pairs_per_sec": P / dt,
+        "n_pairs": P, "n_ind": I,
+        "mean_iters": float(iters.mean()),
+        "backend": jax.default_backend(),
+        "kernel": "pallas-sorted" if on_tpu else "xla",
+        "ms_per_block": dt * 1e3,
+        "achieved_tflops": evals_per_sec * FLOPS_PER_EVAL / 1e12,
+        "exec_ceiling_evals_per_sec": EXEC_CEILING,
+        "frac_of_exec_ceiling": evals_per_sec / EXEC_CEILING,
+    }
+
+
+def e2e_bench():
+    """BASELINE.json config #3 end-to-end through the CLI (subprocess, as
+    a user would run it): 100k x 100, --max_kb_dist 100 --extend_out."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return {"skipped": "no TPU"}
+    fixdir = "/tmp/ngsld_bench_fix_100k"
+    glf = os.path.join(fixdir, "sim.glf")
+    pos = os.path.join(fixdir, "sim.pos")
+    if not (os.path.exists(glf) and os.path.exists(pos)):
+        from ngsld_tpu.utils.simulate import simulate, write_glf_bin, \
+            write_pos
+        os.makedirs(fixdir, exist_ok=True)
+        sim = simulate(n_ind=100, n_sites=100_000, seed=17, contig_kb=500.0)
+        write_glf_bin(sim, glf)
+        write_pos(sim, pos)
+    out = "/tmp/ngsld_bench_e2e.ld"
+    cmd = [sys.executable, "-m", "ngsld_tpu.cli", "--geno", glf,
+           "--log_scale", "--n_ind", "100", "--n_sites", "100000",
+           "--pos", pos, "--max_kb_dist", "100", "--extend_out",
+           "--engine", "jax", "--out", out, "--verbose", "0"]
+    best = float("inf")
+    rows = 0
+    for _ in range(2):   # best-of-2: tunnel stall lottery (see PERF.md)
+        t0 = time.perf_counter()
+        r = subprocess.run(cmd, capture_output=True)
+        dt = time.perf_counter() - t0
+        if r.returncode != 0:
+            return {"error": r.stderr.decode()[-300:]}
+        best = min(best, dt)
+    with open(out, "rb") as fh:
+        rows = sum(chunk.count(b"\n")
+                   for chunk in iter(lambda: fh.read(1 << 20), b"")) - 1
+    return {
+        "config": "100k x 100, --max_kb_dist 100 --extend_out (binary GL)",
+        "wall_s": best,
+        "rows": rows,
+        "pairs_per_sec": rows / best,
+        "ref_seconds_10threads": 870.0,
+        "speedup_vs_reference": 870.0 / best,
+    }
+
+
+def main():
+    detail = kernel_bench()
+    detail["e2e"] = e2e_bench()
+    evals_per_sec = detail.pop("evals_per_sec")
     print(json.dumps({
         "metric": "pair_em_evals_per_sec",
         "value": evals_per_sec,
         "unit": "pair*ind*iter/s",
         "vs_baseline": evals_per_sec / 1e9,
-        "detail": {
-            "pairs_per_sec": P / dt,
-            "n_pairs": P, "n_ind": I,
-            "mean_iters": float(iters.mean()),
-            "backend": jax.default_backend(),
-            "kernel": "pallas-sorted" if on_tpu else "xla",
-            "ms_per_block": dt * 1e3,
-        },
+        "detail": detail,
     }))
 
 

@@ -943,7 +943,21 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         # out-of-band compute. 0 = auto (~4k sites per sub-block).
         n_sub = getattr(pars, "ring_sub", 0) or max(1, -(-B // 4096))
         n_sub = min(n_sub, B)
-        B = -(-B // n_sub) * n_sub   # sub-blocks must divide the block
+        # Strip-kernel stepper (kernels/pallas_strip): the per-step tile
+        # computes in VMEM with per-anchor early exit + in-kernel band
+        # bounds — the ring's fast path on TPU (f32). NGSLD_FORCE_STRIP=1
+        # forces it elsewhere (interpret mode; f32-grade values) for
+        # tests. Needs B/B_sub aligned to the 128-lane tile quanta.
+        from .kernels.pallas_strip import TA as _TA
+        from .kernels.pallas_strip import vmem_ok as _strip_vmem_ok
+        force_strip = os.environ.get("NGSLD_FORCE_STRIP") == "1"
+        use_strip = _strip_vmem_ok(pars.n_ind) and (
+            force_strip or (jax.default_backend() == "tpu"
+                            and prec == "f32"))
+        if use_strip:
+            B = -(-B // (n_sub * _TA)) * (n_sub * _TA)
+        else:
+            B = -(-B // n_sub) * n_sub   # sub-blocks must divide the block
         B_sub = B // n_sub
         Sp = B * n_dev
         from .ops.preprocess import preprocess
@@ -1055,13 +1069,36 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
             spill_dir = tmp_spill.name
         spill = _RingSpill(
             spill_dir, pars,
-            dict(mode="ring", n_dev=n_dev, n_sub=n_sub,
+            dict(mode="ring", n_dev=n_dev, n_sub=n_sub, block=B,
                  n_proc=jax.process_count()),
             jax.process_index(), persistent)
         rck = spill if persistent else None
 
-        stepper = ring_sweep_stepper(mesh, pars.ignore_miss_data,
-                                     pars.extend_out)
+        if use_strip:
+            from .kernels.pallas_strip import strip_tables
+            from .parallel.ring import (ring_subblock_taker_strip,
+                                        ring_sweep_stepper_strip)
+            with log.phase("Building strip tables (sharded)"), hold():
+                ga_d, gb_d, ea_d, eb_d = jax.jit(functools.partial(
+                    strip_tables, n_ind=pars.n_ind))(gn_d, eg_d)
+                del gn_d, eg_d   # the strip layouts replace them
+                shd1 = NamedSharding(mesh, PS("sites"))
+                hip = np.zeros(Sp, np.int32)
+                hip[:n] = hi
+                okp = np.zeros(Sp, np.float32)
+                okp[:n] = ok
+                hi_d = jax.device_put(hip, shd1)
+                ok_d = jax.device_put(okp, shd1)
+            touch()
+            stepper = ring_sweep_stepper_strip(
+                mesh, pars.n_ind, B, B_sub, n_sub, pars.ignore_miss_data,
+                pars.extend_out,
+                interpret=jax.default_backend() != "tpu")
+            log.log(2, f"==> ring: strip-kernel stepper "
+                       f"({B // 128}x{B_sub // 128} tiles/step/device)")
+        else:
+            stepper = ring_sweep_stepper(mesh, pars.ignore_miss_data,
+                                         pars.extend_out)
         writer = RowWriter(out_fh, labels, pars.extend_out)
         if jax.process_index() == 0:
             # multi-host shards concatenate in part order; only the first
@@ -1135,8 +1172,13 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                 if t0 >= t_max:
                     continue
                 with hold():
-                    vis = ring_subblock_taker(mesh, n_sub, si, offset=t0)(
-                        gn_d, eg_d, maf_d)
+                    if use_strip:
+                        vis = ring_subblock_taker_strip(
+                            mesh, n_sub, si, offset=t0)(
+                                gb_d, eb_d, maf_d, ok_d)
+                    else:
+                        vis = ring_subblock_taker(
+                            mesh, n_sub, si, offset=t0)(gn_d, eg_d, maf_d)
                 for t in range(t0, t_max):
                     stop = gs.stopped
                     if jax.process_count() > 1:
@@ -1152,8 +1194,14 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                         interrupted = True
                         break
                     with hold():
-                        stats, vg, ve, vm = stepper(gn_d, eg_d, maf_d, *vis)
-                        vis = (vg, ve, vm)
+                        if use_strip:
+                            stats, *vis = stepper(
+                                ga_d, ea_d, hi_d, ok_d, maf_d, *vis,
+                                jnp.int32(t), jnp.int32(si))
+                            vis = tuple(vis)
+                        else:
+                            stats, *vis = stepper(gn_d, eg_d, maf_d, *vis)
+                            vis = tuple(vis)
                         tiles = {k: _local_blocks(v, B) for k, v in
                                  stats.items()}
                     touch()

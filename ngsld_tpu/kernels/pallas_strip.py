@@ -1,0 +1,259 @@
+"""Strip-tile Pallas kernel: banded pair-EM over contiguous site ranges.
+
+The gather kernel (pallas_em) pays per-PAIR data movement: two gathered
+GL rows, a relayout transpose, and (for the sorted two-phase) permute
+gathers — measured at ~60% of block wall time on dense plans (PERF.md).
+This kernel instead computes a RECTANGLE of pairs
+
+    tile = anchors [a0, a0+TA) x partners [b0, b0+TB)
+
+from two CONTIGUOUS dynamic slices of site tables (no gathers, no
+transposes, no sorting): the partner strip (3, Ip, TB) loads once per
+tile and is reused by all TA anchors; each anchor adds one (3, Ip) row.
+Data traffic per pair drops ~15x vs the gather path; out-of-band lanes
+are masked dead from iteration 0, so the approach wins when the plan is
+DENSE over rectangles (wide bands, all-pairs — the pod configs) and
+loses when it is sparse (--rnd_sample, narrow bands), where the gather
+kernel remains the engine's choice (engine.py picks by measured-model
+utilization).
+
+Per anchor the 128-lane EM runs to convergence with exact per-pair
+freeze/nIter semantics (same update as pallas_em._em_kernel, the same
+contract vs ops.em.pair_em: f within ~3e-5, nIter ±1 on trajectory
+knife-edges). Pearson r2 on expected genotypes is computed in the same
+pass from pre-standardized E[G] tables — one extra reduction per anchor,
+replacing the separate XLA op AND its gathers.
+
+Reference mapping: the hot loop is gen_func.cpp:1013-1178; the rectangle
+sweep replaces the per-pair walk of calc_pair_LD (ngsLD.cpp:229-306)
+with the banded block decomposition of SURVEY.md §2's TPU plan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import EPSILON, ITER_MAX
+
+_KBITS = ((0, 0), (0, 1), (1, 0), (1, 1))
+_UNROLL = 4
+TA = 128           # anchors per tile (sublane-major axis of outputs)
+TB = 128           # partners per tile (lane axis)
+
+
+def _strip_kernel(ta_ref, tb_ref,             # scalar prefetch: tile coords
+                  ga_ref,    # (3, TA, Ip)    anchor strip, site-major rows
+                  gb_ref,    # (3, Ip, TB)    partner strip, kernel layout
+                  ea_ref,    # (TA, Ip)       standardized E[G], anchor rows
+                  eb_ref,    # (Ip, TB)       standardized E[G], partners
+                  mafa_ref,  # (TA, 1) f32
+                  mafb_ref,  # (1, TB) f32
+                  loa_ref,   # (TA, 1) i32    first live partner (incl.)
+                  hia_ref,   # (TA, 1) i32    band limit (excl.)
+                  oka_ref,   # (TA, 1) f32    anchor maf-ok
+                  okb_ref,   # (1, TB) f32    partner maf-ok
+                  f_out,     # (1, 4, TA, TB) f32
+                  r2p_out,   # (1, TA, TB) f32
+                  nit_out,   # (1, TA, TB) i32
+                  nu_out,    # (1, TA, TB) i32
+                  active_ref,   # scratch (1, TB)
+                  *, I, Ip, iter_cap, ignore_miss, unroll=_UNROLL):
+    i = pl.program_id(0)
+    b0 = tb_ref[i] * TB
+
+    gb = [gb_ref[c] for c in range(3)]                  # (Ip, TB)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (Ip, TB), 0)
+    inc_b = row_iota < I
+    if ignore_miss:
+        missb = (jnp.abs(gb[0] - gb[1]) < EPSILON) & \
+                (jnp.abs(gb[1] - gb[2]) < EPSILON)
+        inc_b = inc_b & jnp.logical_not(missb)
+    b_glob = b0 + jax.lax.broadcasted_iota(jnp.int32, (1, TB), 1)
+    okb = okb_ref[:] > 0.0                              # (1, TB)
+    eb = eb_ref[:]                                      # (Ip, TB)
+
+    def anchor(a, _):
+        g1 = [jnp.transpose(ga_ref[c, pl.ds(a, 1), :])  # (Ip, 1)
+              for c in range(3)]
+        if ignore_miss:
+            missa = (jnp.abs(g1[0] - g1[1]) < EPSILON) & \
+                    (jnp.abs(g1[1] - g1[2]) < EPSILON)
+            inc = inc_b & jnp.logical_not(missa)
+        else:
+            inc = inc_b
+        incf = inc.astype(jnp.float32)                  # (Ip, TB)
+        n_used = jnp.sum(incf, axis=0, keepdims=True)   # (1, TB)
+        invx = 1.0 / n_used    # exact divide, once per anchor
+        ma = mafa_ref[a, 0]
+        mb = mafb_ref[:]                                # (1, TB)
+        fs = [(1 - ma) * (1 - mb), (1 - ma) * mb,
+              ma * (1 - mb), ma * mb]
+        live = (b_glob >= loa_ref[a, 0]) & (b_glob < hia_ref[a, 0]) \
+            & (oka_ref[a, 0] > 0.0) & okb
+        active_ref[:] = live.astype(jnp.float32)
+        for k in range(4):
+            f_out[0, k, pl.ds(a, 1), :] = fs[k]
+        nit_out[0, pl.ds(a, 1), :] = jnp.full((1, TB), iter_cap, jnp.int32)
+        nu_out[0, pl.ds(a, 1), :] = n_used.astype(jnp.int32)
+        # Pearson r2 on standardized E[G]: corr = sum_i ea~ * eb~ (the
+        # tables carry (e - mean)/(sqrt(n) * sd); ngsLD.cpp:365-367)
+        ea = jnp.transpose(ea_ref[pl.ds(a, 1), :])      # (Ip, 1)
+        corr = jnp.sum(ea * eb, axis=0, keepdims=True)
+        r2p_out[0, pl.ds(a, 1), :] = corr * corr
+
+        def cond(c):
+            it, done = c
+            return jnp.logical_and(it < iter_cap, jnp.logical_not(done))
+
+        def em_step(it, fs, act, n_iter):
+            Q = [[fs[2 * x] * gb[c] + fs[2 * x + 1] * gb[c + 1]
+                  for c in range(2)] for x in range(2)]
+            D = [g1[a1k] * Q[0][a2k] + g1[a1k + 1] * Q[1][a2k]
+                 for (a1k, a2k) in _KBITS]
+            s = fs[0] * D[0]
+            for k in range(1, 4):
+                s = s + fs[k] * D[k]
+            r0 = pl.reciprocal(s, approx=True)
+            r = incf * (r0 * (2.0 - s * r0))
+            f_new = [fs[k] * jnp.sum(D[k] * r, axis=0, keepdims=True)
+                     * invx for k in range(4)]
+            norm = ((f_new[0] + f_new[1]) + f_new[2]) + f_new[3]
+            rn0 = pl.reciprocal(norm, approx=True)
+            rn = rn0 * (2.0 - norm * rn0)
+            f_new = [fn * rn for fn in f_new]
+            f_next = [jnp.where(act, f_new[k], fs[k]) for k in range(4)]
+            eps = jnp.zeros((1, TB), jnp.float32)
+            for k in range(4):
+                d = jnp.abs(f_next[k] - fs[k])
+                eps = jnp.where(d > eps, d, eps)
+            newly = jnp.logical_and(act, eps < EPSILON)
+            still = jnp.logical_and(act, jnp.logical_not(newly))
+            n_iter = jnp.where(newly, it, n_iter)
+            return f_next, still, n_iter
+
+        def body(c):
+            it, _ = c
+            fs = [f_out[0, k, pl.ds(a, 1), :] for k in range(4)]
+            act = active_ref[:] > 0.0
+            n_iter = nit_out[0, pl.ds(a, 1), :]
+            for u in range(unroll):
+                fs, act, n_iter = em_step(it + u, fs, act, n_iter)
+            for k in range(4):
+                f_out[0, k, pl.ds(a, 1), :] = fs[k]
+            nit_out[0, pl.ds(a, 1), :] = n_iter
+            active_ref[:] = act.astype(jnp.float32)
+            return it + unroll, jnp.logical_not(jnp.any(act))
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+        return 0
+
+    jax.lax.fori_loop(0, TA, anchor, 0)
+
+
+def strip_tables(gn, eg, n_ind: int):
+    """Build the strip kernel's device tables from the engine's
+    preprocessed site-major arrays.
+
+    gn (S, I, 3) normal-space GLs -> ga (3, S, Ip) + gb (3, Ip, S), padded
+    individuals hold the uniform 1/3 record (masked out via the in-kernel
+    rows<I test). eg (S, I) expected genotypes -> standardized tables
+    ea (S, Ip), eb (Ip, S) carrying (e - mean)/(sqrt(n)*sd) so a pair's
+    Pearson r2 is the squared dot product (zero-variance sites produce
+    inf/nan exactly like the two-pass formula's 0-division)."""
+    S, I, _ = gn.shape
+    Ip = -(-I // 8) * 8
+    g = jnp.pad(gn.astype(jnp.float32), ((0, 0), (0, Ip - I), (0, 0)),
+                constant_values=1.0 / 3.0)
+    ga = g.transpose(2, 0, 1)
+    gb = g.transpose(2, 1, 0)
+    e = eg.astype(jnp.float32)
+    mean = jnp.mean(e, axis=1, keepdims=True)
+    c = e - mean
+    ss = jnp.sum(c * c, axis=1, keepdims=True)
+    et = jnp.pad(c / jnp.sqrt(ss), ((0, 0), (0, Ip - I)))
+    return ga, gb, et, et.T
+
+
+def vmem_ok(n_ind: int) -> bool:
+    """Whether one tile's working set fits the scoped-VMEM budget: two
+    strips + E[G] strips (double-buffered) + per-tile outputs against the
+    ~8 MB empirical ceiling (see pallas_em.pick_pair_tile)."""
+    Ip = -(-n_ind // 8) * 8
+    strips = 2 * (3 * Ip * max(TA, TB) * 4) * 2      # g strips, dbuf
+    estrips = 2 * (Ip * max(TA, TB) * 4) * 2
+    outs = (4 + 3) * TA * TB * 4 * 2
+    return strips + estrips + outs <= 8_000_000
+
+
+@functools.partial(jax.jit, static_argnames=("n_ind", "iter_cap",
+                                             "ignore_miss", "interpret"))
+def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
+             *, n_ind: int,
+             iter_cap: int = ITER_MAX, ignore_miss: bool = False,
+             interpret: bool = False):
+    """Run one batch of tiles.
+
+    ga (3, Sa, Ip), gb (3, Ip, Sb), ea (Sa, Ip), eb (Ip, Sb): strip
+    tables (strip_tables) — the anchor (Sa) and partner (Sb) axes may be
+    DIFFERENT site ranges (the ring's visiting sub-blocks);
+    maf_a/ok_a/lo/hi are (Sa,) per-anchor vectors, maf_b/ok_b (Sb,);
+    lo/hi are i32 live-partner bounds [lo, hi) in the PARTNER-AXIS
+    coordinate system (global site indices for a triangle sweep: lo =
+    a+1; step-local indices for the ring); ta/tb (n_tiles,) i32 tile
+    coordinates in TA/TB units. Returns
+    f (n, 4, TA, TB) f32, r2p (n, TA, TB) f32, n_iter (n, TA, TB) i32,
+    n_used (n, TA, TB) i32. Dead cells (out of band / triangle / maf)
+    hold the f0 init and n_iter == iter_cap; callers mask them.
+    """
+    n = ta.shape[0]
+    Ip = ga.shape[2]
+    mafa = maf_a.reshape(-1, 1).astype(jnp.float32)
+    mafb = maf_b.reshape(1, -1).astype(jnp.float32)
+    loa = lo.reshape(-1, 1).astype(jnp.int32)
+    hia = hi.reshape(-1, 1).astype(jnp.int32)
+    oka = ok_a.reshape(-1, 1).astype(jnp.float32)
+    okb = ok_b.reshape(1, -1).astype(jnp.float32)
+    kernel = functools.partial(_strip_kernel, I=n_ind, Ip=Ip,
+                               iter_cap=iter_cap, ignore_miss=ignore_miss)
+    f, r2p, nit, nu = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((3, TA, Ip), lambda i, ta, tb: (0, ta[i], 0)),
+                pl.BlockSpec((3, Ip, TB), lambda i, ta, tb: (0, 0, tb[i])),
+                pl.BlockSpec((TA, Ip), lambda i, ta, tb: (ta[i], 0)),
+                pl.BlockSpec((Ip, TB), lambda i, ta, tb: (0, tb[i])),
+                pl.BlockSpec((TA, 1), lambda i, ta, tb: (ta[i], 0)),
+                pl.BlockSpec((1, TB), lambda i, ta, tb: (0, tb[i])),
+                pl.BlockSpec((TA, 1), lambda i, ta, tb: (ta[i], 0)),
+                pl.BlockSpec((TA, 1), lambda i, ta, tb: (ta[i], 0)),
+                pl.BlockSpec((TA, 1), lambda i, ta, tb: (ta[i], 0)),
+                pl.BlockSpec((1, TB), lambda i, ta, tb: (0, tb[i])),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 4, TA, TB),
+                             lambda i, ta, tb: (i, 0, 0, 0)),
+                pl.BlockSpec((1, TA, TB), lambda i, ta, tb: (i, 0, 0)),
+                pl.BlockSpec((1, TA, TB), lambda i, ta, tb: (i, 0, 0)),
+                pl.BlockSpec((1, TA, TB), lambda i, ta, tb: (i, 0, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((1, TB), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 4, TA, TB), jnp.float32),
+            jax.ShapeDtypeStruct((n, TA, TB), jnp.float32),
+            jax.ShapeDtypeStruct((n, TA, TB), jnp.int32),
+            jax.ShapeDtypeStruct((n, TA, TB), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ta, tb, ga, gb, ea, eb, mafa, mafb, loa, hia, oka, okb)
+    return f, r2p, nit, nu

