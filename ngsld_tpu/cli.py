@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard", type=int, default=1, metavar="N",
                    help="split each pair block across N local devices "
                         "(0 = all; 1 = single-device) [1]")
+    p.add_argument("--shard_ind", type=int, default=1, metavar="N",
+                   help="split the INDIVIDUAL axis across N devices "
+                        "(cohorts too large for one device's VMEM/HBM; "
+                        "per-individual EM reductions become psums) [1]")
     p.add_argument("--ring", action="store_true",
                    help="site-sharded ring sweep over the --shard mesh: the "
                         "GL table stays sharded by site block and partner "
@@ -82,7 +86,7 @@ def params_from_args(argv) -> Params:
         out=args.out, n_threads=args.n_threads, verbose=args.verbose,
         engine=args.engine, precision=args.precision, chunk_pairs=args.chunk_pairs,
         profile=args.profile, checkpoint=args.checkpoint, shard=args.shard,
-        ring=args.ring, ring_sub=args.ring_sub,
+        shard_ind=args.shard_ind, ring=args.ring, ring_sub=args.ring_sub,
     )
     if args.in_pos_header_file:
         pars.in_pos = args.in_pos_header_file

@@ -46,6 +46,8 @@ class Params:
     profile: str = None           # JAX profiler trace dir
     checkpoint: str = None        # per-block shard dir (resume support)
     shard: int = 1                # devices for the pair sweep (0 = all local)
+    shard_ind: int = 1            # devices for the INDIVIDUAL axis (large
+    # cohorts: every per-individual EM reduction becomes a psum over ICI)
     ring: bool = False            # site-sharded ring sweep (GL table too
     # large to replicate per device; SURVEY.md §7 "Memory at 5M×500")
     ring_sub: int = 0             # ring sub-blocks per device block
@@ -85,6 +87,14 @@ class Params:
         if self.ring:
             if self.engine == "strict":
                 raise ConfigError("--ring requires the jax engine")
+        if self.shard_ind < 1:
+            raise ConfigError("--shard_ind must be >= 1")
+        if self.shard_ind > 1 and self.n_ind % self.shard_ind:
+            raise ConfigError(
+                "--shard_ind must divide --n_ind (padding individuals "
+                "would change the EM's denominators)")
+        if self.shard_ind > 1 and self.ring:
+            raise ConfigError("--shard_ind is not supported with --ring")
 
         if not os.path.exists(self.in_geno):
             # mirror of the stat() check (ngsLD.cpp:42-43)

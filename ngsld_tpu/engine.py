@@ -58,6 +58,37 @@ def _resolve_precision(precision: str) -> str:
 
 
 @functools.lru_cache(maxsize=None)
+def _compute_block_ind_fn(ignore_miss_data: bool, n_shards: int,
+                          n_ind_shards: int):
+    """Block step over a 2-D ('pairs', 'ind') mesh for cohorts whose
+    per-pair EM should split the INDIVIDUAL axis across devices
+    (--shard_ind): each per-individual reduction becomes a psum over ICI
+    (parallel.sweep.sweep_step). The gathers run under GSPMD (tables
+    'ind'-sharded, index vectors 'pairs'-sharded); only (r2p, f) + int16
+    metadata return to the host, like the 1-D path."""
+    import jax
+    import jax.numpy as jnp
+    from .parallel.mesh import make_mesh
+    from .parallel.sweep import sweep_step
+    mesh = make_mesh(n_shards, n_ind_shards,
+                     devices=jax.devices()[:n_shards * n_ind_shards])
+    step = sweep_step(mesh, ignore_miss_data, extend_out=True)
+
+    def compute(gn, eg, maf, s1, s2):
+        gn1, gn2 = jnp.take(gn, s1, axis=0), jnp.take(gn, s2, axis=0)
+        eg1, eg2 = jnp.take(eg, s1, axis=0), jnp.take(eg, s2, axis=0)
+        maf1, maf2 = jnp.take(maf, s1), jnp.take(maf, s2)
+        r2p, f, n_iter, n_used, *_rest = step(gn1, gn2, eg1, eg2,
+                                              maf1, maf2)
+        fmat = jnp.concatenate([r2p[:, None].astype(f.dtype), f], axis=1)
+        idt = jnp.int16 if gn.shape[1] <= 32767 else jnp.int32
+        imat = jnp.stack([n_iter.astype(idt), n_used.astype(idt)], axis=1)
+        return fmat, imat
+
+    return jax.jit(compute), mesh
+
+
+@functools.lru_cache(maxsize=None)
 def _compute_block_fn(ignore_miss_data: bool, use_pallas: bool,
                       n_shards: int = 1):
     """Device-resident block step: the GL/E[G]/MAF tables stay on device and
@@ -821,9 +852,10 @@ def run_jax(pars: Params, out_fh=None) -> None:
     n_avail = len(jax.devices())
     if not pars.shard:
         pars.shard = n_avail
-    if pars.shard > n_avail:
+    if pars.shard * max(1, getattr(pars, "shard_ind", 1)) > n_avail:
         raise strict.StrictError(
-            "shard", f"--shard {pars.shard} > {n_avail} devices")
+            "shard", f"--shard {pars.shard} x --shard_ind "
+            f"{getattr(pars, 'shard_ind', 1)} > {n_avail} devices")
     if getattr(pars, "ring", False) and pars.shard == 1 and n_avail > 1:
         log.log(1, "==> WARNING: --ring with --shard 1 runs a degenerate "
                    f"1-device ring ({n_avail} devices available); "
@@ -1394,8 +1426,28 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
         from .plan.band import iter_pair_blocks
         use_pallas = jax.default_backend() == "tpu" and prec == "f32"
         n_shards = pars.shard   # resolved once in run_jax
-        compute = _compute_block_fn(pars.ignore_miss_data, use_pallas,
-                                    n_shards)
+        idx_shd = None
+        if getattr(pars, "shard_ind", 1) > 1:
+            # 2-D ('pairs','ind') mesh: individual axis split across
+            # devices (large cohorts), per-individual reductions psum
+            # over ICI. Tables re-shard once (device-to-device).
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as PS
+            compute, mesh2 = _compute_block_ind_fn(
+                pars.ignore_miss_data, n_shards, pars.shard_ind)
+            with hold():
+                gn_d = jax.device_put(
+                    gn_d, NamedSharding(mesh2, PS(None, "ind", None)))
+                eg_d = jax.device_put(
+                    eg_d, NamedSharding(mesh2, PS(None, "ind")))
+                maf_d = jax.device_put(maf_d, NamedSharding(mesh2, PS()))
+            touch()
+            idx_shd = NamedSharding(mesh2, PS("pairs"))
+            log.log(2, f"==> mesh: {n_shards} pair-shards x "
+                       f"{pars.shard_ind} individual-shards")
+        else:
+            compute = _compute_block_fn(pars.ignore_miss_data, use_pallas,
+                                        n_shards)
         # every device must receive the same per-shard shape
         chunk = -(-int(pars.chunk_pairs) // n_shards) * n_shards
 
@@ -1580,10 +1632,15 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
                     s2 = np.concatenate([blk.s2, np.ones(pad, np.int64)
                                          * min(1, pars.n_sites - 1)])
                     t0 = time.perf_counter()
+                    s1j = (jnp.asarray(s1, jnp.int32) if idx_shd is None
+                           else jax.device_put(s1.astype(np.int32),
+                                               idx_shd))
+                    s2j = (jnp.asarray(s2, jnp.int32) if idx_shd is None
+                           else jax.device_put(s2.astype(np.int32),
+                                               idx_shd))
                     with hold():
-                        dev_out = compute(gn_d, eg_d, maf_d,
-                                          jnp.asarray(s1, jnp.int32),
-                                          jnp.asarray(s2, jnp.int32))  # async
+                        dev_out = compute(gn_d, eg_d, maf_d, s1j,
+                                          s2j)  # async
                     touch()
                     log.count_time("sweep: dispatch",
                                    time.perf_counter() - t0)
