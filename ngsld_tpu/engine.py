@@ -1021,7 +1021,8 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                         maf_d, tiled=True), np.float64)[:n]
             touch()
 
-        from .refine import StrictRefiner, degenerate_mask, knife_edge_sites
+        from .refine import (StrictRefiner, degenerate_tiers,
+                             knife_edge_sites)
         refiner = None
 
         def get_refiner():
@@ -1029,6 +1030,8 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
             if refiner is None:
                 refiner = StrictRefiner(pars)
             return refiner
+
+        no_refine = os.environ.get("NGSLD_REFINE") == "0"
 
         # pair-set stability: knife-edge sites take the strict f64 MAF so
         # the band masks below can never flip vs the reference. The maf
@@ -1298,22 +1301,33 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                         n_iter=cat["n_iter"].astype(np.int32),
                         n_used=cat["n_used"].astype(np.int32),
                         maf1=maf[af], maf2=maf[pf])
-                    flag = degenerate_mask(
-                        cat["f"], extra_nonfinite=(cat["Dp"], cat["r2"]))
-                    if flag.any():
-                        # strict-exact values for numerically fragile pairs
-                        # (refine.py); widen the chunk to f64 so one
-                        # formatter call emits both populations
-                        log.count("pairs_refined", int(flag.sum()))
+                    tiers = (np.zeros(len(cat), np.uint8) if no_refine
+                             else degenerate_tiers(
+                                 cat["f"], prec,
+                                 extra_nonfinite=(cat["Dp"], cat["r2"])))
+                    t1, t2 = tiers == 1, tiers == 2
+                    if tiers.any():
+                        # tier 1: bit-exact strict recompute; tier 2: fast
+                        # f64 polish of the f-derived columns (refine.py);
+                        # widen the chunk to f64 so one formatter call
+                        # emits all populations
+                        log.count("pairs_refined", int(t1.sum()))
+                        log.count("pairs_polished", int(t2.sum()))
                         for k in ("r2p", "D", "Dp", "r2", "f",
                                   "hmaf1", "hmaf2"):
-                            cols[k] = np.asarray(cols[k], np.float64)
+                            cols[k] = np.array(cols[k], np.float64)
                         cols["maf1"] = cols["maf1"].copy()
                         cols["maf2"] = cols["maf2"].copy()
-                        ref = get_refiner().refine_columns(af[flag],
-                                                           pf[flag])
-                        for k in cols:
-                            cols[k][flag] = ref[k]
+                        if t2.any():
+                            pol = get_refiner().polish_columns(
+                                af[t2], pf[t2], cols["f"][t2])
+                            for k in pol:
+                                cols[k][t2] = pol[k]
+                        if t1.any():
+                            ref = get_refiner().refine_columns(af[t1],
+                                                               pf[t1])
+                            for k in cols:
+                                cols[k][t1] = ref[k]
                     writer.write_block(
                         af, pf, dist, cols["r2p"], cols["D"], cols["Dp"],
                         cols["r2"], n_used=cols["n_used"],
@@ -1397,7 +1411,8 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
                 maf = np.array(maf_d, np.float64)
                 touch()
 
-        from .refine import StrictRefiner, degenerate_mask, knife_edge_sites
+        from .refine import (StrictRefiner, degenerate_tiers,
+                             knife_edge_sites)
         refiner = None
 
         def get_refiner():
@@ -1405,6 +1420,8 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
             if refiner is None:
                 refiner = StrictRefiner(pars)
             return refiner
+
+        no_refine = os.environ.get("NGSLD_REFINE") == "0"
 
         # pair-set stability: sites whose device MAF sits within precision
         # noise of min_maf get the bit-exact strict MAF, so `maf < min_maf`
@@ -1492,13 +1509,18 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
             if pars.verbose >= 2:
                 log.hist("em_iteration_histogram",
                          np.bincount(np.clip(n_iter, 0, 100)))
-            flag = degenerate_mask(fm[:, 1:5])
+            tiers = (np.zeros(len(fm), np.uint8) if no_refine
+                     else degenerate_tiers(fm[:, 1:5], prec))
+            t1, t2 = tiers == 1, tiers == 2
             data = None
-            if flag.any():
+            if tiers.any():
                 # full host derive in the EM dtype (bitwise what the native
-                # derive path prints), widened to f64 for the formatter,
-                # with flagged rows overwritten by strict-exact values
-                log.count("pairs_refined", int(flag.sum()))
+                # derive path prints), widened to f64 for the formatter.
+                # Tier 1 (exact-zero class) rows take the bit-exact strict
+                # recompute; tier 2 (f32-garbage class) takes the fast
+                # warm-started f64 polish of the f-derived columns.
+                log.count("pairs_refined", int(t1.sum()))
+                log.count("pairs_polished", int(t2.sum()))
                 r2p, f, n_iter64, n_used64, hmaf0, hmaf1, D, Dp, r2, chi2 \
                     = _unpack(fm, im, pars.extend_out)
                 cols = dict(      # copies: fm-backed views are read-only
@@ -1513,10 +1535,16 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
                     maf1=maf[blk.s1].copy(), maf2=maf[blk.s2].copy(),
                     n_iter=np.array(n_iter64, np.int32),
                     n_used=np.array(n_used64, np.int32))
-                ref = get_refiner().refine_columns(blk.s1[flag],
-                                                   blk.s2[flag])
-                for k in cols:
-                    cols[k][flag] = ref[k]
+                if t2.any():
+                    pol = get_refiner().polish_columns(
+                        blk.s1[t2], blk.s2[t2], cols["f"][t2])
+                    for k in pol:
+                        cols[k][t2] = pol[k]
+                if t1.any():
+                    ref = get_refiner().refine_columns(blk.s1[t1],
+                                                       blk.s2[t1])
+                    for k in cols:
+                        cols[k][t1] = ref[k]
                 data = fmt_rw.format_block(
                     blk.s1, blk.s2, blk.dist, cols["r2p"], cols["D"],
                     cols["Dp"], cols["r2"], n_used=cols["n_used"],

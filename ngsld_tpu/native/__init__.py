@@ -110,6 +110,19 @@ def get_lib():
         u64 = ctypes.c_uint64
         lib.ngsld_child_seeds.restype = None
         lib.ngsld_child_seeds.argtypes = [u64, i64, ctypes.POINTER(u64)]
+        lib.ngsld_strict_siteprep.restype = ctypes.c_int
+        lib.ngsld_strict_siteprep.argtypes = [
+            ctypes.POINTER(ctypes.c_double), i64, i64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double)]
+        lib.ngsld_strict_pair_em.restype = None
+        lib.ngsld_strict_pair_em.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int, i64, i64, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         lib.ngsld_plan_slab.restype = i64
         lib.ngsld_plan_slab.argtypes = [
             i64, i64, ctypes.POINTER(i64), ctypes.POINTER(ctypes.c_double),
@@ -414,3 +427,52 @@ def make_labels_blob(labels):
         parts.append(b + b"\0")
         pos += len(b) + 1
     return b"".join(parts), off
+
+
+def strict_siteprep_native(rows, in_logscale: bool, text_norm: bool,
+                           call_geno: bool, N_thresh: float,
+                           call_thresh: float, ignore_miss: bool):
+    """Native strict site preparation (post_prob/call_geno/est_maf/E[G]),
+    bit-identical to the strict.py pipeline. rows (m, I, 3) f64 — raw
+    binary records (text_norm=False) or log-normalized text-parser
+    records (True); MUTATED in place to the post-call log rows. Returns
+    (gn, maf, eg) or None if the native library is unavailable. Raises
+    StrictError on the reference's NaN error."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..strict import StrictError
+    rows = np.ascontiguousarray(rows, np.float64)
+    m, I, _ = rows.shape
+    gn = np.empty_like(rows)
+    maf = np.empty(m, np.float64)
+    eg = np.empty((m, I), np.float64)
+    rc = lib.ngsld_strict_siteprep(
+        _dp(rows), m, I, int(in_logscale), int(text_norm), int(call_geno),
+        N_thresh, call_thresh, int(ignore_miss), _dp(gn), _dp(maf),
+        _dp(eg))
+    if rc != 0:
+        raise StrictError("read_geno",
+                          "NaN found! Is the file format correct?")
+    return gn, maf, eg
+
+
+def strict_pair_em_native(gn1, gn2, maf1, maf2, ignore_miss: bool):
+    """Native bit-exact pair_freq_iter batch (mirrors
+    strict.pair_em_batch). Returns (f, n_iter, n_used) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    gn1 = np.ascontiguousarray(gn1, np.float64)
+    gn2 = np.ascontiguousarray(gn2, np.float64)
+    k, I, _ = gn1.shape
+    f = np.empty((k, 4), np.float64)
+    n_iter = np.empty(k, np.int32)
+    n_used = np.empty(k, np.int32)
+    lib.ngsld_strict_pair_em(
+        _dp(gn1), _dp(gn2), _dp(np.ascontiguousarray(maf1, np.float64)),
+        _dp(np.ascontiguousarray(maf2, np.float64)), int(ignore_miss),
+        k, I, _dp(f),
+        n_iter.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_used.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return f, n_iter.astype(np.int64), n_used.astype(np.int64)

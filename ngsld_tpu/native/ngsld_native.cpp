@@ -917,3 +917,222 @@ int64_t ngsld_format_rows_mt32(int64_t n_rows, const char* labels,
 }
 
 }  // extern "C"
+
+
+// ---------------------------------------------------------------- strict
+// refinement pipeline (bit-exact mirrors of ngsld_tpu/strict.py, which in
+// turn pins the reference's op order): site preparation (post_prob,
+// call_geno, est_maf — gen_func.cpp:886-1009 semantics) and the pair EM
+// (pair_freq_iter, gen_func.cpp:1027-1119). Used by refine.StrictRefiner
+// so the exact-zero-class recompute is C-speed instead of Python-speed;
+// every value must match the Python strict path bit-for-bit
+// (tests/test_refine.py pins this).
+
+static const double K_EPSILON = 1e-5;     // gen_func.hpp:16
+static const int K_ITER_MAX = 100;        // gen_func.hpp:18
+static const double K_NEG_INF = -1e15;    // gen_func.hpp:15 (-INF)
+
+static inline double logsum3_c(double a0, double a1, double a2) {
+    double m = a0;                        // strict.logsum3 order
+    if (a1 >= m) m = a1;
+    if (a2 >= m) m = a2;
+    if (m == -INFINITY) return -INFINITY;
+    double s = exp(a0 - m);
+    s += exp(a1 - m);
+    s += exp(a2 - m);
+    return log(s) + m;
+}
+
+static inline void post_prob3_c(double* g) {
+    double n = logsum3_c(g[0], g[1], g[2]);
+    g[0] -= n; g[1] -= n; g[2] -= n;
+}
+
+static inline int miss3_log(const double* g) {
+    return fabs(g[0] - g[1]) < K_EPSILON && fabs(g[1] - g[2]) < K_EPSILON;
+}
+
+extern "C" {
+
+// rows: (m, I, 3) f64, EITHER raw binary records (text_norm == 0; the
+// optional log + -INF clamp and post_prob run here, read_data.cpp:28-47)
+// OR already log-normalized text-parser records (text_norm == 1).
+// Outputs: gn (m, I, 3) normal space post-call, maf (m,), eg (m, I).
+// Returns 0, or 1 on the reference's NaN error.
+int ngsld_strict_siteprep(double* rows, int64_t m, int64_t I,
+                          int in_logscale, int text_norm, int call_geno,
+                          double N_thresh, double call_thresh,
+                          int ignore_miss, double* gn, double* maf,
+                          double* eg) {
+    for (int64_t s = 0; s < m; s++) {
+        for (int64_t i = 0; i < I; i++) {
+            double* g = rows + (s * I + i) * 3;
+            if (!text_norm) {
+                if (!in_logscale) {
+                    for (int c = 0; c < 3; c++) {
+                        double lg = log(g[c]);
+                        g[c] = (lg == -INFINITY) ? K_NEG_INF : lg;
+                    }
+                }
+                post_prob3_c(g);
+                if (std::isnan(g[0]) || std::isnan(g[1]) || std::isnan(g[2])) return 1;
+            }
+            if (call_geno) {
+                // strict.call_geno_inplace (gen_func.cpp:886-914):
+                // first strict max / first strict min
+                int max_pos = 0, min_pos = 0;
+                double mx = -INFINITY, mn = INFINITY;
+                for (int c = 0; c < 3; c++) {
+                    if (g[c] > mx) { mx = g[c]; max_pos = c; }
+                    if (g[c] < mn) { mn = g[c]; min_pos = c; }
+                }
+                double max_pp = exp(mx);
+                if (g[min_pos] == g[max_pos]) max_pp = -1.0;
+                if (max_pp < N_thresh)
+                    g[0] = g[1] = g[2] = log(1.0 / 3.0);
+                if (max_pp >= call_thresh) {
+                    g[0] = g[1] = g[2] = K_NEG_INF;
+                    g[max_pos] = 0.0;   // log(1)
+                }
+            }
+        }
+        // est_maf (strict.est_maf_all semantics, gen_func.cpp:974-1009):
+        // pp = exp(post_prob(row)) applied AGAIN on the stored row;
+        // two passes with NON-resetting accumulators; miss test on the
+        // LOG-scale row
+        double num = 0.0, den = 0.0, freq1, freq2;
+        const double* base = rows + s * I * 3;
+        for (int pass = 0; pass < 2; pass++) {
+            for (int64_t i = 0; i < I; i++) {
+                const double* g = base + i * 3;
+                if (ignore_miss && miss3_log(g)) continue;
+                double p[3] = {g[0], g[1], g[2]};
+                post_prob3_c(p);
+                double pp0 = exp(p[0]), pp1 = exp(p[1]), pp2 = exp(p[2]);
+                num += pp1 + pp2 * 2.0;
+                den += 2.0 * pp1 + (pp0 + pp2) * 2.0;
+            }
+            if (pass == 0) {
+                freq1 = num / den;
+                if (!(fabs(0.01 - freq1) > K_EPSILON)) {  // NaN -> done
+                    break;
+                }
+            } else {
+                freq2 = num / den;
+                freq1 = freq2;
+            }
+        }
+        maf[s] = freq1;
+        // conv_space(exp) + E[G] (ngsLD.cpp:107-114)
+        for (int64_t i = 0; i < I; i++) {
+            const double* g = base + i * 3;
+            double* o = gn + (s * I + i) * 3;
+            o[0] = exp(g[0]); o[1] = exp(g[1]); o[2] = exp(g[2]);
+            eg[s * I + i] = o[1] + 2.0 * o[2];
+        }
+    }
+    return 0;
+}
+
+// Bit-exact pair_freq_iter (gen_func.cpp:1027-1119 / strict.pair_em_batch)
+// over k pairs: gn1/gn2 (k, I, 3) NORMAL-space GLs, maf1/maf2 (k,).
+// Outputs f (k, 4), n_iter (k,), n_used (k,).
+void ngsld_strict_pair_em(const double* gn1, const double* gn2,
+                          const double* maf1, const double* maf2,
+                          int ignore_miss, int64_t k, int64_t I,
+                          double* f_out, int32_t* n_iter,
+                          int32_t* n_used) {
+    // genotype-sum index maps (gen_func.cpp:1073-1074)
+    int G1[4][4], G2[4][4];
+    for (int a = 0; a < 4; a++)
+        for (int h = 0; h < 4; h++) {
+            G1[a][h] = (a >> 1) + (h >> 1);
+            G2[a][h] = (a & 1) + (h & 1);
+        }
+    for (int64_t p = 0; p < k; p++) {
+        const double* s1 = gn1 + p * I * 3;
+        const double* s2 = gn2 + p * I * 3;
+        double f[4];
+        f[0] = (1 - maf1[p]) * (1 - maf2[p]);
+        f[1] = (1 - maf1[p]) * maf2[p];
+        f[2] = maf1[p] * (1 - maf2[p]);
+        f[3] = maf1[p] * maf2[p];
+        int64_t x = 0;
+        for (int64_t i = 0; i < I; i++) {
+            int miss = 0;
+            if (ignore_miss) {
+                const double* a = s1 + i * 3;
+                const double* b = s2 + i * 3;
+                int ma = fabs(a[0] - a[1]) < K_EPSILON
+                    && fabs(a[1] - a[2]) < K_EPSILON;
+                int mb = fabs(b[0] - b[1]) < K_EPSILON
+                    && fabs(b[1] - b[2]) < K_EPSILON;
+                miss = ma || mb;
+            }
+            if (!miss) x++;
+        }
+        n_used[p] = (int32_t)x;
+        int it_done = K_ITER_MAX;
+        for (int it = 0; it < K_ITER_MAX; it++) {
+            double ff[4] = {0.0, 0.0, 0.0, 0.0};
+            for (int64_t i = 0; i < I; i++) {
+                const double* a = s1 + i * 3;
+                const double* b = s2 + i * 3;
+                if (ignore_miss) {
+                    int ma = fabs(a[0] - a[1]) < K_EPSILON
+                        && fabs(a[1] - a[2]) < K_EPSILON;
+                    int mb = fabs(b[0] - b[1]) < K_EPSILON
+                        && fabs(b[1] - b[2]) < K_EPSILON;
+                    if (ma || mb) continue;
+                }
+                // SUM: 16 sequential ((f[kk]*f[h])*g1)*g2 terms in
+                // kk-major, h-minor order (gen_func.cpp:1094-1097)
+                double sum = 0.0;
+                for (int kk = 0; kk < 4; kk++)
+                    for (int h = 0; h < 4; h++)
+                        sum += ((f[kk] * f[h]) * a[G1[kk][h]])
+                            * b[G2[kk][h]];
+                // TMP_k: 4 sequential (g~ + g~) * (f[kk]*f[h]) terms
+                // (gen_func.cpp:1099-1104), then the sequential fold of
+                // tmp/sum over individuals (gen_func.cpp:1106)
+                for (int kk = 0; kk < 4; kk++) {
+                    double tmp = 0.0;
+                    for (int h = 0; h < 4; h++) {
+                        double u = a[G1[h][kk]] * b[G2[h][kk]];
+                        double v = a[G1[kk][h]] * b[G2[kk][h]];
+                        u += v;
+                        u *= (f[kk] * f[h]);
+                        tmp += u;
+                    }
+                    ff[kk] += tmp / sum;
+                }
+            }
+            // f_k = ff_k / (2x), then the in-place sequential
+            // normalization where k's denominator sees already-
+            // normalized f[0..k-1] (gen_func.cpp:1109-1113)
+            double two_x = 2.0 * (double)x;
+            double fn[4];
+            for (int kk = 0; kk < 4; kk++) fn[kk] = ff[kk] / two_x;
+            for (int kk = 0; kk < 4; kk++) {
+                double denom = ((fn[0] + fn[1]) + fn[2]) + fn[3];
+                fn[kk] = fn[kk] / denom;
+            }
+            // eps = fold of `if (d > eps) eps = d` (NaN diffs skipped,
+            // gen_func.cpp:1048-1052)
+            double eps = 0.0;
+            for (int kk = 0; kk < 4; kk++) {
+                double d = fabs(fn[kk] - f[kk]);
+                if (d > eps) eps = d;
+            }
+            f[0] = fn[0]; f[1] = fn[1]; f[2] = fn[2]; f[3] = fn[3];
+            if (eps < K_EPSILON) { it_done = it; break; }
+        }
+        n_iter[p] = (int32_t)it_done;
+        f_out[p * 4 + 0] = f[0];
+        f_out[p * 4 + 1] = f[1];
+        f_out[p * 4 + 2] = f[2];
+        f_out[p * 4 + 3] = f[3];
+    }
+}
+
+}  // extern "C"

@@ -123,6 +123,34 @@ def load_gl_rows(pars, sites: np.ndarray) -> np.ndarray:
     return out
 
 
+def load_gl_rows_fast(pars, sites: np.ndarray) -> np.ndarray:
+    """Vectorized f64 variant of load_gl_rows for the POLISH path: same
+    record semantics (optional log with the -INF clamp, log-softmax
+    normalize) via numpy ufuncs instead of the strict reader's per-element
+    libm pinning — values agree with strict to ~1e-16, which is all the
+    f64 polish needs. Binary input only (sorted seeks); text falls back
+    to the bit-exact loader."""
+    if not pars.in_bin:
+        return load_gl_rows(pars, sites)
+    sites = np.asarray(sites, np.int64)
+    m = pars.n_ind
+    rec = m * 3
+    raw = np.empty((len(sites), m, 3), np.float64)
+    order = np.argsort(sites, kind="stable")
+    with open(pars.in_geno, "rb") as fh:
+        for j in order:
+            fh.seek(int(sites[j]) * rec * 8)
+            raw[j] = np.fromfile(fh, np.float64, rec).reshape(m, 3)
+    with np.errstate(all="ignore"):
+        if not pars.in_logscale:
+            lg = np.log(raw)
+            raw = np.where(np.isneginf(lg), strict._NEG_INF_SENTINEL, lg)
+        mx = np.max(raw, axis=-1, keepdims=True)
+        mx = np.where(np.isfinite(mx), mx, 0.0)
+        norm = np.log(np.sum(np.exp(raw - mx), axis=-1, keepdims=True)) + mx
+        return raw - norm
+
+
 def knife_edge_sites(maf: np.ndarray, min_maf: float, prec: str) -> np.ndarray:
     """Site indices whose device MAF is too close to min_maf to trust the
     `maf < min_maf` plan decision at the engine's precision."""
@@ -133,13 +161,26 @@ def knife_edge_sites(maf: np.ndarray, min_maf: float, prec: str) -> np.ndarray:
         return np.flatnonzero(np.abs(maf - min_maf) <= tol)
 
 
-def degenerate_mask(f: np.ndarray, extra_nonfinite=()) -> np.ndarray:
-    """Pairs whose Dp/r2/chi2 denominators are numerically fragile: tiny
-    haplotype-frequency products amplify the EM's ~EPSILON wobble into
-    visible output differences (reference formulas: ngsLD.cpp:295-349).
+def degenerate_tiers(f: np.ndarray, prec: str,
+                     extra_nonfinite=()) -> np.ndarray:
+    """Classify pairs by how numerically fragile their Dp/r2/chi2 are
+    (reference formulas: ngsLD.cpp:295-349). Returns (P,) uint8:
 
-    f: (P, 4) haplotype frequencies (any float dtype). extra_nonfinite:
-    already-derived stat columns — any nonfinite value there flags too."""
+    0 — healthy: the fast path's values are within the precision
+        contract (~1e-12 f64 / ~1e-4 f32 of strict).
+    1 — exact-zero class: a denominator at (or within f64 wobble of)
+        exactly 0, a D whose sign could flip branches, or nonfinite
+        output. Strict's value is inf/nan or branch-dependent, so these
+        get the full bit-exact strict recompute in BOTH precisions.
+    2 — f32-garbage class (flagged only when prec == 'f32'): the
+        denominator is small enough (< ~1e-4) that the f32 EM's ~1e-5
+        wobble moves Dp/r2 by O(0.1+). A fast f64 polish (warm-started
+        from the f32 frequencies) repairs the VALUE columns; f64 math
+        is accurate here, so no strict recompute is needed.
+
+    f: (P, 4) haplotype frequencies (any float dtype); extra_nonfinite:
+    already-derived stat columns — nonfinite values there force tier 1.
+    """
     f = np.asarray(f, np.float64)
     with np.errstate(all="ignore"):
         maf0 = 1.0 - (f[:, 0] + f[:, 1])
@@ -149,12 +190,75 @@ def degenerate_mask(f: np.ndarray, extra_nonfinite=()) -> np.ndarray:
         pos = np.minimum(maf0 * (1 - maf1), (1 - maf0) * maf1)
         den_dp = np.where(D < 0, neg, pos)
         den_r2 = maf0 * maf1 * (1 - maf0) * (1 - maf1)
-        bad = (np.abs(den_dp) < 1e-3) | (np.abs(den_r2) < 1e-6) \
-            | (np.abs(D) < 1e-6)
-        bad |= ~np.isfinite(f).all(axis=1)
+        tier = np.zeros(len(f), np.uint8)
+        nonfin = ~np.isfinite(f).all(axis=1)
         for col in extra_nonfinite:
-            bad |= ~np.isfinite(np.asarray(col, np.float64))
-    return bad
+            nonfin |= ~np.isfinite(np.asarray(col, np.float64))
+        if prec == "f32":
+            # f32-garbage band: the f64 polish restores f64-engine grade
+            # (the shared 1e-5 EM stop tolerance remains the floor)
+            tier[(np.abs(den_dp) < 1e-4) | (np.abs(den_r2) < 1e-8)
+                 | (np.abs(D) < 2e-6)] = 2
+        # exact-zero class, BOTH precisions: strict's value is inf/nan or
+        # branch-dependent — only the bit-exact recompute matches it.
+        # D == 0 with a healthy denominator is a STABLE 0.000000
+        # everywhere and stays fast.
+        tier[(np.abs(den_dp) < 1e-7) | (np.abs(den_r2) < 1e-13)
+             | nonfin] = 1
+    return tier
+
+
+def degenerate_mask(f: np.ndarray, prec: str = "f64",
+                    extra_nonfinite=()) -> np.ndarray:
+    """Any-tier flag (see degenerate_tiers)."""
+    return degenerate_tiers(f, prec, extra_nonfinite) > 0
+
+
+def _fast_em_f64(gn1, gn2, f0, include):
+    """Vectorized f64 EM polish: same update as the reference EM
+    (gen_func.cpp:1076-1119) with batched per-pair freeze, warm-started
+    from the engine's f32 frequencies and stopped at the reference's own
+    EPSILON — i.e. exactly the f64 engine's quality. On near-degenerate
+    pairs the printed Dp/r2 depend on WHERE the EM trajectory stops
+    (Dp -> 1 as pinned coordinates decay; the shared 1e-5 stop rule puts
+    any two implementations within ~1e-5/den of each other, PERF.md), so
+    this is the best any non-bit-exact method can do; the exact-zero
+    tier goes through the strict recompute instead. gn (k, I, 3) f64
+    normal GLs; f0 (k, 4); include (k, I) bool. Returns f (k, 4)."""
+    from .constants import EPSILON, ITER_MAX
+    k, I, _ = gn1.shape
+    incf = include.astype(np.float64)
+    x = incf.sum(axis=1)
+    invx = np.where(x > 0, 1.0 / np.maximum(x, 1), np.inf)
+    f = np.array(f0, np.float64)
+    active = np.ones(k, bool)
+    with np.errstate(all="ignore"):
+        for _ in range(ITER_MAX):
+            fa = f[active]
+            g1, g2 = gn1[active], gn2[active]
+            # D_k[i] = sum_{da,db} f[2da+db] g1[da+a1k] g2[db+a2k]
+            Q0 = fa[:, 0:1, None] * g2[:, :, 0:2] \
+                + fa[:, 1:2, None] * g2[:, :, 1:3]      # (k, I, 2)
+            Q1 = fa[:, 2:3, None] * g2[:, :, 0:2] \
+                + fa[:, 3:4, None] * g2[:, :, 1:3]
+            D = np.empty((len(fa), I, 4))
+            D[..., 0] = g1[:, :, 0] * Q0[..., 0] + g1[:, :, 1] * Q1[..., 0]
+            D[..., 1] = g1[:, :, 0] * Q0[..., 1] + g1[:, :, 1] * Q1[..., 1]
+            D[..., 2] = g1[:, :, 1] * Q0[..., 0] + g1[:, :, 2] * Q1[..., 0]
+            D[..., 3] = g1[:, :, 1] * Q0[..., 1] + g1[:, :, 2] * Q1[..., 1]
+            s = np.einsum("kic,kc->ki", D, fa)
+            r = incf[active] / s
+            fn = fa * np.einsum("kic,ki->kc", D, r) \
+                * invx[active][:, None]
+            fn /= fn.sum(axis=1, keepdims=True)
+            eps = np.abs(fn - fa).max(axis=1)
+            f[active] = fn
+            sub = eps >= EPSILON        # still-active within the subset
+            if not sub.any():
+                break
+            idx = np.flatnonzero(active)
+            active[idx[~sub]] = False
+    return f
 
 
 class StrictRefiner:
@@ -167,22 +271,79 @@ class StrictRefiner:
         self._gn = {}    # site -> (n_ind, 3) f64 NORMAL-space (post-call)
         self._eg = {}    # site -> (n_ind,) expected genotypes
         self._maf = {}   # site -> f64 strict MAF
+        self._gnf = {}   # site -> fast-loaded rows (polish path)
+
+    def _ensure_rows_fast(self, sites) -> None:
+        missing = sorted({int(s) for s in sites} - self._gnf.keys())
+        if not missing:
+            return
+        rows = load_gl_rows_fast(self.pars, np.asarray(missing, np.int64))
+        if self.pars.call_geno:
+            strict.call_geno_inplace(rows, self.pars.N_thresh,
+                                     self.pars.call_thresh)
+        gn = np.exp(rows)
+        for j, s in enumerate(missing):
+            self._gnf[s] = gn[j]
 
     def _ensure(self, sites) -> None:
         missing = sorted({int(s) for s in sites} - self._maf.keys())
         if not missing:
             return
-        rows = load_gl_rows(self.pars, np.asarray(missing, np.int64))
-        if self.pars.call_geno:
-            strict.call_geno_inplace(rows, self.pars.N_thresh,
-                                     self.pars.call_thresh)
-        maf = strict.est_maf_all(rows, self.pars.ignore_miss_data)
-        gn = strict.libm_exp(rows)
-        eg = gn[:, :, 1] + 2 * gn[:, :, 2]
+        arr = np.asarray(missing, np.int64)
+        # native fast path: raw rows + the whole strict site pipeline
+        # (post_prob/call_geno/est_maf/E[G]) in C, bit-identical to the
+        # Python strict path (ngsld_strict_siteprep)
+        done = False
+        if os.environ.get("NGSLD_NO_NATIVE") != "1":
+            try:
+                from .native import strict_siteprep_native
+                raw, text_norm = self._read_raw_rows(arr)
+                if raw is not None:
+                    out = strict_siteprep_native(
+                        raw, self.pars.in_logscale, text_norm,
+                        self.pars.call_geno, self.pars.N_thresh,
+                        self.pars.call_thresh, self.pars.ignore_miss_data)
+                    if out is not None:
+                        gn, maf, eg = out
+                        done = True
+            except ImportError:
+                pass
+        if not done:
+            rows = load_gl_rows(self.pars, arr)
+            if self.pars.call_geno:
+                strict.call_geno_inplace(rows, self.pars.N_thresh,
+                                         self.pars.call_thresh)
+            maf = strict.est_maf_all(rows, self.pars.ignore_miss_data)
+            gn = strict.libm_exp(rows)
+            eg = gn[:, :, 1] + 2 * gn[:, :, 2]
         for j, s in enumerate(missing):
             self._gn[s] = gn[j]
             self._eg[s] = eg[j]
             self._maf[s] = float(maf[j])
+
+    def _read_raw_rows(self, sites):
+        """(rows, text_norm) for the native siteprep: binary input reads
+        RAW records via seeks (C applies log/post_prob); text input uses
+        the native chunk parser (rows arrive log-normalized). (None,
+        False) when no fast source applies."""
+        pars = self.pars
+        if pars.in_bin:
+            m = pars.n_ind
+            rec = m * 3
+            raw = np.empty((len(sites), m, 3), np.float64)
+            order = np.argsort(sites, kind="stable")
+            with open(pars.in_geno, "rb") as fh:
+                for j in order:
+                    fh.seek(int(sites[j]) * rec * 8)
+                    raw[j] = np.fromfile(fh, np.float64, rec).reshape(m, 3)
+            return raw, False
+        try:
+            from .native import get_lib
+            if get_lib() is None:
+                return None, False
+        except Exception:
+            return None, False
+        return load_gl_rows(pars, sites), True   # native text parse
 
     def exact_maf(self, sites) -> np.ndarray:
         """Strict (bit-exact) MAF for the given global site indices."""
@@ -204,10 +365,45 @@ class StrictRefiner:
         maf1 = np.array([self._maf[int(s)] for s in s1])
         maf2 = np.array([self._maf[int(s)] for s in s2])
         r2p = strict.pearson_r2_batch(eg1, eg2)
-        f, n_iter, n_used = strict.pair_em_batch(
-            gn1, gn2, maf1, maf2, self.pars.ignore_miss_data)
+        em = None
+        if os.environ.get("NGSLD_NO_NATIVE") != "1":
+            try:
+                from .native import strict_pair_em_native
+                em = strict_pair_em_native(gn1, gn2, maf1, maf2,
+                                           self.pars.ignore_miss_data)
+            except ImportError:
+                em = None
+        if em is None:
+            em = strict.pair_em_batch(gn1, gn2, maf1, maf2,
+                                      self.pars.ignore_miss_data)
+        f, n_iter, n_used = em
         hmaf0, hmaf1, D, Dp, r2 = strict.ld_stats_batch(f)
         chi2 = strict.chi2_batch(f)
         return dict(r2p=r2p, f=f, n_iter=n_iter, n_used=n_used,
                     maf1=maf1, maf2=maf2, hmaf1=hmaf0, hmaf2=hmaf1,
                     D=D, Dp=Dp, r2=r2, chi2=chi2)
+
+    def polish_columns(self, s1, s2, f_warm) -> dict:
+        """f64 VALUE repair for tier-2 pairs: rerun the EM in f64 from
+        the engine's converged f32 frequencies (a handful of iterations)
+        and re-derive the f-dependent columns. Unlike refine_columns this
+        is tolerance-grade (~1e-12 of a cold f64 run), not bit-exact —
+        exactly the accuracy the fast engine's f64 mode already has —
+        and an order of magnitude cheaper than the strict recompute.
+        Returns only the f-derived columns: f, hmaf1/2, D, Dp, r2, chi2
+        (r2p/maf/nIter/n_used keep the engine's values)."""
+        s1 = np.asarray(s1, np.int64)
+        s2 = np.asarray(s2, np.int64)
+        self._ensure_rows_fast(np.concatenate([s1, s2]))
+        gn1 = np.stack([self._gnf[int(s)] for s in s1])
+        gn2 = np.stack([self._gnf[int(s)] for s in s2])
+        if self.pars.ignore_miss_data:
+            include = ~(strict.miss_data_rows(gn1)
+                        | strict.miss_data_rows(gn2))
+        else:
+            include = np.ones(gn1.shape[:2], bool)
+        f = _fast_em_f64(gn1, gn2, np.asarray(f_warm, np.float64), include)
+        hmaf0, hmaf1, D, Dp, r2 = strict.ld_stats_batch(f)
+        chi2 = strict.chi2_batch(f)
+        return dict(f=f, hmaf1=hmaf0, hmaf2=hmaf1, D=D, Dp=Dp, r2=r2,
+                    chi2=chi2)

@@ -197,3 +197,47 @@ def test_derive_formatter_matches_host_path(dtype):
                                   extend, nu, maf1, maf2, f, hmaf0, hmaf1,
                                   chi2, ni)
         assert got == want, f"extend={extend} dtype={dtype}"
+
+
+def test_native_strict_refine_bit_identical():
+    """ngsld_strict_siteprep / ngsld_strict_pair_em vs the Python strict
+    pipeline: bit-for-bit (the refiner's exact-zero tier depends on it)."""
+    from ngsld_tpu import strict
+    from ngsld_tpu.native import (get_lib, strict_pair_em_native,
+                                  strict_siteprep_native)
+    from ngsld_tpu.utils.simulate import simulate
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native unavailable")
+
+    sim = simulate(n_ind=9, n_sites=300, seed=7,
+                   all_missing_site_rate=0.05, mono_rate=0.1)
+    lograw = np.log(sim.gl.astype(np.float64))
+    for call_geno, ignore in ((False, False), (True, True)):
+        rows = lograw.copy()
+        g_py = np.empty_like(rows)
+        for s in range(rows.shape[0]):
+            for i in range(rows.shape[1]):
+                g_py[s, i] = strict.post_prob3(list(rows[s, i]))
+        if call_geno:
+            strict.call_geno_inplace(g_py, 0.3, 0.9)
+        maf_py = strict.est_maf_all(g_py, ignore)
+        gn_py = strict.libm_exp(g_py)
+        gn_c, maf_c, eg_c = strict_siteprep_native(
+            lograw.copy(), True, False, call_geno, 0.3, 0.9, ignore)
+        np.testing.assert_array_equal(gn_c, gn_py)
+        np.testing.assert_array_equal(
+            np.nan_to_num(maf_c, nan=-1), np.nan_to_num(maf_py, nan=-1))
+        np.testing.assert_array_equal(
+            eg_c, gn_py[:, :, 1] + 2 * gn_py[:, :, 2])
+
+        s1, s2 = np.arange(0, 120), np.arange(150, 270)
+        f_py, it_py, nu_py = strict.pair_em_batch(
+            gn_py[s1], gn_py[s2], maf_py[s1], maf_py[s2], ignore)
+        f_c, it_c, nu_c = strict_pair_em_native(
+            gn_c[s1], gn_c[s2], maf_c[s1], maf_c[s2], ignore)
+        nan = np.isnan(f_py) & np.isnan(f_c)
+        np.testing.assert_array_equal(np.where(nan, 0, f_py),
+                                      np.where(nan, 0, f_c))
+        np.testing.assert_array_equal(it_py, it_c)
+        np.testing.assert_array_equal(nu_py, nu_c)

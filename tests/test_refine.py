@@ -116,14 +116,18 @@ def test_degenerate_pairs_match_strict_exactly(fixdir):
     assert n_exact > 0   # the fixture does contain degenerate rows
 
 
-def test_degenerate_mask_flags_fragile_denominators():
+def test_degenerate_tiers_classification():
+    from ngsld_tpu.refine import degenerate_tiers
     f = np.array([
-        [0.30, 0.20, 0.20, 0.30],   # healthy (D = 0.05)
-        [0.9642, 0.0357, 0.0, 0.0],  # hap freq pinned at 0 -> den 0
+        [0.30, 0.20, 0.20, 0.30],    # healthy (D = 0.05)
+        [0.8755, 0.0, 0.1245, 0.0],  # hap maf pinned 0 -> den EXACTLY 0
+        [0.9642, 0.0357, 0.0, 0.0],  # den ~ 1e-4: f32-garbage band
         [0.5, 0.0, 0.0, 0.5],        # |D| large, dens fine
     ])
-    m = degenerate_mask(f)
-    assert not m[0] and m[1] and not m[2]
+    t64 = degenerate_tiers(f, "f64")
+    assert list(t64) == [0, 1, 0, 0]   # f64 repairs only the exact-zero class
+    t32 = degenerate_tiers(f, "f32")
+    assert t32[0] == 0 and t32[1] == 1 and t32[2] == 2 and t32[3] == 0
 
 
 def test_refiner_matches_strict_run_values(fixdir):
