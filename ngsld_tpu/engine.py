@@ -396,7 +396,7 @@ def _ring_sharded_tables(pars, mesh, n_dev, B, Sp, np_dt, log,
     input seeks; text input is parsed once per host, discarding
     non-resident records as it goes).
 
-    Returns (gl_global, raw, n_nan_pad_rows_are_log): `raw=True` means the
+    Returns (gl_global, raw): `raw=True` means the
     records are UNNORMALIZED file values (binary fast path) and preprocess
     must run with raw=True/in_log=pars.in_logscale; `raw=False` means
     log-normalized (text parse / strict fallback). Falls back to
@@ -519,7 +519,6 @@ def _ring_sharded_tables(pars, mesh, n_dev, B, Sp, np_dt, log,
                             shards.append(
                                 jax.device_put(mine[k], dev_of[k]))
                         touch()
-                        mine[k] = None
                         del mine[k]
                 if used < len(chunk):
                     leftover = chunk[used:]
@@ -882,7 +881,7 @@ def run_jax(pars: Params, out_fh=None) -> None:
             out_fh = getattr(sys.stdout, "buffer", sys.stdout)
 
     ckpt_dir = getattr(pars, "checkpoint", None)
-    # ring mode owns its own step-granular checkpoint (_RingCheckpoint,
+    # ring mode owns its own step-granular checkpoint (_RingSpill,
     # built inside _run_jax_ring once the block decomposition is known).
     # The block engine's fingerprint pins the EFFECTIVE chunk (chunk_pairs
     # rounded up to a shard multiple): a resume with a different --shard
@@ -939,8 +938,8 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
     the shard holding its own blocks' rows.
 
     With --checkpoint the sweep is resumable at (sub-ring, ring step)
-    granularity (_RingCheckpoint): completed steps' compacted rows load
-    from disk and the visiting state fast-forwards via an offset ppermute
+    granularity (_RingSpill): completed steps' tiles feed the merge from
+    disk and the visiting state fast-forwards via an offset ppermute
     (the reference has no resume at all, SURVEY.md §5).
     """
     import contextlib
@@ -1036,8 +1035,11 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         # pair-set stability: knife-edge sites take the strict f64 MAF so
         # the band masks below can never flip vs the reference. The maf
         # vector is identical on every host (allgathered above) and the
-        # strict recompute is deterministic, so all hosts stay in agreement.
-        ks = knife_edge_sites(maf, pars.min_maf, prec)
+        # strict recompute is deterministic, so all hosts stay in agreement
+        # (NGSLD_REFINE=0 = round-1 behavior: no repair of any kind).
+        ks = (np.empty(0, np.int64)
+              if os.environ.get("NGSLD_REFINE") == "0"
+              else knife_edge_sites(maf, pars.min_maf, prec))
         if len(ks):
             maf[ks] = get_refiner().exact_maf(ks)
             log.log(2, f"==> strict MAF refinement: {len(ks)} knife-edge "
@@ -1426,7 +1428,10 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
         # pair-set stability: sites whose device MAF sits within precision
         # noise of min_maf get the bit-exact strict MAF, so `maf < min_maf`
         # (ngsLD.cpp:264,270) can never flip a band vs the reference
-        ks = knife_edge_sites(maf, pars.min_maf, prec)
+        # (NGSLD_REFINE=0 = round-1 behavior: no repair of any kind)
+        ks = (np.empty(0, np.int64)
+              if os.environ.get("NGSLD_REFINE") == "0"
+              else knife_edge_sites(maf, pars.min_maf, prec))
         if len(ks):
             maf[ks] = get_refiner().exact_maf(ks)
             log.log(2, f"==> strict MAF refinement: {len(ks)} knife-edge "

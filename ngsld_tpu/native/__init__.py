@@ -28,11 +28,15 @@ def _build() -> str | None:
     so = os.path.join(_HERE, "_ngsld_native.so")
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
         return so
+    # PID-unique tmp: concurrent first builders (multi-process tests,
+    # multi-host pods on shared storage) must not interleave writes into
+    # one tmp file; os.replace makes the winner atomic either way
+    tmp = f"{so}.tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread", _SRC,
-           "-lz", "-o", so + ".tmp"]
+           "-lz", "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
-        os.replace(so + ".tmp", so)
+        os.replace(tmp, so)
         return so
     except Exception as e:  # no compiler / no zlib headers
         sys.stderr.write(f"ngsld: native build unavailable ({e}); "

@@ -81,7 +81,9 @@ def load_gl_rows(pars, sites: np.ndarray) -> np.ndarray:
                                  pars.in_logscale, m, pars.n_sites)
         return np.asarray(table, np.float64)[sites].copy()
 
-    want = {int(s): j for j, s in enumerate(sites)}
+    want = {}          # site -> ALL output slots (duplicates honored,
+    for j, s in enumerate(sites):   # like the binary branch above)
+        want.setdefault(int(s), []).append(j)
     out = np.empty((len(sites), m, 3), np.float64)
     found = 0
     n = pars.n_sites
@@ -89,7 +91,7 @@ def load_gl_rows(pars, sites: np.ndarray) -> np.ndarray:
     with strict.open_maybe_gz(pars.in_geno, "rb") as fh:
         carry = b""
         s = 0
-        while found < len(want):
+        while found < len(sites):
             data = fh.read(CHUNK)
             eof = not data
             buf = carry + data
@@ -109,18 +111,33 @@ def load_gl_rows(pars, sites: np.ndarray) -> np.ndarray:
                 chunk, pars.in_probs, pars.in_logscale, m, s,
                 min(chunk.count(b"\n"), n - s))
             for j in range(len(recs)):
-                k = want.get(s + j)
-                if k is not None:
+                for k in want.get(s + j, ()):
                     out[k] = recs[j]
                     found += 1
             s += len(recs)
             if eof:
                 break
-    if found < len(want):
+    if found < len(sites):
         raise strict.StrictError(
             "read_geno", "GENO file at premature EOF. "
             "Check GENO file and number of sites!")
     return out
+
+
+def read_binary_raw_rows(pars, sites: np.ndarray) -> np.ndarray:
+    """RAW (un-normalized) f64 records for the given sites from a binary
+    GENO file, via ascending seeks (shared by the fast loader and the
+    native siteprep feeder)."""
+    sites = np.asarray(sites, np.int64)
+    m = pars.n_ind
+    rec = m * 3
+    raw = np.empty((len(sites), m, 3), np.float64)
+    order = np.argsort(sites, kind="stable")
+    with open(pars.in_geno, "rb") as fh:
+        for j in order:
+            fh.seek(int(sites[j]) * rec * 8)
+            raw[j] = np.fromfile(fh, np.float64, rec).reshape(m, 3)
+    return raw
 
 
 def load_gl_rows_fast(pars, sites: np.ndarray) -> np.ndarray:
@@ -132,15 +149,7 @@ def load_gl_rows_fast(pars, sites: np.ndarray) -> np.ndarray:
     to the bit-exact loader."""
     if not pars.in_bin:
         return load_gl_rows(pars, sites)
-    sites = np.asarray(sites, np.int64)
-    m = pars.n_ind
-    rec = m * 3
-    raw = np.empty((len(sites), m, 3), np.float64)
-    order = np.argsort(sites, kind="stable")
-    with open(pars.in_geno, "rb") as fh:
-        for j in order:
-            fh.seek(int(sites[j]) * rec * 8)
-            raw[j] = np.fromfile(fh, np.float64, rec).reshape(m, 3)
+    raw = read_binary_raw_rows(pars, np.asarray(sites, np.int64))
     with np.errstate(all="ignore"):
         if not pars.in_logscale:
             lg = np.log(raw)
@@ -328,15 +337,7 @@ class StrictRefiner:
         False) when no fast source applies."""
         pars = self.pars
         if pars.in_bin:
-            m = pars.n_ind
-            rec = m * 3
-            raw = np.empty((len(sites), m, 3), np.float64)
-            order = np.argsort(sites, kind="stable")
-            with open(pars.in_geno, "rb") as fh:
-                for j in order:
-                    fh.seek(int(sites[j]) * rec * 8)
-                    raw[j] = np.fromfile(fh, np.float64, rec).reshape(m, 3)
-            return raw, False
+            return read_binary_raw_rows(pars, sites), False
         try:
             from .native import get_lib
             if get_lib() is None:

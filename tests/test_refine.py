@@ -149,3 +149,19 @@ def test_refiner_matches_strict_run_values(fixdir):
     np.testing.assert_array_equal(ref["f"], f)
     np.testing.assert_array_equal(ref["n_iter"], n_iter)
     np.testing.assert_array_equal(ref["maf1"], maf[s1])
+
+
+def test_refine_opt_out_env(fixdir, monkeypatch):
+    """NGSLD_REFINE=0 disables BOTH repairs (round-1 behavior): same pair
+    set, but the degenerate rows revert to raw engine values."""
+    argv = ["--geno", fixdir["beagle"], "--probs", "--n_ind", "8",
+            "--n_sites", "500", "--pos", fixdir["pos"], "--max_kb_dist",
+            "0", "--extend_out", "--verbose", "0"]
+    on, off = io.StringIO(), io.StringIO()
+    run_jax(params_from_args(argv + ["--precision", "f64"]), out_fh=on)
+    monkeypatch.setenv("NGSLD_REFINE", "0")
+    run_jax(params_from_args(argv + ["--precision", "f64"]), out_fh=off)
+    a, b = on.getvalue().splitlines(), off.getvalue().splitlines()
+    assert len(a) == len(b)
+    assert [r.split("\t")[:2] for r in a] == [r.split("\t")[:2] for r in b]
+    assert a != b   # the exact-zero tier rows differ without repair
