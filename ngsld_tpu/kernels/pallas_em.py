@@ -362,7 +362,10 @@ def pair_em_sorted(gn1, gn2, maf1, maf2, ignore_miss_data: bool = False,
                                 pair_tile=pair_tile,
                                 iter_cap=ITER_MAX - cap1,
                                 interpret=interpret, unroll=unroll)
-    inv = jnp.argsort(order)
+    # inverse of a permutation via scatter — O(P) vs the bitonic
+    # argsort's O(P log^2 P) (PERF.md component budget)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(P, dtype=order.dtype))
     f2u = jnp.take(f2[:, :P], inv, axis=1)
     it2u = jnp.take(it2[0, :P], inv)
     f = jnp.where(conv1[None, :], f1[:, :P], f2u)
