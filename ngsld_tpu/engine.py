@@ -1128,14 +1128,17 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                 ok_d = jax.device_put(okp, shd1)
             touch()
             stepper = ring_sweep_stepper_strip(
-                mesh, pars.n_ind, B, B_sub, n_sub, pars.ignore_miss_data,
+                mesh, pars.n_ind, B, B_sub, pars.ignore_miss_data,
                 pars.extend_out,
                 interpret=jax.default_backend() != "tpu")
             log.log(2, f"==> ring: strip-kernel stepper "
                        f"({B // 128}x{B_sub // 128} tiles/step/device)")
         else:
+            # row_chunk bounds the XLA stepper's peak memory to 256
+            # anchor strips of EM intermediates while still vmapping
+            # (scan-per-anchor would be ~256x more dispatches)
             stepper = ring_sweep_stepper(mesh, pars.ignore_miss_data,
-                                         pars.extend_out)
+                                         pars.extend_out, row_chunk=256)
         writer = RowWriter(out_fh, labels, pars.extend_out)
         if jax.process_index() == 0:
             # multi-host shards concatenate in part order; only the first
@@ -1275,6 +1278,23 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                 total = sum(len(x) for x in mms)
                 if total == 0:
                     continue
+                if not pars.in_bin and not no_refine:
+                    # gz-text inputs: prime the refiner's row caches for
+                    # ALL of this block's fragile sites in ONE streaming
+                    # parse — per-chunk priming would re-decompress the
+                    # file once per merge chunk (O(chunks x file))
+                    t1s, t2s = set(), set()
+                    for x in mms:
+                        tt = degenerate_tiers(np.asarray(x["f"]), prec)
+                        for which, bag in ((tt == 1, t1s), (tt == 2, t2s)):
+                            if which.any():
+                                bag.update(np.asarray(x["a"])[which])
+                                bag.update(np.asarray(x["pj"])[which])
+                    if t1s:
+                        get_refiner()._ensure(np.fromiter(t1s, np.int64))
+                    if t2s:
+                        get_refiner()._ensure_rows_fast(
+                            np.fromiter(t2s, np.int64))
                 a_lo, a_hi = i * B, min(i * B + B, n)
                 step = max(1, int(budget // max(1, total // max(1, B))))
                 cursors = [0] * len(mms)

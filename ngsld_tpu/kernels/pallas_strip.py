@@ -168,6 +168,7 @@ def strip_tables(gn, eg, n_ind: int):
     Pearson r2 is the squared dot product (zero-variance sites produce
     inf/nan exactly like the two-pass formula's 0-division)."""
     S, I, _ = gn.shape
+    assert I == n_ind, (I, n_ind)   # cross-check the caller's cohort size
     Ip = -(-I // 8) * 8
     g = jnp.pad(gn.astype(jnp.float32), ((0, 0), (0, Ip - I), (0, 0)),
                 constant_values=1.0 / 3.0)
@@ -212,6 +213,9 @@ def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
     n_used (n, TA, TB) i32. Dead cells (out of band / triangle / maf)
     hold the f0 init and n_iter == iter_cap; callers mask them.
     """
+    # the while body runs `unroll` exact steps between scalar checks; a
+    # cap that is not a multiple would overshoot it (see pallas_em)
+    assert iter_cap % _UNROLL == 0, iter_cap
     n = ta.shape[0]
     Ip = ga.shape[2]
     mafa = maf_a.reshape(-1, 1).astype(jnp.float32)

@@ -64,9 +64,12 @@ def _tile_stats_fn(ignore_miss_data: bool, extend_out: bool, row_chunk: int):
                         chi2=chi2)
 
         xs = (gn_a, eg_a, maf_a)
-        if row_chunk and row_chunk < Ba:
-            return jax.lax.map(strip, xs, batch_size=row_chunk)
-        return jax.lax.map(strip, xs)
+        # default (row_chunk=0): ONE flat vmapped batch, as documented;
+        # row_chunk > 0 bounds peak memory by vmapping row_chunk anchor
+        # strips per scan step (lax.map with no batch_size would scan
+        # one anchor at a time — the slowest possible schedule)
+        bs = min(row_chunk, Ba) if row_chunk else Ba
+        return jax.lax.map(strip, xs, batch_size=bs)
 
     return tile_stats
 
@@ -75,17 +78,8 @@ _STAT_KEYS = ("r2p", "f", "n_iter", "n_used", "hmaf1", "hmaf2",
               "D", "Dp", "r2", "chi2")
 
 
-def strip_ring_tables(gn, eg, n_ind: int):
-    """Sharded strip-table layouts for the strip-kernel stepper: gn/eg are
-    'sites'-sharded; the transposes keep the site axis sharded (axis 1 for
-    ga/ea rows, axis 2 for gb/eb lanes) so every device holds only its
-    block in both layouts."""
-    from ..kernels.pallas_strip import strip_tables
-    return strip_tables(gn, eg, n_ind)
-
-
 def ring_sweep_stepper_strip(mesh, n_ind: int, B: int, B_sub: int,
-                             n_sub: int, ignore_miss_data: bool = False,
+                             ignore_miss_data: bool = False,
                              extend_out: bool = True,
                              interpret: bool = False):
     """Strip-kernel variant of ring_sweep_stepper: the per-step
@@ -106,7 +100,6 @@ def ring_sweep_stepper_strip(mesh, n_ind: int, B: int, B_sub: int,
     block's global origin — traced, so checkpoint fast-forwards stay
     correct. Requires B % TA == 0 and B_sub % TB == 0 (engine rounds)."""
     from ..kernels.pallas_strip import TA, TB, strip_em
-    from ..ops.stats import chi2_stat, ld_stats
     n_dev = mesh.shape["sites"]
     perm = [(k, (k - 1) % n_dev) for k in range(n_dev)]
     assert B % TA == 0 and B_sub % TB == 0, (B, B_sub)
@@ -283,8 +276,7 @@ def ring_sweep(mesh, n_steps: int, ignore_miss_data: bool = False,
     spec3 = P("sites", None, None)
     out_specs = {k: (P(None, "sites", None, None) if k == "f"
                      else P(None, "sites", None))
-                 for k in ("r2p", "f", "n_iter", "n_used", "hmaf1", "hmaf2",
-                           "D", "Dp", "r2", "chi2")}
+                 for k in _STAT_KEYS}
     mapped = shard_map(
         local, mesh=mesh,
         in_specs=(spec3, P("sites", None), P("sites")),
