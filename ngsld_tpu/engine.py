@@ -1511,7 +1511,23 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
             else RowWriter(None, labels, pars.extend_out)
 
         def pull(bi, blk, dev_out):
-            """Stage 1 (tunnel IO): device results -> host numpy."""
+            """Stage 1 (tunnel IO): device results -> host numpy. Strip
+            groups (blk is None) also compact their rectangle outputs to
+            live rows here, so the (pj, a) lexsort and masking overlap
+            the next group's device compute."""
+            if blk is None:
+                k, tiles_j, douts = dev_out
+                t0 = time.perf_counter()
+                with hold():
+                    f, r2p, nit, nu = (np.asarray(x) for x in douts)
+                touch()
+                log.count_time("sweep: result pull",
+                               time.perf_counter() - t0)
+                g = len(tiles_j)
+                blk2, fm, im = _strip_compact(k, tiles_j, f[:g], r2p[:g],
+                                              nit[:g], nu[:g])
+                log.count("pairs_emitted", len(blk2.s1))
+                return bi, blk2, fm, im
             P = len(blk.s1)
             t0 = time.perf_counter()
             with hold():
@@ -1611,6 +1627,99 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
 
         from .utils.signals import GracefulStop
 
+        # Opt-in dense fast path (NGSLD_BLOCK_STRIP=1): sweep the banded
+        # plan as strip-tile rectangles (kernels/pallas_strip) instead of
+        # gathered pair blocks — no gathers/transposes/sorting; dead
+        # out-of-band lanes are masked from iteration 0. Worth it when
+        # the plan is dense over rectangles; the gather path stays the
+        # default and handles sampling/sharding (see PERF.md).
+        strip_mode = False
+        if (os.environ.get("NGSLD_BLOCK_STRIP") == "1"
+                and pars.rnd_sample >= 1.0 and n_shards == 1
+                and getattr(pars, "shard_ind", 1) == 1
+                and ckpt is None):
+            from .kernels.pallas_strip import (TA as _TA, TB as _TB,
+                                               strip_em, strip_tables,
+                                               vmem_ok as _svok)
+            from .plan.band import band_limits as _bl
+            from .plan.band import contig_positions as _cp
+            from .plan.strips import strip_plan
+            if _svok(pars.n_ind):
+                hi_b = _bl(pos_dist, pars.max_kb_dist, pars.max_snp_dist)
+                ok_b = ~(maf < pars.min_maf)
+                Sp_b = -(-pars.n_sites // _TA) * _TA
+                hi_p = np.zeros(Sp_b, np.int32)
+                hi_p[:pars.n_sites] = hi_b
+                ok_p = np.zeros(Sp_b, np.float32)
+                ok_p[:pars.n_sites] = ok_b
+                s_ta, s_tb, s_groups, s_util = strip_plan(
+                    hi_p, ok_p, pars.n_sites)
+                strip_mode = len(s_ta) > 0
+                if strip_mode:
+                    contig_b, pos_b = _cp(pos_dist)
+                    with log.phase("strip tables (device)"), hold():
+                        padfn = jax.jit(lambda g, e: strip_tables(
+                            jnp.pad(g, ((0, Sp_b - pars.n_sites), (0, 0),
+                                        (0, 0)),
+                                    constant_values=1.0 / 3.0),
+                            jnp.pad(e, ((0, Sp_b - pars.n_sites),
+                                        (0, 0))), pars.n_ind))
+                        s_ga, s_gb, s_ea, s_eb = padfn(gn_d, eg_d)
+                    touch()
+                    s_maf = jnp.asarray(
+                        np.pad(np.asarray(maf, np.float32),
+                               (0, Sp_b - pars.n_sites),
+                               constant_values=0.5))
+                    s_lo = jnp.asarray(
+                        np.arange(Sp_b, dtype=np.int32) + 1)
+                    s_hi = jnp.asarray(hi_p)
+                    s_ok = jnp.asarray(ok_p)
+                    # per-dispatch tile count: every anchor-tile group
+                    # pads to the max group size (one compiled shape);
+                    # pad tiles repeat (k, k) and are sliced off
+                    s_gmax = int(s_groups.max())
+                    log.log(2, f"==> strip sweep: {len(s_ta)} tiles, "
+                               f"group<= {s_gmax}, util {s_util:.2f}")
+
+        def _strip_compact(k, tiles_j, f, r2p, nit, nu):
+            """Mask one anchor-tile group's (g, ...) outputs to live rows
+            in (s1, s2) order; returns (blk, fm, im)."""
+            parts = []
+            for gidx, j in enumerate(tiles_j):
+                A = (k * _TA + np.arange(_TA, dtype=np.int64))[:, None]
+                PJ = (j * _TB + np.arange(_TB, dtype=np.int64))[None, :]
+                valid = (PJ > A) & (PJ < pars.n_sites) & (A < pars.n_sites)
+                valid &= (ok_p[np.minimum(A, Sp_b - 1)] > 0) \
+                    & (ok_p[np.minimum(PJ, Sp_b - 1)] > 0)
+                valid &= PJ < hi_p[np.minimum(A, Sp_b - 1)]
+                if not valid.any():
+                    continue
+                parts.append((
+                    np.broadcast_to(A, valid.shape)[valid],
+                    np.broadcast_to(PJ, valid.shape)[valid],
+                    r2p[gidx][valid], f[gidx].transpose(1, 2, 0)[valid],
+                    nit[gidx][valid], nu[gidx][valid]))
+            if not parts:
+                from .plan.band import PairBlock
+                z = np.empty(0, np.int64)
+                return (PairBlock(s1=z, s2=z, dist=np.empty(0)),
+                        np.empty((0, 5), np.float32),
+                        np.empty((0, 2), np.int32))
+            a = np.concatenate([p[0] for p in parts])
+            pj = np.concatenate([p[1] for p in parts])
+            order = np.lexsort((pj, a))
+            a, pj = a[order], pj[order]
+            r2pc = np.concatenate([p[2] for p in parts])[order]
+            fc = np.concatenate([p[3] for p in parts])[order]
+            fm = np.concatenate([r2pc[:, None], fc], axis=1)
+            im = np.stack([np.concatenate([p[4] for p in parts])[order],
+                           np.concatenate([p[5] for p in parts])[order]],
+                          axis=1)
+            from .plan.band import PairBlock
+            dist = np.where(contig_b[a] == contig_b[pj],
+                            pos_b[pj] - pos_b[a], np.inf)
+            return PairBlock(s1=a, s2=pj, dist=dist), fm, im
+
         n_blocks = 0
         interrupted = False
         # 3-stage emit pipeline on daemon threads: result pull (tunnel IO),
@@ -1652,6 +1761,50 @@ def _run_jax_body(pars, out_fh, log, ckpt, prec, dt, profile_dir,
                   _stage(fmt_q, write_q, fmt, "ngsld-fmt"),
                   _stage(write_q, None, write, "ngsld-write")]
         with log.phase("compute: banded pair sweep"), GracefulStop(log) as gs:
+            if strip_mode:
+                try:
+                    interp = jax.default_backend() != "tpu"
+                    ti = bi = 0
+                    for k, gsz in enumerate(s_groups):
+                        gsz = int(gsz)
+                        if gsz == 0:
+                            continue
+                        tiles_j = s_tb[ti:ti + gsz]
+                        ti += gsz
+                        if gs.stopped or emit_err:
+                            interrupted = not emit_err
+                            break
+                        log.count("blocks_computed")
+                        ta_pad = jnp.asarray(
+                            np.full(s_gmax, k, np.int32))
+                        tb_pad = jnp.asarray(np.concatenate(
+                            [tiles_j,
+                             np.full(s_gmax - gsz, k, np.int32)]))
+                        t0 = time.perf_counter()
+                        with hold():
+                            outs = strip_em(
+                                s_ga, s_gb, s_ea, s_eb, s_maf, s_maf,
+                                s_lo, s_hi, s_ok, s_ok, ta_pad, tb_pad,
+                                n_ind=pars.n_ind,
+                                ignore_miss=pars.ignore_miss_data,
+                                interpret=interp)
+                        touch()
+                        log.count_time("sweep: dispatch",
+                                       time.perf_counter() - t0)
+                        emit_q.put((bi, None, (k, tiles_j, outs)))
+                        bi += 1
+                    n_blocks = bi
+                finally:
+                    emit_q.put(None)
+                    for t in stages:
+                        t.join()
+                if emit_err:
+                    raise emit_err[0]
+                if interrupted:
+                    log.log(0, "==> Interrupted mid strip sweep.")
+                    raise SystemExit(130)
+                log.summary()
+                return
             blocks_it = enumerate(_prefetch_blocks(
                 iter_pair_blocks(pars, maf, pos_dist, block_pairs=chunk)))
             try:

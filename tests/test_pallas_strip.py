@@ -179,3 +179,48 @@ def test_ring_strip_stepper_matches_strict(tmp_path, monkeypatch):
                 assert x == y or (np.isnan(x) and np.isnan(y)), (c, a, b)
                 continue
             assert abs(x - y) <= 2e-3, (c, a, b)
+
+
+def test_block_engine_strip_sweep_matches_strict(tmp_path, monkeypatch):
+    """NGSLD_BLOCK_STRIP=1: the block engine's dense strip-tile sweep
+    (rectangles instead of gathered pair blocks) must reproduce the
+    strict oracle's pair set exactly, values to f32 grade (same fragile-
+    band exclusion as the ring strip test)."""
+    from ngsld_tpu import strict
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    monkeypatch.setenv("NGSLD_BLOCK_STRIP", "1")
+    files = write_all(simulate(n_ind=8, n_sites=1024, seed=47,
+                               contig_kb=50.0), str(tmp_path / "fx"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "8",
+            "--n_sites", "1024", "--pos", files["pos"], "--max_kb_dist",
+            "4", "--min_maf", "0.05", "--extend_out", "--verbose", "0"]
+    r_out, s_out = tmp_path / "r.ld", tmp_path / "s.ld"
+    run_jax(params_from_args(argv + ["--precision", "f32",
+                                     "--out", str(r_out)]))
+    strict.run(params_from_args(argv + ["--engine", "strict", "--out",
+                                        str(s_out)]))
+    s = s_out.read_text().splitlines()
+    r = r_out.read_text().splitlines()
+    assert len(s) == len(r) > 1000
+    for a, b in zip(s[1:], r[1:]):
+        fa, fb = a.split("\t"), b.split("\t")
+        assert fa[:3] == fb[:3]
+        hap = [float(v) for v in fa[10:14]]
+        m0, m1 = 1 - (hap[0] + hap[1]), 1 - (hap[0] + hap[2])
+        den = min(abs(m0 * m1), abs((1 - m0) * (1 - m1)),
+                  abs(m0 * (1 - m1)), abs((1 - m0) * m1))
+        fragile = den < 1e-3
+        for c in range(3, len(fa)):
+            if fragile and c in (5, 6, 16):
+                continue
+            x, y = float(fa[c]), float(fb[c])
+            if c == 18:
+                assert abs(x - y) <= 2, (a, b)
+                continue
+            if not (np.isfinite(x) and np.isfinite(y)):
+                assert x == y or (np.isnan(x) and np.isnan(y)), (c, a, b)
+                continue
+            assert abs(x - y) <= 2e-3, (c, a, b)
