@@ -84,6 +84,9 @@ class Params:
             raise ConfigError("can only call genotypes from likelihoods/probabilities!")
         if self.rnd_sample <= 0 or self.rnd_sample > 1:
             raise ConfigError("proportion of comparisons to sample must be in ]0,1]!")
+        if self.n_threads < 1:
+            # parse_args.cpp:182-183 (same relative order: after rnd_sample)
+            raise ConfigError("number of threads cannot be less than 1!")
         if self.ring:
             if self.engine == "strict":
                 raise ConfigError("--ring requires the jax engine")

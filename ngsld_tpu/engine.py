@@ -750,7 +750,15 @@ class _RingSpill:
 
     def save_step(self, si: int, t: int, blocks: dict) -> None:
         """blocks: {resident block index -> {col: ndarray} or None}.
-        Tiles write atomically; the .done marker commits the step last."""
+        Tiles write atomically; the .done marker commits the step last.
+
+        Any tile files already present for this (si, t) are stale — left
+        by a crashed, uncommitted attempt (or a multi-host recompute below
+        the collective resume point) — and are removed first, so the merge
+        glob never mixes them in even if a recompute diverges."""
+        import glob as _g
+        for stale in _g.glob(self._stem(si, t) + "_b*.npy"):
+            os.unlink(stale)
         for i, cols in blocks.items():
             if cols is None:
                 continue
@@ -850,7 +858,12 @@ def run_jax(pars: Params, out_fh=None) -> None:
     # checkpoint is resumed on — the resolved value joins the fingerprint
     n_avail = len(jax.devices())
     if not pars.shard:
-        pars.shard = n_avail
+        # --shard 0 = "all devices" — the devices LEFT OVER after the
+        # individual axis takes its share, so --shard 0 --shard_ind M works
+        pars.shard = n_avail // max(1, getattr(pars, "shard_ind", 1))
+        if not pars.shard:
+            raise strict.StrictError(
+                "shard", f"--shard_ind {pars.shard_ind} > {n_avail} devices")
     if pars.shard * max(1, getattr(pars, "shard_ind", 1)) > n_avail:
         raise strict.StrictError(
             "shard", f"--shard {pars.shard} x --shard_ind "
@@ -872,9 +885,10 @@ def run_jax(pars: Params, out_fh=None) -> None:
                 # multi-host ring: every process runs this program and owns
                 # its resident blocks' rows; a shared path would have the
                 # hosts truncate/interleave each other. Each host writes its
-                # own shard (concatenate shards in part order to merge).
+                # own shard (merge with `ngsld-merge OUT` afterwards).
                 path = f"{pars.out}.part{jax.process_index():05d}"
-                log.log(1, f"==> multi-host ring: this process writes {path}")
+                log.log(1, f"==> multi-host ring: this process writes {path}"
+                           f" (merge: ngsld-merge {pars.out})")
             out_fh = open(path, "wb")
             close = True
         else:
@@ -1106,8 +1120,11 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
             spill_dir = tmp_spill.name
         spill = _RingSpill(
             spill_dir, pars,
+            # strip= pins WHICH stepper produced the spilled tiles: the
+            # strip kernel's f32 values differ in the last ulps from the
+            # XLA stepper's, so a resume must not mix them silently
             dict(mode="ring", n_dev=n_dev, n_sub=n_sub, block=B,
-                 n_proc=jax.process_count()),
+                 n_proc=jax.process_count(), strip=bool(use_strip)),
             jax.process_index(), persistent)
         rck = spill if persistent else None
 

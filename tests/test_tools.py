@@ -352,3 +352,67 @@ def test_fit_decay_recovers_known_decay(tmp_path):
                    rng=np.random.default_rng(1))
     assert par is not None
     assert abs(par[0] - rho_true) / rho_true < 0.08, par
+
+
+# ---------------------------------------------------------------- merge ----
+
+def test_merge_discovers_and_concatenates(tmp_path):
+    """ngsld-merge STEM finds STEM.part*, keeps one header, preserves part
+    order (the pod workflow closer; /root/reference/ngsLD.cpp:72-77 shape)."""
+    from ngsld_tpu.tools.merge import main as merge_main
+
+    hdr = "site1\tsite2\tdist\tr2_ExpG\tD\tDp\tr2\n"
+    (tmp_path / "o.ld.part00000").write_text(hdr + "a\tb\t1\t0\t0\t0\t0\n")
+    (tmp_path / "o.ld.part00001").write_text("c\td\t2\t0\t0\t0\t0\n")
+    (tmp_path / "o.ld.part00002").write_text("e\tf\t3\t0\t0\t0\t0\n")
+    stem = str(tmp_path / "o.ld")
+    assert merge_main([stem]) == 0
+    got = (tmp_path / "o.ld").read_text()
+    assert got == (hdr + "a\tb\t1\t0\t0\t0\t0\n" + "c\td\t2\t0\t0\t0\t0\n"
+                   + "e\tf\t3\t0\t0\t0\t0\n")
+
+
+def test_merge_drops_duplicate_headers_and_deletes(tmp_path):
+    from ngsld_tpu.tools.merge import main as merge_main
+
+    hdr = "site1\tsite2\tdist\tr2_ExpG\tD\tDp\tr2\n"
+    p0 = tmp_path / "x.part00000"
+    p1 = tmp_path / "x.part00001"
+    p0.write_text(hdr + "a\tb\t1\t0\t0\t0\t0\n")
+    p1.write_text(hdr + "c\td\t2\t0\t0\t0\t0\n")   # re-merge scenario
+    out = tmp_path / "merged.ld"
+    assert merge_main(["--out", str(out), "--delete-parts",
+                       str(p0), str(p1)]) == 0
+    assert out.read_text().count("site1\t") == 1
+    assert "c\td" in out.read_text()
+    assert not p0.exists() and not p1.exists()
+
+
+def test_merge_part_order_numeric(tmp_path):
+    """Part index 10 must come after 9 (numeric, not lexicographic)."""
+    from ngsld_tpu.tools.merge import discover_parts
+
+    for i in (0, 9, 10, 2):
+        (tmp_path / f"y.part{i:05d}").write_text("")
+    # a 5-digit-padded glob hit plus an unpadded straggler
+    (tmp_path / "y.part7").write_text("")
+    parts = discover_parts(str(tmp_path / "y"))
+    idx = [int(p.rsplit("part", 1)[1]) for p in parts]
+    assert idx == sorted(idx) == [0, 2, 7, 9, 10]
+
+
+def test_merge_missing_inputs_error(tmp_path):
+    from ngsld_tpu.tools.merge import main as merge_main
+
+    assert merge_main([str(tmp_path / "nope")]) == 1
+
+
+def test_n_threads_validation():
+    """parse_args.cpp:182-183 parity: n_threads < 1 is fatal."""
+    import pytest as _pytest
+
+    from ngsld_tpu.config import ConfigError, Params
+
+    with _pytest.raises(ConfigError, match="number of threads cannot be less than 1!"):
+        Params(in_geno="x", n_ind=1, n_sites=1, max_kb_dist=0,
+               n_threads=0).finalize()
