@@ -1,0 +1,476 @@
+"""Site-sharded ring sweep driver (--ring) — see _run_jax_ring."""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+import time
+
+import numpy as np
+
+from . import strict
+from .checkpoint import _RingSpill
+from .loaders import _ring_sharded_tables
+
+
+def _local_blocks(arr, B: int):
+    """{block index -> host ndarray} for this process's ADDRESSABLE shards
+    of a 'sites'-sharded array (multi-host: each host only ever touches the
+    blocks it owns; np.asarray on the global array would raise)."""
+    out = {}
+    for sh in arr.addressable_shards:
+        start = sh.index[0].start or 0
+        out[start // B] = np.asarray(sh.data)
+    return out
+
+
+def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
+                  touch=lambda: None, hold=None):
+    """Site-sharded ring sweep driver (--ring).
+
+    The replicated-table engine (_run_jax_body) assumes the GL/E[G] tables
+    fit on every device; at reference scale they don't (5M sites x 500 ind
+    ~ 30 GB fp32, SURVEY.md §7). Here the preprocessed tables are sharded
+    over a 1-D 'sites' mesh — one contiguous block per device — and
+    partner blocks ride the ring via ppermute (parallel.ring).
+
+    After each ring step, this host pulls ONLY its addressable (resident)
+    blocks' stat tiles, masks them (band, triangle, MAF, real sites) and
+    keeps just the compacted surviving rows, so host memory is O(emitted
+    rows), not O(n_steps * S * B) tiles; device memory is O(table/n_dev +
+    B^2 stats) per device (size the mesh so B = S/n_dev stays ~10^4). Rows
+    are emitted per resident block in (s1, s2) order — on a multi-host pod
+    every host runs the same program (collectives ride ICI/DCN) and writes
+    the shard holding its own blocks' rows.
+
+    With --checkpoint the sweep is resumable at (sub-ring, ring step)
+    granularity (_RingSpill): completed steps' tiles feed the merge from
+    disk and the visiting state fast-forwards via an offset ppermute
+    (the reference has no resume at all, SURVEY.md §5).
+    """
+    import contextlib
+    hold = hold or contextlib.nullcontext
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as PS
+
+    from .io.writer import RowWriter
+    from .parallel.ring import ring_sweep_stepper
+    from .plan.band import band_limits, contig_positions
+
+    n_dev = pars.shard   # resolved once in run_jax
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("sites",))
+
+    tmp_spill = None
+    try:
+        with log.phase("Getting sites coordinates"):
+            if pars.in_pos:
+                pos_dist, labels = strict.read_pos(
+                    pars.in_pos, pars.in_pos_header, pars.n_sites)
+            else:
+                pos_dist = np.full(pars.n_sites, math.inf)
+                labels = ["(null)"] * pars.n_sites
+
+        n = pars.n_sites
+        B = -(-n // n_dev)
+        # sub-block ring: visiting state rotates B_sub-row sub-blocks so the
+        # per-step stat tile is (B, B_sub) — a full (B, B) tile would not
+        # fit device memory at pod scale, and narrow bands waste less
+        # out-of-band compute. 0 = auto (~4k sites per sub-block).
+        n_sub = getattr(pars, "ring_sub", 0) or max(1, -(-B // 4096))
+        n_sub = min(n_sub, B)
+        # Strip-kernel stepper (kernels/pallas_strip): the per-step tile
+        # computes in VMEM with per-anchor early exit + in-kernel band
+        # bounds — the ring's fast path on TPU (f32). NGSLD_FORCE_STRIP=1
+        # forces it elsewhere (interpret mode; f32-grade values) for
+        # tests. Needs B/B_sub aligned to the 128-lane tile quanta.
+        from .kernels.pallas_strip import TA as _TA
+        from .kernels.pallas_strip import vmem_ok as _strip_vmem_ok
+        force_strip = os.environ.get("NGSLD_FORCE_STRIP") == "1"
+        use_strip = _strip_vmem_ok(pars.n_ind) and (
+            force_strip or (jax.default_backend() == "tpu"
+                            and prec == "f32"))
+        if use_strip:
+            B = -(-B // (n_sub * _TA)) * (n_sub * _TA)
+        else:
+            B = -(-B // n_sub) * n_sub   # sub-blocks must divide the block
+        B_sub = B // n_sub
+        Sp = B * n_dev
+        from .ops.preprocess import preprocess
+        np_dt = np.float64 if prec == "f64" else np.float32
+        with log.phase("Reading data from file (site-sharded stream)"):
+            gl_d, raw_gl = _ring_sharded_tables(
+                pars, mesh, n_dev, B, Sp, np_dt, log, touch=touch, hold=hold)
+        with log.phase("Preprocessing (site-sharded) on device"):
+            pre = jax.jit(functools.partial(
+                preprocess, call=pars.call_geno, N_thresh=pars.N_thresh,
+                call_thresh=pars.call_thresh,
+                ignore_miss_data=pars.ignore_miss_data,
+                raw=raw_gl, in_log=pars.in_logscale),
+                # free the log-GL table as the normalized tables build:
+                # device memory is the ring's scarce resource (CPU ignores
+                # donation, so only donate where it works)
+                donate_argnums=(0,) if jax.default_backend() == "tpu"
+                else ())
+            with hold():
+                gn_d, maf_d, eg_d = pre(gl_d)
+                del gl_d
+                if jax.process_count() == 1:
+                    maf = np.array(maf_d, np.float64)[:n]
+                else:
+                    # masks need GLOBAL MAFs (partner blocks live on other
+                    # hosts); allgather the (tiny) vector over DCN
+                    from jax.experimental import multihost_utils
+                    maf = np.array(multihost_utils.process_allgather(
+                        maf_d, tiled=True), np.float64)[:n]
+            touch()
+
+        from .refine import (StrictRefiner, degenerate_tiers,
+                             knife_edge_sites)
+        refiner = None
+
+        def get_refiner():
+            nonlocal refiner
+            if refiner is None:
+                refiner = StrictRefiner(pars)
+            return refiner
+
+        no_refine = os.environ.get("NGSLD_REFINE") == "0"
+
+        # pair-set stability: knife-edge sites take the strict f64 MAF so
+        # the band masks below can never flip vs the reference. The maf
+        # vector is identical on every host (allgathered above) and the
+        # strict recompute is deterministic, so all hosts stay in agreement
+        # (NGSLD_REFINE=0 = round-1 behavior: no repair of any kind).
+        ks = (np.empty(0, np.int64)
+              if os.environ.get("NGSLD_REFINE") == "0"
+              else knife_edge_sites(maf, pars.min_maf, prec))
+        if len(ks):
+            maf[ks] = get_refiner().exact_maf(ks)
+            log.log(2, f"==> strict MAF refinement: {len(ks)} knife-edge "
+                       f"site(s) at min_maf={pars.min_maf}")
+            log.count("maf_refined_sites", len(ks))
+
+        hi = band_limits(pos_dist, pars.max_kb_dist, pars.max_snp_dist)
+        contig, pos = contig_positions(pos_dist)
+        ok = ~(maf < pars.min_maf)            # NaN passes, ngsLD.cpp:264/270
+
+        # --rnd_sample: replicate the reference's draw discipline (one taus
+        # uniform per surviving candidate, in s2 order, from a per-anchor
+        # child stream, ngsLD.cpp:164-166,277) without host-planning the
+        # global pair set: each host materializes only its RESIDENT anchors'
+        # sampled draw-index sets (cost/memory ~ its own emitted rows), and
+        # a pair's draw index is recovered in O(1) as the ok-prefix-sum
+        # rank of the partner within the anchor's band.
+        samp_keys = okc = None
+        if pars.rnd_sample < 1.0:
+            from .gsl_rng import iter_uniform_chunks
+            from .plan.band import child_seeds
+            seeds = child_seeds(pars.seed, n)
+            okc = np.cumsum(ok.astype(np.int64))  # okc[j] = #ok in [0, j]
+            my_blocks = sorted(k for k, d in enumerate(jax.devices()[:n_dev])
+                               if d.process_index == jax.process_index())
+            # sampled pairs as a SORTED array of keys anchor*n + draw_index
+            # (ascending anchors x ascending draw indices => concatenation
+            # is already sorted; membership below is one searchsorted)
+            parts = []
+            with log.phase("Sampling plan (taus draws, resident anchors)"):
+                for k in my_blocks:
+                    lo_s, hi_s = k * B, min(k * B + B, n)
+                    if lo_s >= n:
+                        continue
+                    anchors = np.arange(lo_s, hi_s)[ok[lo_s:hi_s]]
+                    if not len(anchors):
+                        continue
+                    # kept-candidate count per anchor (ok partners in band)
+                    m = (okc[np.maximum(hi[anchors] - 1, anchors)]
+                         - okc[anchors])
+                    for a0, a1, u in iter_uniform_chunks(seeds[anchors], m):
+                        for r in range(a0, a1):
+                            c_hit = np.flatnonzero(
+                                u[r - a0, :m[r]] <= pars.rnd_sample)
+                            if len(c_hit):
+                                parts.append(anchors[r] * np.int64(n) + c_hit)
+            samp_keys = (np.concatenate(parts) if parts
+                         else np.empty(0, np.int64))
+        # max forward reach of any device's anchors past its block start:
+        # sub-ring (si) needs ring steps t while t*B + si*B_sub < maxspan
+        starts = np.arange(n_dev) * B
+        maxspan = int(max(
+            (hi[s:min(s + B, n)].max(initial=0) - s) for s in starts
+            if s < n))
+        log.log(2, f"==> ring: {n_dev} blocks of {B} sites, {n_sub} "
+                   f"sub-blocks of {B_sub}")
+
+        import tempfile
+        persistent = bool(getattr(pars, "checkpoint", None))
+        if persistent:
+            spill_dir = pars.checkpoint
+        else:
+            tmp_spill = tempfile.TemporaryDirectory(prefix="ngsld_ring_")
+            spill_dir = tmp_spill.name
+        spill = _RingSpill(
+            spill_dir, pars,
+            # strip= pins WHICH stepper produced the spilled tiles: the
+            # strip kernel's f32 values differ in the last ulps from the
+            # XLA stepper's, so a resume must not mix them silently
+            dict(mode="ring", n_dev=n_dev, n_sub=n_sub, block=B,
+                 n_proc=jax.process_count(), strip=bool(use_strip)),
+            jax.process_index(), persistent)
+        rck = spill if persistent else None
+
+        if use_strip:
+            from .kernels.pallas_strip import strip_tables
+            from .parallel.ring import (ring_subblock_taker_strip,
+                                        ring_sweep_stepper_strip)
+            with log.phase("Building strip tables (sharded)"), hold():
+                ga_d, gb_d, ea_d, eb_d = jax.jit(functools.partial(
+                    strip_tables, n_ind=pars.n_ind))(gn_d, eg_d)
+                del gn_d, eg_d   # the strip layouts replace them
+                shd1 = NamedSharding(mesh, PS("sites"))
+                hip = np.zeros(Sp, np.int32)
+                hip[:n] = hi
+                okp = np.zeros(Sp, np.float32)
+                okp[:n] = ok
+                hi_d = jax.device_put(hip, shd1)
+                ok_d = jax.device_put(okp, shd1)
+            touch()
+            stepper = ring_sweep_stepper_strip(
+                mesh, pars.n_ind, B, B_sub, pars.ignore_miss_data,
+                pars.extend_out,
+                interpret=jax.default_backend() != "tpu")
+            log.log(2, f"==> ring: strip-kernel stepper "
+                       f"({B // 128}x{B_sub // 128} tiles/step/device)")
+        else:
+            # row_chunk bounds the XLA stepper's peak memory to 256
+            # anchor strips of EM intermediates while still vmapping
+            # (scan-per-anchor would be ~256x more dispatches)
+            stepper = ring_sweep_stepper(mesh, pars.ignore_miss_data,
+                                         pars.extend_out, row_chunk=256)
+        writer = RowWriter(out_fh, labels, pars.extend_out)
+        if jax.process_index() == 0:
+            # multi-host shards concatenate in part order; only the first
+            # shard carries the header
+            writer.write_header()
+
+        def compact_tile(i, si, t, tiles):
+            """Mask one resident block's (B, B_sub) step tile down to its
+            surviving rows (triangle, real sites, MAF, band)."""
+            A = (i * B + np.arange(B, dtype=np.int64))[:, None]    # (B, 1)
+            PJ = (((i + t) % n_dev) * B + si * B_sub
+                  + np.arange(B_sub, dtype=np.int64))[None, :]     # (1, Bs)
+            valid = (PJ > A) & (PJ < n) & (A < n)
+            valid &= ok[np.minimum(A, n - 1)] & ok[np.minimum(PJ, n - 1)]
+            valid &= PJ < hi[np.minimum(A, n - 1)]   # band: s2 < hi[s1]
+            if samp_keys is not None and valid.any():
+                # draw index of (a, pj) = #ok candidates strictly before pj;
+                # one vectorized searchsorted over all valid cells
+                c = (okc[np.maximum(np.minimum(PJ, n) - 1, 0)]
+                     - okc[np.minimum(A, n - 1)])
+                q = (np.minimum(A, n - 1) * np.int64(n) + c)[valid]
+                pos_in = np.searchsorted(samp_keys, q)
+                hit = pos_in < len(samp_keys)
+                hit[hit] = samp_keys[pos_in[hit]] == q[hit]
+                sampled = np.zeros_like(valid)
+                sampled[valid] = hit
+                valid = sampled
+            if not valid.any():
+                return None
+            out = {k: tiles[k][i][valid] for k in tiles}
+            out["a"] = np.broadcast_to(A, valid.shape)[valid]
+            out["pj"] = np.broadcast_to(PJ, valid.shape)[valid]
+            return out
+
+        from .parallel.ring import ring_subblock_taker
+        from .utils.signals import GracefulStop
+        interrupted = False
+        with log.phase("compute: ring sweep"), GracefulStop(log) as gs:
+            for si in range(n_sub):
+                if interrupted:
+                    break
+                # steps needed by THIS sub-ring: partners at ring step t
+                # start t*B + si*B_sub past the anchor block's start
+                t_max = min(n_dev,
+                            -(-(maxspan - si * B_sub) // B) if B else 0)
+                if t_max <= 0:
+                    continue
+                t0 = 0
+                if rck is not None:
+                    # resume: steps commit in order, so the first missing
+                    # one is where the interrupted sweep stopped. On a
+                    # multi-host pod the hosts may have died at different
+                    # points; every host must run the SAME collective
+                    # sequence, so they agree on the minimum resume step
+                    # (hosts that committed further simply recompute and
+                    # overwrite — loads stay below the agreed point so no
+                    # rows double-append).
+                    while t0 < t_max and rck.done(si, t0):
+                        t0 += 1
+                    if jax.process_count() > 1:
+                        from jax.experimental import multihost_utils
+                        t0 = int(multihost_utils.process_allgather(
+                            np.array([t0])).min())
+                    # resumed steps' tiles are already in the spill; the
+                    # merge phase reads them straight from disk
+                    for t in range(t0):
+                        log.count("ring_steps_resumed")
+                    if t0:
+                        log.log(2, f"==> ring ckpt: sub-ring {si} resumes "
+                                   f"at step {t0}/{t_max}")
+                if t0 >= t_max:
+                    continue
+                with hold():
+                    if use_strip:
+                        vis = ring_subblock_taker_strip(
+                            mesh, n_sub, si, offset=t0)(
+                                gb_d, eb_d, maf_d, ok_d)
+                    else:
+                        vis = ring_subblock_taker(
+                            mesh, n_sub, si, offset=t0)(gn_d, eg_d, maf_d)
+                for t in range(t0, t_max):
+                    stop = gs.stopped
+                    if jax.process_count() > 1:
+                        # SPMD: every host must break at the SAME step or
+                        # the survivors hang in the next collective — make
+                        # the stop decision collective (any host stops all)
+                        from jax.experimental import multihost_utils
+                        stop = bool(multihost_utils.process_allgather(
+                            np.array([stop])).any())
+                    if stop:
+                        # the last completed step is committed; a rerun
+                        # with the same --checkpoint resumes right here
+                        interrupted = True
+                        break
+                    with hold():
+                        if use_strip:
+                            stats, *vis = stepper(
+                                ga_d, ea_d, hi_d, ok_d, maf_d, *vis,
+                                jnp.int32(t), jnp.int32(si))
+                            vis = tuple(vis)
+                        else:
+                            stats, *vis = stepper(gn_d, eg_d, maf_d, *vis)
+                            vis = tuple(vis)
+                        tiles = {k: _local_blocks(v, B) for k, v in
+                                 stats.items()}
+                    touch()
+                    step_rows = {}
+                    for i in sorted(next(iter(tiles.values())).keys()):
+                        step_rows[i] = compact_tile(i, si, t, tiles)
+                    spill.save_step(si, t, step_rows)
+                    del step_rows, tiles
+                    log.count("ring_steps")
+
+        if interrupted:
+            hint = (f"resume with the same --checkpoint {rck.dir}"
+                    if rck is not None else
+                    "rerun with --checkpoint DIR to make ring runs resumable")
+            log.log(0, f"==> Interrupted mid ring sweep; completed steps "
+                       f"are committed. {hint}")
+            raise SystemExit(130)
+
+        # Emit: bounded-memory merge over the spill. Each tile file is
+        # already (a, pj)-sorted (row-major compaction), so rows for an
+        # anchor RANGE are a contiguous slice of every tile — memmap the
+        # tiles, walk per-tile cursors, and lexsort only one anchor-chunk
+        # of rows at a time. Host memory is O(chunk rows), not O(emitted
+        # rows); byte-identical to a global per-block lexsort because
+        # (a, pj) is unique across a block's tiles.
+        budget = int(os.environ.get("NGSLD_RING_EMIT_ROWS", 2_000_000))
+        my_blocks = sorted(
+            k for k, d in enumerate(jax.devices()[:n_dev])
+            if d.process_index == jax.process_index())
+        with log.phase("emit: merge + format"):
+            for i in my_blocks:
+                mms = [np.load(p, mmap_mode="r")
+                       for p in spill.block_tiles(i)]
+                total = sum(len(x) for x in mms)
+                if total == 0:
+                    continue
+                if not pars.in_bin and not no_refine:
+                    # gz-text inputs: prime the refiner's row caches for
+                    # ALL of this block's fragile sites in ONE streaming
+                    # parse — per-chunk priming would re-decompress the
+                    # file once per merge chunk (O(chunks x file))
+                    t1s, t2s = set(), set()
+                    for x in mms:
+                        tt = degenerate_tiers(np.asarray(x["f"]), prec)
+                        for which, bag in ((tt == 1, t1s), (tt == 2, t2s)):
+                            if which.any():
+                                bag.update(np.asarray(x["a"])[which])
+                                bag.update(np.asarray(x["pj"])[which])
+                    if t1s:
+                        get_refiner()._ensure(np.fromiter(t1s, np.int64))
+                    if t2s:
+                        get_refiner()._ensure_rows_fast(
+                            np.fromiter(t2s, np.int64))
+                a_lo, a_hi = i * B, min(i * B + B, n)
+                step = max(1, int(budget // max(1, total // max(1, B))))
+                cursors = [0] * len(mms)
+                a0 = a_lo
+                while a0 < a_hi:
+                    a1 = min(a0 + step, a_hi)
+                    parts = []
+                    for j, x in enumerate(mms):
+                        e = int(np.searchsorted(x["a"], a1, side="left"))
+                        if e > cursors[j]:
+                            parts.append(np.asarray(x[cursors[j]:e]))
+                            cursors[j] = e
+                    a0 = a1
+                    if not parts:
+                        continue
+                    cat = np.concatenate(parts)
+                    cat = cat[np.lexsort((cat["pj"], cat["a"]))]
+                    af, pf = cat["a"], cat["pj"]
+                    dist = np.where(contig[af] == contig[pf],
+                                    pos[pf] - pos[af], np.inf)
+                    cols = dict(
+                        r2p=cat["r2p"], D=cat["D"], Dp=cat["Dp"],
+                        r2=cat["r2"], f=cat["f"], hmaf1=cat["hmaf1"],
+                        hmaf2=cat["hmaf2"],
+                        chi2=cat["chi2"].astype(np.float32),
+                        n_iter=cat["n_iter"].astype(np.int32),
+                        n_used=cat["n_used"].astype(np.int32),
+                        maf1=maf[af], maf2=maf[pf])
+                    tiers = (np.zeros(len(cat), np.uint8) if no_refine
+                             else degenerate_tiers(
+                                 cat["f"], prec,
+                                 extra_nonfinite=(cat["Dp"], cat["r2"])))
+                    t1, t2 = tiers == 1, tiers == 2
+                    if tiers.any():
+                        # tier 1: bit-exact strict recompute; tier 2: fast
+                        # f64 polish of the f-derived columns (refine.py);
+                        # widen the chunk to f64 so one formatter call
+                        # emits all populations
+                        log.count("pairs_refined", int(t1.sum()))
+                        log.count("pairs_polished", int(t2.sum()))
+                        for k in ("r2p", "D", "Dp", "r2", "f",
+                                  "hmaf1", "hmaf2"):
+                            cols[k] = np.array(cols[k], np.float64)
+                        cols["maf1"] = cols["maf1"].copy()
+                        cols["maf2"] = cols["maf2"].copy()
+                        if t2.any():
+                            pol = get_refiner().polish_columns(
+                                af[t2], pf[t2], cols["f"][t2])
+                            for k in pol:
+                                cols[k][t2] = pol[k]
+                        if t1.any():
+                            ref = get_refiner().refine_columns(af[t1],
+                                                               pf[t1])
+                            for k in cols:
+                                cols[k][t1] = ref[k]
+                    writer.write_block(
+                        af, pf, dist, cols["r2p"], cols["D"], cols["Dp"],
+                        cols["r2"], n_used=cols["n_used"],
+                        maf1=cols["maf1"], maf2=cols["maf2"],
+                        hap=cols["f"], hmaf1=cols["hmaf1"],
+                        hmaf2=cols["hmaf2"], chi2=cols["chi2"],
+                        n_iter=cols["n_iter"])
+                    log.count("pairs_emitted", len(af))
+        log.summary()
+    finally:
+        if tmp_spill is not None:
+            tmp_spill.cleanup()
+        if profile_dir:
+            jax.profiler.stop_trace()

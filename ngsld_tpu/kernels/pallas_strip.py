@@ -261,3 +261,39 @@ def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
         interpret=interpret,
     )(ta, tb, ga, gb, ea, eb, mafa, mafb, loa, hia, oka, okb)
     return f, r2p, nit, nu
+
+
+@functools.partial(jax.jit, static_argnames=("n_ind", "iter_cap",
+                                             "ignore_miss", "interpret",
+                                             "use_i16"))
+def strip_em_compact(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b,
+                     ta, tb, sel, *, n_ind: int,
+                     iter_cap: int = ITER_MAX, ignore_miss: bool = False,
+                     interpret: bool = False, use_i16: bool = True):
+    """strip_em + ON-DEVICE row compaction.
+
+    `sel` (C,) int32 holds flat indices into the (n_tiles, TA, TB) cell
+    space, in the caller's emission order (plan.strips.strip_sel_group),
+    padded to a fixed capacity C with repeats of index 0. Only the
+    gathered survivor rows ever leave the device:
+
+        fm (C, 5) f32  = [r2p, f00, f01, f10, f11]
+        im (C, 2) i16  = [n_iter, n_used]   (i32 when n_ind > 32767)
+
+    so host-link bytes scale with LIVE pairs (24 B/pair), not rectangle
+    area — the difference between the strip sweep winning and losing
+    end-to-end on slow links (PERF.md round-2 measurement: full-tile
+    pulls inflated bytes by ~1/utilization). Callers slice [:n_live]
+    before pulling."""
+    f, r2p, nit, nu = strip_em(
+        ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
+        n_ind=n_ind, iter_cap=iter_cap, ignore_miss=ignore_miss,
+        interpret=interpret)
+    n = ta.shape[0]
+    ff = f.transpose(0, 2, 3, 1).reshape(n * TA * TB, 4)
+    fm = jnp.concatenate([jnp.take(r2p.reshape(-1), sel)[:, None],
+                          jnp.take(ff, sel, axis=0)], axis=1)
+    idt = jnp.int16 if use_i16 else jnp.int32
+    im = jnp.stack([jnp.take(nit.reshape(-1), sel).astype(idt),
+                    jnp.take(nu.reshape(-1), sel).astype(idt)], axis=1)
+    return fm, im

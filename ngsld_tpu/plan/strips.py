@@ -47,3 +47,4 @@ def strip_plan(hi: np.ndarray, ok: np.ndarray, n_sites: int):
                .sum())
     cells = max(1, len(ta) * TA * TB)
     return ta, tb, np.asarray(groups, np.int64), live / cells
+

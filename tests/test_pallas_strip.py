@@ -224,3 +224,142 @@ def test_block_engine_strip_sweep_matches_strict(tmp_path, monkeypatch):
                 assert x == y or (np.isnan(x) and np.isnan(y)), (c, a, b)
                 continue
             assert abs(x - y) <= 2e-3, (c, a, b)
+
+
+def _cmp_vs_strict(s_lines, r_lines, min_rows):
+    """Shared column comparison: pair set byte-exact, values f32-grade,
+    fragile band excluded (same contract as the tests above)."""
+    assert len(s_lines) == len(r_lines) > min_rows
+    for a, b in zip(s_lines[1:], r_lines[1:]):
+        fa, fb = a.split("\t"), b.split("\t")
+        assert fa[:3] == fb[:3]
+        hap = [float(v) for v in fa[10:14]]
+        m0, m1 = 1 - (hap[0] + hap[1]), 1 - (hap[0] + hap[2])
+        den = min(abs(m0 * m1), abs((1 - m0) * (1 - m1)),
+                  abs(m0 * (1 - m1)), abs((1 - m0) * m1))
+        fragile = den < 1e-3
+        for c in range(3, len(fa)):
+            if fragile and c in (5, 6, 16):
+                continue
+            x, y = float(fa[c]), float(fb[c])
+            if c == 18:
+                assert abs(x - y) <= 2, (a, b)
+                continue
+            if not (np.isfinite(x) and np.isfinite(y)):
+                assert x == y or (np.isnan(x) and np.isnan(y)), (c, a, b)
+                continue
+            assert abs(x - y) <= 2e-3, (c, a, b)
+
+
+def test_block_strip_rnd_sample_matches_strict(tmp_path, monkeypatch):
+    """Strip sweep + --rnd_sample: the sampled pair SET must be byte-
+    identical to the strict oracle's (same taus draw discipline — the
+    sel mask derives from the shared iter_pair_blocks plan), values to
+    f32 grade."""
+    from ngsld_tpu import strict
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    monkeypatch.setenv("NGSLD_BLOCK_STRIP", "1")
+    files = write_all(simulate(n_ind=8, n_sites=1024, seed=51,
+                               contig_kb=50.0), str(tmp_path / "fx"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "8",
+            "--n_sites", "1024", "--pos", files["pos"], "--max_kb_dist",
+            "4", "--min_maf", "0.05", "--rnd_sample", "0.5", "--seed",
+            "12345", "--extend_out", "--verbose", "0"]
+    r_out, s_out = tmp_path / "r.ld", tmp_path / "s.ld"
+    run_jax(params_from_args(argv + ["--precision", "f32",
+                                     "--out", str(r_out)]))
+    strict.run(params_from_args(argv + ["--engine", "strict", "--out",
+                                        str(s_out)]))
+    _cmp_vs_strict(s_out.read_text().splitlines(),
+                   r_out.read_text().splitlines(), 500)
+
+
+def test_block_strip_checkpoint_roundtrip(tmp_path, monkeypatch):
+    """Strip sweep + --checkpoint: a checkpointed run produces byte-
+    identical output to a straight strip run; an immediate rerun resumes
+    every chunk from the shards and still matches; and the fingerprint
+    rejects a gather-mode resume of a strip checkpoint."""
+    from ngsld_tpu import strict as strict_mod
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    monkeypatch.setenv("NGSLD_BLOCK_STRIP", "1")
+    files = write_all(simulate(n_ind=8, n_sites=768, seed=52,
+                               contig_kb=50.0), str(tmp_path / "fx"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "8",
+            "--n_sites", "768", "--pos", files["pos"], "--max_kb_dist",
+            "4", "--extend_out", "--precision", "f32", "--verbose", "0"]
+    straight = tmp_path / "straight.ld"
+    run_jax(params_from_args(argv + ["--out", str(straight)]))
+
+    ckpt = str(tmp_path / "ckpt")
+    out1 = tmp_path / "ck.ld"
+    run_jax(params_from_args(argv + ["--checkpoint", ckpt,
+                                     "--out", str(out1)]))
+    assert out1.read_bytes() == straight.read_bytes()
+    import os as _os
+    assert any(p.endswith(".tsv") for p in _os.listdir(ckpt))
+
+    out2 = tmp_path / "resumed.ld"
+    run_jax(params_from_args(argv + ["--checkpoint", ckpt,
+                                     "--out", str(out2)]))
+    assert out2.read_bytes() == straight.read_bytes()
+
+    # gather-mode resume of a strip checkpoint must be refused
+    monkeypatch.setenv("NGSLD_BLOCK_STRIP", "0")
+    with pytest.raises(strict_mod.StrictError, match="different run"):
+        run_jax(params_from_args(argv + ["--checkpoint", ckpt,
+                                         "--out", str(tmp_path / "x.ld")]))
+
+
+def test_block_strip_sigint_then_resume(tmp_path, monkeypatch):
+    """SIGINT mid strip sweep: exit 130 with committed chunk shards; a
+    rerun with the same --checkpoint resumes and matches the straight
+    run byte-for-byte."""
+    import os as _os
+    import signal as _signal
+
+    import ngsld_tpu.engine_block as engine_block_mod
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    monkeypatch.setenv("NGSLD_BLOCK_STRIP", "1")
+    # force several small dispatch chunks so the SIGINT lands mid-sweep
+    monkeypatch.setenv("NGSLD_STRIP_CTARGET", "1500")
+    files = write_all(simulate(n_ind=8, n_sites=768, seed=53,
+                               contig_kb=50.0), str(tmp_path / "fx"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "8",
+            "--n_sites", "768", "--pos", files["pos"], "--max_kb_dist",
+            "4", "--extend_out", "--precision", "f32", "--verbose", "0"]
+    straight = tmp_path / "straight.ld"
+    run_jax(params_from_args(argv + ["--out", str(straight)]))
+
+    real_prefetch = engine_block_mod._prefetch_blocks
+
+    def prefetch_with_sigint(gen, depth=4):
+        for i, blk in enumerate(real_prefetch(gen, depth)):
+            if i == 2:
+                _os.kill(_os.getpid(), _signal.SIGINT)
+            yield blk
+
+    monkeypatch.setattr(engine_block_mod, "_prefetch_blocks",
+                        prefetch_with_sigint)
+    ckpt = str(tmp_path / "ckpt")
+    out1 = tmp_path / "interrupted.ld"
+    with pytest.raises(SystemExit) as ei:
+        run_jax(params_from_args(argv + ["--checkpoint", ckpt,
+                                         "--out", str(out1)]))
+    assert ei.value.code == 130
+    assert any(p.endswith(".tsv") for p in _os.listdir(ckpt))
+    monkeypatch.setattr(engine_block_mod, "_prefetch_blocks",
+                        real_prefetch)
+
+    out2 = tmp_path / "resumed.ld"
+    run_jax(params_from_args(argv + ["--checkpoint", ckpt,
+                                     "--out", str(out2)]))
+    assert out2.read_bytes() == straight.read_bytes()

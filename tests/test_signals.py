@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 import ngsld_tpu.engine as engine_mod
+import ngsld_tpu.engine_block as engine_block_mod
 from ngsld_tpu.cli import params_from_args
 from ngsld_tpu.engine import run_jax
 from ngsld_tpu.utils.simulate import simulate, write_all
@@ -35,7 +36,7 @@ def test_sigint_then_resume(tmp_path, monkeypatch):
     # finish in-flight work, commit shards, and exit 130. The injection
     # wraps the consumer-side prefetch generator: the plan producer runs
     # in its own thread and races ahead of the sweep.
-    real_prefetch = engine_mod._prefetch_blocks
+    real_prefetch = engine_block_mod._prefetch_blocks
 
     def prefetch_with_sigint(gen, depth=4):
         for i, blk in enumerate(real_prefetch(gen, depth)):
@@ -43,14 +44,16 @@ def test_sigint_then_resume(tmp_path, monkeypatch):
                 os.kill(os.getpid(), signal.SIGINT)
             yield blk
 
-    monkeypatch.setattr(engine_mod, "_prefetch_blocks", prefetch_with_sigint)
+    monkeypatch.setattr(engine_block_mod, "_prefetch_blocks",
+                        prefetch_with_sigint)
     out1 = tmp_path / "interrupted.ld"
     with pytest.raises(SystemExit) as ei:
         run_jax(_pars(files, str(out1), ckpt))
     assert ei.value.code == 130
     parts = [p for p in os.listdir(ckpt) if p.endswith(".tsv")]
     assert len(parts) >= 1          # completed blocks were committed
-    monkeypatch.setattr(engine_mod, "_prefetch_blocks", real_prefetch)
+    monkeypatch.setattr(engine_block_mod, "_prefetch_blocks",
+                        real_prefetch)
 
     # resume with the same checkpoint dir: must complete and match
     out2 = tmp_path / "resumed.ld"
