@@ -5,14 +5,24 @@ reference's hot loop (one (pair, individual, iteration) update of
 pair_freq_iter, gen_func.cpp:1076-1119). Baseline target: 1e9/s
 (BASELINE.md north-star for one TPU chip).
 
-Workload: realistic simulated GLs (depth/error model), 512k pairs x 100
-individuals, Pallas kernel, convergence-exact EM. The `detail` field
-additionally carries the roofline accounting (achieved FLOP/s, fraction
-of the measured fixed-iteration structural ceiling — see PERF.md for the
-measurement series) and an END-TO-END run of BASELINE.json config #3
-(100k sites x 100 ind, banded --max_kb_dist 100 --extend_out, binary GL
-input -> TSV), best-of-2 against the reference's measured 870 s
-(10 threads). Prints ONE JSON line.
+The headline comes from the STRIP-TILE kernel (kernels/pallas_strip) —
+the engine's default dense sweep since round 3: contiguous-slice inputs,
+no gathers/transposes, in-kernel band bounds, on-device row compaction.
+Counted evals are LIVE pairs only ((nIter+1) x n_ind over in-band cells).
+
+`detail` additionally carries:
+  * gather_kernel — the round-1/2 gathered-pair kernel (pair_em_sorted)
+    on the same workload shape, for cross-round comparability
+  * roofline accounting (achieved FLOP/s vs the measured fixed-iteration
+    structural ceiling; PERF.md measurement series)
+  * e2e — END-TO-END CLI runs (subprocess, as a user would run them):
+      - config #3 (100k x 100, banded kb100, --extend_out), best-of-2,
+        vs the reference's measured 870 s (10 threads)
+      - config #4 slice (1M sites, --rnd_sample 0.05 --max_snp_dist 64)
+        — the sparse-plan path (gather engine)
+      - config #5 slice (4k sites, --max_kb_dist 0 all-pairs, one chip)
+      - ring mode (config #3 with --ring) — the site-sharded engine
+Prints ONE JSON line.
 """
 
 import json
@@ -34,20 +44,95 @@ FLOPS_PER_EVAL = 44
 EXEC_CEILING = 2.5e10
 
 
-def kernel_bench():
+def _sim_tables(S, I, seed=0):
+    from ngsld_tpu.utils.simulate import simulate
+    sim = simulate(n_ind=I, n_sites=S, seed=seed)
+    gl = (sim.gl / sim.gl.sum(axis=2, keepdims=True)).astype(np.float32)
+    eg = gl[..., 1] + 2 * gl[..., 2]
+    maf = (eg.mean(axis=1) / 2).astype(np.float32)
+    return gl, eg.astype(np.float32), maf
+
+
+def strip_kernel_bench():
+    """The default dense engine's kernel: one 256-tile chunk (~4M live
+    pairs) through strip_em_compact, counted-evals scalar pulled per rep."""
+    import jax
+    import jax.numpy as jnp
+    from ngsld_tpu.kernels.pallas_strip import (TA, TB, strip_em_compact,
+                                                strip_tables)
+
+    if jax.default_backend() != "tpu":
+        return None
+    S, I, W = 8192, 100, 4096           # band = 32 partner tiles/anchor
+    gl, eg, maf = _sim_tables(S, I)
+    ga, gb, ea, eb = jax.jit(
+        lambda g, e: strip_tables(g, e, I))(jnp.asarray(gl),
+                                            jnp.asarray(eg))
+    hi = np.minimum(np.arange(S) + W, S).astype(np.int32)
+    lo = np.arange(S, dtype=np.int32) + 1
+    ok = np.ones(S, np.float32)
+
+    # one dispatch = the first 256 (k, j) tiles in group order + its sel
+    tiles = [(k, j) for k in range(S // TA)
+             for j in range(k, min(S // TB, (k * TA + W) // TB + 1))][:256]
+    ta = np.array([t[0] for t in tiles], np.int32)
+    tb = np.array([t[1] for t in tiles], np.int32)
+    sels, evals_cells = [], 0
+    for slot, (k, j) in enumerate(tiles):
+        A = (k * TA + np.arange(TA))[:, None]
+        PJ = (j * TB + np.arange(TB))[None, :]
+        valid = (PJ > A) & (PJ < hi[np.minimum(A, S - 1)]) & (PJ < S)
+        a_loc, b_loc = np.nonzero(valid)
+        sels.append(((slot * TA + a_loc) * TB + b_loc).astype(np.int32))
+    sel = np.concatenate(sels)
+    P = len(sel)
+    Cq = 1 << int(np.ceil(np.log2(max(P, 1))))
+    sel_pad = np.zeros(Cq, np.int32)
+    sel_pad[:P] = sel
+
+    @jax.jit
+    def fn(sel_d):
+        fm, im = strip_em_compact(
+            ga, gb, ea, eb, jnp.asarray(maf), jnp.asarray(maf),
+            jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(ok),
+            jnp.asarray(ok), jnp.asarray(ta), jnp.asarray(tb), sel_d,
+            n_ind=I)
+        # counted LIVE evals: sum (nIter+1) over selected (in-band) pairs
+        return jnp.sum(im[:P, 0].astype(jnp.int64) + 1), fm, im
+
+    sel_d = jnp.asarray(sel_pad)
+    total, _, _ = fn(sel_d)
+    total = int(total)                  # warmup + sync
+    reps, dt = 5, float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(sel_d)
+        total = int(out[0])             # scalar pull = sync
+        dt = min(dt, time.perf_counter() - t0)
+    evals_per_sec = total * I / dt
+    return {
+        "evals_per_sec": evals_per_sec,
+        "pairs_per_sec": P / dt,
+        "n_pairs": P, "n_ind": I, "n_tiles": len(tiles),
+        "mean_iters": total / P,
+        "kernel": "pallas-strip-compact",
+        "ms_per_chunk": dt * 1e3,
+        "achieved_tflops": evals_per_sec * FLOPS_PER_EVAL / 1e12,
+        "exec_ceiling_evals_per_sec": EXEC_CEILING,
+        "frac_of_exec_ceiling": evals_per_sec / EXEC_CEILING,
+    }
+
+
+def gather_kernel_bench():
     import jax
     import jax.numpy as jnp
     from ngsld_tpu.kernels.pallas_em import pair_em_sorted
     from ngsld_tpu.ops.em import pair_em
-    from ngsld_tpu.utils.simulate import simulate
 
     P, I = 1 << 19, 100
-    sim = simulate(n_ind=I, n_sites=60000, seed=0)
-    gl = (sim.gl / sim.gl.sum(axis=2, keepdims=True)).astype(np.float32)
+    gl, _, maf = _sim_tables(60000, I)
     rng = np.random.default_rng(1)
     i1, i2 = rng.integers(0, len(gl), P), rng.integers(0, len(gl), P)
-    eg = gl[..., 1] + 2 * gl[..., 2]
-    maf = (eg.mean(axis=1) / 2).astype(np.float32)
     args = (jnp.asarray(gl[i1]), jnp.asarray(gl[i2]),
             jnp.asarray(maf[i1]), jnp.asarray(maf[i2]))
 
@@ -93,12 +178,7 @@ def kernel_bench():
     }
 
 
-def e2e_bench():
-    """BASELINE.json config #3 end-to-end through the CLI (subprocess, as
-    a user would run it): 100k x 100, --max_kb_dist 100 --extend_out."""
-    import jax
-    if jax.default_backend() != "tpu":
-        return {"skipped": "no TPU"}
+def _fixture_100k():
     fixdir = "/tmp/ngsld_bench_fix_100k"
     glf = os.path.join(fixdir, "sim.glf")
     pos = os.path.join(fixdir, "sim.pos")
@@ -109,42 +189,151 @@ def e2e_bench():
         sim = simulate(n_ind=100, n_sites=100_000, seed=17, contig_kb=500.0)
         write_glf_bin(sim, glf)
         write_pos(sim, pos)
+    return glf, pos
+
+
+def _run_cli(cmd, out, reps=1):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = subprocess.run(cmd, capture_output=True)
+        dt = time.perf_counter() - t0
+        if r.returncode != 0:
+            return None, {"error": r.stderr.decode()[-300:]}
+        best = min(best, dt)
+    with open(out, "rb") as fh:
+        rows = sum(chunk.count(b"\n")
+                   for chunk in iter(lambda: fh.read(1 << 20), b"")) - 1
+    return best, {"wall_s": best, "rows": rows, "rows_per_sec": rows / best}
+
+
+def e2e_bench():
+    """BASELINE.json config #3 end-to-end through the CLI (subprocess, as
+    a user would run it): 100k x 100, --max_kb_dist 100 --extend_out.
+    Best-of-2: tunnel stall lottery (see PERF.md)."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return {"skipped": "no TPU"}
+    glf, pos = _fixture_100k()
     out = "/tmp/ngsld_bench_e2e.ld"
     cmd = [sys.executable, "-m", "ngsld_tpu.cli", "--geno", glf,
            "--log_scale", "--n_ind", "100", "--n_sites", "100000",
            "--pos", pos, "--max_kb_dist", "100", "--extend_out",
            "--engine", "jax", "--out", out, "--verbose", "0"]
-    best = float("inf")
-    rows = 0
-    for _ in range(2):   # best-of-2: tunnel stall lottery (see PERF.md)
-        t0 = time.perf_counter()
-        r = subprocess.run(cmd, capture_output=True)
-        dt = time.perf_counter() - t0
-        if r.returncode != 0:
-            return {"error": r.stderr.decode()[-300:]}
-        best = min(best, dt)
-    with open(out, "rb") as fh:
-        rows = sum(chunk.count(b"\n")
-                   for chunk in iter(lambda: fh.read(1 << 20), b"")) - 1
-    return {
+    best, res = _run_cli(cmd, out, reps=2)
+    if best is None:
+        return res
+    res.update({
         "config": "100k x 100, --max_kb_dist 100 --extend_out (binary GL)",
-        "wall_s": best,
-        "rows": rows,
-        "pairs_per_sec": rows / best,
+        "engine": "block (strip sweep auto-selected)",
+        "pairs_per_sec": res["rows_per_sec"],
         "ref_seconds_10threads": 870.0,
         "speedup_vs_reference": 870.0 / best,
-    }
+    })
+    return res
+
+
+def e2e_ring_bench():
+    """Config #3 through the RING engine (site-sharded tables + spill
+    emission — degenerate 1-device ring on a single chip, but the full
+    spill/merge path runs)."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return {"skipped": "no TPU"}
+    glf, pos = _fixture_100k()
+    out = "/tmp/ngsld_bench_ring.ld"
+    cmd = [sys.executable, "-m", "ngsld_tpu.cli", "--geno", glf,
+           "--log_scale", "--n_ind", "100", "--n_sites", "100000",
+           "--pos", pos, "--max_kb_dist", "100", "--extend_out",
+           "--engine", "jax", "--ring", "--out", out, "--verbose", "0"]
+    best, res = _run_cli(cmd, out)
+    if best is None:
+        return res
+    res["config"] = "100k x 100 kb100 --ring (1-device ring + spill merge)"
+    return res
+
+
+def e2e_sampled_bench():
+    """BASELINE.json config #4 slice: 1M sites, --rnd_sample 0.05 within a
+    64-SNP band — the SPARSE plan (gather engine by utilization rule)."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return {"skipped": "no TPU"}
+    fixdir = "/tmp/ngsld_bench_fix_1m"
+    glf = os.path.join(fixdir, "sim.glf")
+    pos = os.path.join(fixdir, "sim.pos")
+    if not (os.path.exists(glf) and os.path.exists(pos)):
+        from ngsld_tpu.utils.simulate import simulate, write_glf_bin, \
+            write_pos
+        os.makedirs(fixdir, exist_ok=True)
+        sim = simulate(n_ind=100, n_sites=1_000_000, seed=17)
+        write_glf_bin(sim, glf)
+        write_pos(sim, pos)
+    out = "/tmp/ngsld_bench_1m.ld"
+    cmd = [sys.executable, "-m", "ngsld_tpu.cli", "--geno", glf,
+           "--log_scale", "--n_ind", "100", "--n_sites", "1000000",
+           "--pos", pos, "--max_kb_dist", "0", "--max_snp_dist", "64",
+           "--rnd_sample", "0.05", "--seed", "12345", "--extend_out",
+           "--engine", "jax", "--out", out, "--verbose", "0"]
+    best, res = _run_cli(cmd, out)
+    if best is None:
+        return res
+    res.update({
+        "config": "1M sites, --max_snp_dist 64 --rnd_sample 0.05",
+        "engine": "block (gather path — sparse plan)",
+        "ref_seconds_10threads": 236.5,
+        "speedup_vs_reference": 236.5 / best,
+    })
+    return res
+
+
+def e2e_allpairs_bench():
+    """BASELINE.json config #5 slice sized to one chip: 4k sites,
+    --max_kb_dist 0 (ALL pairs incl. cross-contig, dist printed inf)."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return {"skipped": "no TPU"}
+    fixdir = "/tmp/ngsld_bench_fix_4k"
+    glf = os.path.join(fixdir, "sim.glf")
+    if not os.path.exists(glf):
+        from ngsld_tpu.utils.simulate import simulate, write_glf_bin
+        os.makedirs(fixdir, exist_ok=True)
+        sim = simulate(n_ind=100, n_sites=4096, seed=17)
+        write_glf_bin(sim, glf)
+    out = "/tmp/ngsld_bench_4k.ld"
+    cmd = [sys.executable, "-m", "ngsld_tpu.cli", "--geno", glf,
+           "--log_scale", "--n_ind", "100", "--n_sites", "4096",
+           "--max_kb_dist", "0", "--extend_out",
+           "--engine", "jax", "--out", out, "--verbose", "0"]
+    best, res = _run_cli(cmd, out)
+    if best is None:
+        return res
+    res["config"] = "4096 sites all-pairs (--max_kb_dist 0), 8.4M rows"
+    res["engine"] = "block (strip sweep, dense)"
+    return res
 
 
 def main():
-    detail = kernel_bench()
+    detail = {}
+    strip = strip_kernel_bench()
+    gather = gather_kernel_bench()
+    detail["gather_kernel"] = gather
+    if strip is not None:
+        detail["strip_kernel"] = strip
+        headline = strip["evals_per_sec"]
+        detail["headline_from"] = "strip_kernel"
+    else:
+        headline = gather["evals_per_sec"]
+        detail["headline_from"] = "gather_kernel"
     detail["e2e"] = e2e_bench()
-    evals_per_sec = detail.pop("evals_per_sec")
+    detail["e2e_ring"] = e2e_ring_bench()
+    detail["e2e_sampled"] = e2e_sampled_bench()
+    detail["e2e_allpairs"] = e2e_allpairs_bench()
     print(json.dumps({
         "metric": "pair_em_evals_per_sec",
-        "value": evals_per_sec,
+        "value": headline,
         "unit": "pair*ind*iter/s",
-        "vs_baseline": evals_per_sec / 1e9,
+        "vs_baseline": headline / 1e9,
         "detail": detail,
     }))
 

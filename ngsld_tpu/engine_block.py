@@ -80,9 +80,10 @@ def _compute_block_fn(ignore_miss_data: bool, use_pallas: bool,
         maf1, maf2 = jnp.take(maf, s1), jnp.take(maf, s2)
         r2p = pearson_r2(eg1, eg2)
         if use_pallas:
-            from .kernels.pallas_em import (pair_em_rows_from_gl,
-                                            pair_em_sorted, pick_pair_tile,
-                                            pick_rows_tile)
+            from .kernels.pallas_em import (pair_em_ichunk,
+                                            pair_em_rows_from_gl,
+                                            pair_em_sorted, pick_ichunk,
+                                            pick_pair_tile, pick_rows_tile)
             pt = pick_pair_tile(gn1.shape[1])
             ptr = pick_rows_tile(gn1.shape[1]) if pt is None else None
             if pt is not None:
@@ -93,9 +94,15 @@ def _compute_block_fn(ignore_miss_data: bool, use_pallas: bool,
                 # still fits VMEM up to ~8k individuals
                 f, n_iter, n_used = pair_em_rows_from_gl(
                     gn1, gn2, maf1, maf2, ignore_miss_data, pair_tile=ptr)
-            else:  # cohort too large for any kernel's VMEM tiles
-                f, n_iter, n_used = pair_em(gn1, gn2, maf1, maf2,
-                                            ignore_miss_data)
+            else:
+                # HUGE cohort: the streamed kernel keeps only double
+                # buffers in VMEM and DMAs the GL rows per I-chunk —
+                # n_ind is unbounded, like the reference's
+                # pair_freq_iter (gen_func.cpp:1076-1119)
+                ipt, ic = pick_ichunk(gn1.shape[1])
+                f, n_iter, n_used = pair_em_ichunk(
+                    gn1, gn2, maf1, maf2, ignore_miss_data,
+                    pair_tile=ipt, i_chunk=ic)
         else:
             f, n_iter, n_used = pair_em(gn1, gn2, maf1, maf2, ignore_miss_data)
         fmat = jnp.concatenate([r2p[:, None].astype(f.dtype), f],

@@ -532,3 +532,197 @@ def pair_em_rows(g1rows: jnp.ndarray, g2rows: jnp.ndarray,
         interpret=interpret,
     )(g1, g2, f0, incp, invx)
     return f[:P], n_iter[:P, 0], n_used
+
+
+# ------------------------------------------------ I-chunked row kernel ----
+#
+# The row kernel above still requires BOTH sites' full (3*Ip) rows resident
+# in VMEM, capping the cohort at ~8k individuals (pick_rows_tile). Beyond
+# that the engine used to fall back to the HBM-bound XLA loop — a cliff the
+# reference does not have (pair_freq_iter's n_ind is unbounded,
+# /root/reference/shared/gen_func.cpp:1076-1119). This kernel removes the
+# cliff: the GL rows stay in HBM and stream through double-buffered DMA in
+# IC-individual chunks INSIDE the EM iteration, accumulating the per-pair
+# reductions in VMEM. Per-tile early exit is preserved (converged tiles
+# stop streaming), so executed traffic scales with live iterations.
+
+def _em_kernel_ichunk(g1_hbm, g2_hbm, inc_hbm, f0_ref, invx_ref,
+                      f_out, niter_out, active_ref, gbuf, incbuf, sems,
+                      *, iter_cap: int, IC: int, n_chunks: int, PT: int,
+                      unroll: int = _UNROLL):
+    """One grid step = PT pairs x the WHOLE cohort (streamed).
+
+    g{1,2}_hbm: (Pp, NC*3*IC) chunk-major row tables (ANY memory space);
+    inc_hbm: (Pp, NC*IC) inclusion mask; gbuf VMEM (2, 2, PT, 3*IC) double
+    buffers for the two sites, incbuf VMEM (2, PT, IC), sems DMA((2, 3)).
+    """
+    i = pl.program_id(0)
+    row0 = i * PT
+
+    def chunk_dmas(slot, c):
+        return (
+            pltpu.make_async_copy(
+                g1_hbm.at[pl.ds(row0, PT), pl.ds(c * 3 * IC, 3 * IC)],
+                gbuf.at[slot, 0], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                g2_hbm.at[pl.ds(row0, PT), pl.ds(c * 3 * IC, 3 * IC)],
+                gbuf.at[slot, 1], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                inc_hbm.at[pl.ds(row0, PT), pl.ds(c * IC, IC)],
+                incbuf.at[slot], sems.at[slot, 2]),
+        )
+
+    for k in range(4):
+        f_out[:, k:k + 1] = f0_ref[:, k:k + 1]
+    niter_out[:] = jnp.full(niter_out.shape, iter_cap, jnp.int32)
+    active_ref[:] = jnp.ones(active_ref.shape, jnp.float32)
+
+    def cond(carry):
+        it, done = carry
+        return jnp.logical_and(it < iter_cap, jnp.logical_not(done))
+
+    def em_step(it, fs, active, n_iter):
+        invx = invx_ref[:]                       # (PT, 1)
+        # accumulate the four per-pair reductions over streamed I-chunks
+        for d in chunk_dmas(0, 0):
+            d.start()
+
+        def chunk_body(c, S):
+            slot = jax.lax.rem(c, 2)
+            nxt = jax.lax.rem(c + 1, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for d in chunk_dmas(nxt, c + 1):
+                    d.start()
+            for d in chunk_dmas(slot, c):
+                d.wait()
+            g1c = [gbuf[slot, 0, :, g * IC:(g + 1) * IC] for g in range(3)]
+            g2c = [gbuf[slot, 1, :, g * IC:(g + 1) * IC] for g in range(3)]
+            inc = incbuf[slot]                   # (PT, IC)
+            Q = [[fs[2 * a] * g2c[cc] + fs[2 * a + 1] * g2c[cc + 1]
+                  for cc in range(2)] for a in range(2)]
+            D = [g1c[a1k] * Q[0][a2k] + g1c[a1k + 1] * Q[1][a2k]
+                 for (a1k, a2k) in _KBITS]
+            s = fs[0] * D[0]
+            for k in range(1, 4):
+                s = s + fs[k] * D[k]
+            r0 = pl.reciprocal(s, approx=True)
+            r = inc * (r0 * (2.0 - s * r0))
+            return tuple(S[k] + jnp.sum(D[k] * r, axis=1, keepdims=True)
+                         for k in range(4))
+
+        S0 = tuple(jnp.zeros((PT, 1), jnp.float32) for _ in range(4))
+        S = jax.lax.fori_loop(0, n_chunks, chunk_body, S0)
+        f_new = [fs[k] * S[k] * invx for k in range(4)]
+        norm = ((f_new[0] + f_new[1]) + f_new[2]) + f_new[3]
+        rn0 = pl.reciprocal(norm, approx=True)
+        rn = rn0 * (2.0 - norm * rn0)
+        f_new = [fn * rn for fn in f_new]
+        f_next = [jnp.where(active, f_new[k], fs[k]) for k in range(4)]
+        eps = jnp.zeros((PT, 1), jnp.float32)
+        for k in range(4):
+            d = jnp.abs(f_next[k] - fs[k])
+            eps = jnp.where(d > eps, d, eps)
+        newly = jnp.logical_and(active, eps < EPSILON)
+        still = jnp.logical_and(active, jnp.logical_not(newly))
+        n_iter = jnp.where(newly, it, n_iter)
+        return f_next, still, n_iter
+
+    def body(carry):
+        it, _ = carry
+        fs = [f_out[:, k:k + 1] for k in range(4)]
+        active = active_ref[:] > 0.0
+        n_iter = niter_out[:]
+        for u in range(unroll):
+            fs, active, n_iter = em_step(it + u, fs, active, n_iter)
+        for k in range(4):
+            f_out[:, k:k + 1] = fs[k]
+        niter_out[:] = n_iter
+        active_ref[:] = active.astype(jnp.float32)
+        return it + unroll, jnp.logical_not(jnp.any(active))
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+
+
+def pick_ichunk(n_ind: int) -> tuple[int, int]:
+    """(pair_tile, i_chunk) for the streamed kernel — valid for ANY cohort
+    size (the working set is 2 slots x (2 GL chunks + mask), independent
+    of n_ind). IC rides the lane axis; bigger chunks amortize DMA issue
+    overhead against the same total traffic."""
+    return 128, 512
+
+
+def make_site_table_chunked(gn: jnp.ndarray, IC: int):
+    """(S, I, 3) normal-space GLs -> chunk-major (S, NC*3*IC) f32 table:
+    chunk c occupies columns [c*3*IC, (c+1)*3*IC) as [g0 | g1 | g2], so a
+    chunk's three planes arrive in ONE contiguous DMA."""
+    S, I, _ = gn.shape
+    Ip = -(-I // IC) * IC
+    g = jnp.pad(gn.astype(jnp.float32), ((0, 0), (0, Ip - I), (0, 0)),
+                constant_values=1.0 / 3.0)
+    # (S, NC, IC, 3) -> (S, NC, 3, IC) -> flat
+    return (g.reshape(S, Ip // IC, IC, 3).transpose(0, 1, 3, 2)
+            .reshape(S, (Ip // IC) * 3 * IC))
+
+
+@functools.partial(jax.jit, static_argnames=("ignore_miss_data", "pair_tile",
+                                             "i_chunk", "interpret",
+                                             "iter_cap"))
+def pair_em_ichunk(gn1: jnp.ndarray, gn2: jnp.ndarray, maf1: jnp.ndarray,
+                   maf2: jnp.ndarray, ignore_miss_data: bool = False, *,
+                   pair_tile: int = 128, i_chunk: int = 512,
+                   interpret: bool = False, iter_cap: int = ITER_MAX):
+    """Drop-in for ops.em.pair_em at UNBOUNDED cohort sizes: gl (P, I, 3)
+    -> (f (P,4), n_iter, n_used). The per-individual work streams from HBM
+    in i_chunk slices; VMEM holds only the double buffers."""
+    P, I, _ = gn1.shape
+    IC = i_chunk
+    PT = pair_tile
+    Pp = -(-P // PT) * PT
+    if ignore_miss_data:
+        include = ~(miss_mask(gn1) | miss_mask(gn2))
+    else:
+        include = jnp.ones((P, I), bool)
+    n_used = jnp.sum(include, axis=1).astype(jnp.int32)
+    Ip = -(-I // IC) * IC
+    n_chunks = Ip // IC
+    pad = ((0, Pp - P), (0, 0))
+    g1 = jnp.pad(make_site_table_chunked(gn1, IC), pad,
+                 constant_values=1.0 / 3.0)
+    g2 = jnp.pad(make_site_table_chunked(gn2, IC), pad,
+                 constant_values=1.0 / 3.0)
+    incf = jnp.pad(include.astype(jnp.float32),
+                   ((0, Pp - P), (0, Ip - I)))
+    m1 = jnp.pad(maf1.astype(jnp.float32), (0, Pp - P),
+                 constant_values=0.5)
+    m2 = jnp.pad(maf2.astype(jnp.float32), (0, Pp - P),
+                 constant_values=0.5)
+    f0 = jnp.stack([(1 - m1) * (1 - m2), (1 - m1) * m2,
+                    m1 * (1 - m2), m1 * m2], axis=1)     # (Pp, 4)
+    invx = (1.0 / jnp.pad(n_used, (0, Pp - P), constant_values=1)
+            .astype(jnp.float32))[:, None]
+
+    grid = (Pp // PT,)
+    vblk = lambda w: pl.BlockSpec((PT, w), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    f, n_iter = pl.pallas_call(
+        functools.partial(_em_kernel_ichunk, iter_cap=iter_cap, IC=IC,
+                          n_chunks=n_chunks, PT=PT),
+        grid=grid,
+        in_specs=[anyspec, anyspec, anyspec, vblk(4), vblk(1)],
+        out_specs=[vblk(4), vblk(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((Pp, 4), jnp.float32),
+            jax.ShapeDtypeStruct((Pp, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((PT, 1), jnp.float32),            # active
+            pltpu.VMEM((2, 2, PT, 3 * IC), jnp.float32),  # g double buffers
+            pltpu.VMEM((2, PT, IC), jnp.float32),        # inc double buffers
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+    )(g1, g2, incf, f0, invx)
+    return f[:P], n_iter[:P, 0], n_used

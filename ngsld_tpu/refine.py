@@ -403,7 +403,21 @@ class StrictRefiner:
                         | strict.miss_data_rows(gn2))
         else:
             include = np.ones(gn1.shape[:2], bool)
-        f = _fast_em_f64(gn1, gn2, np.asarray(f_warm, np.float64), include)
+        f = None
+        if os.environ.get("NGSLD_NO_NATIVE") != "1":
+            try:
+                # native threaded per-pair EM: the NumPy batch loop below
+                # costs ~190 us/pair (per-iteration temporaries + active-
+                # set fancy indexing) and dominated dense-panel emission
+                from .native import polish_em_native
+                f = polish_em_native(gn1, gn2,
+                                     np.asarray(f_warm, np.float64),
+                                     include)
+            except ImportError:
+                f = None
+        if f is None:
+            f = _fast_em_f64(gn1, gn2, np.asarray(f_warm, np.float64),
+                             include)
         hmaf0, hmaf1, D, Dp, r2 = strict.ld_stats_batch(f)
         chi2 = strict.chi2_batch(f)
         return dict(f=f, hmaf1=hmaf0, hmaf2=hmaf1, D=D, Dp=Dp, r2=r2,

@@ -111,3 +111,49 @@ def test_pick_rows_tile_covers_large_cohorts():
     assert pick_pair_tile(2000) is None      # column kernel gives up
     assert pick_rows_tile(2000) is not None  # rows kernel still fits
     assert pick_rows_tile(8000) is not None
+
+
+@pytest.mark.parametrize("ignore_miss", [False, True])
+@pytest.mark.parametrize("n_pairs,n_ind,ic", [(24, 40, 16), (60, 100, 32)])
+def test_ichunk_kernel_matches_xla_path(n_pairs, n_ind, ic, ignore_miss):
+    """The streamed (I-chunked) kernel must agree with the XLA path for
+    cohorts that span several chunks — this is the unbounded-n_ind path
+    (reference parity: pair_freq_iter has no cohort ceiling,
+    gen_func.cpp:1076-1119)."""
+    import jax.numpy as jnp
+    from ngsld_tpu.kernels.pallas_em import pair_em_ichunk
+    from ngsld_tpu.ops.em import pair_em
+
+    gn1, gn2, m1, m2 = _case(n_pairs, n_ind, seed=7 * n_pairs + n_ind)
+    f_ref, it_ref, nu_ref = pair_em(jnp.asarray(gn1), jnp.asarray(gn2),
+                                    jnp.asarray(m1), jnp.asarray(m2),
+                                    ignore_miss)
+    f_k, it_k, nu_k = pair_em_ichunk(jnp.asarray(gn1), jnp.asarray(gn2),
+                                     jnp.asarray(m1), jnp.asarray(m2),
+                                     ignore_miss, pair_tile=8, i_chunk=ic,
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(nu_ref), np.asarray(nu_k))
+    fr, fk = np.asarray(f_ref), np.asarray(f_k)
+    both_nan = np.isnan(fr) & np.isnan(fk)
+    np.testing.assert_allclose(np.where(both_nan, 0, fr),
+                               np.where(both_nan, 0, fk), atol=3e-5)
+    it_diff = np.abs(np.asarray(it_ref) - np.asarray(it_k))
+    assert (it_diff <= 1).mean() > 0.95
+
+
+def test_ichunk_matches_column_kernel_exactly():
+    """Same f32 op order as the other kernels: the streamed kernel's
+    accumulation differs only by chunk-partial ordering, which must stay
+    within one ulp-scale tolerance of the row kernel."""
+    import jax.numpy as jnp
+    from ngsld_tpu.kernels.pallas_em import (pair_em_ichunk,
+                                             pair_em_pallas)
+
+    gn1, gn2, m1, m2 = _case(32, 48, seed=99)
+    a = (jnp.asarray(gn1), jnp.asarray(gn2), jnp.asarray(m1),
+         jnp.asarray(m2))
+    f1, it1, nu1 = pair_em_pallas(*a, False, pair_tile=128, interpret=True)
+    f2, it2, nu2 = pair_em_ichunk(*a, False, pair_tile=8, i_chunk=16,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=2e-5)
+    assert (np.abs(np.asarray(it1) - np.asarray(it2)) <= 1).all()

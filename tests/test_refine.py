@@ -165,3 +165,35 @@ def test_refine_opt_out_env(fixdir, monkeypatch):
     assert len(a) == len(b)
     assert [r.split("\t")[:2] for r in a] == [r.split("\t")[:2] for r in b]
     assert a != b   # the exact-zero tier rows differ without repair
+
+
+def test_native_polish_matches_numpy_polish():
+    """ngsld_polish_em (threaded C) must agree with refine._fast_em_f64
+    (the NumPy batch implementation) — same update, same stop rule."""
+    import numpy as np
+
+    from ngsld_tpu.native import get_lib, polish_em_native
+    from ngsld_tpu.refine import _fast_em_f64
+    from ngsld_tpu.utils.simulate import simulate
+
+    if get_lib() is None:
+        import pytest as _pytest
+        _pytest.skip("native lib unavailable")
+    sim = simulate(n_ind=30, n_sites=400, seed=61)
+    gl = sim.gl / sim.gl.sum(axis=2, keepdims=True)
+    gn1 = gl[:200].astype(np.float64)
+    gn2 = gl[200:400].astype(np.float64)
+    eg = gl[..., 1] + 2 * gl[..., 2]
+    maf = eg.mean(axis=1) / 2
+    m1, m2 = maf[:200], maf[200:400]
+    f0 = np.stack([(1 - m1) * (1 - m2), (1 - m1) * m2,
+                   m1 * (1 - m2), m1 * m2], axis=1)
+    include = np.ones((200, 30), bool)
+    include[17, 5:] = False          # a mostly-missing pair
+    include[42, :] = False           # an all-missing pair (x == 0)
+    f_np = _fast_em_f64(gn1, gn2, f0, include)
+    f_c = polish_em_native(gn1, gn2, f0, include)
+    both_nan = np.isnan(f_np) & np.isnan(f_c)
+    np.testing.assert_allclose(np.where(both_nan, 0, f_np),
+                               np.where(both_nan, 0, f_c),
+                               atol=1e-9)
