@@ -1,8 +1,7 @@
 """Child process for the REAL multi-host ring tests (test_multihost.py).
 
 Each instance is one 'host' of a simulated pod: it registers with the
-jax.distributed coordinator, sees 4 local CPU devices (8 global over 2
-processes), and runs the --ring engine end-to-end — exercising the
+jax.distributed coordinator, sees 8//nprocs local CPU devices (8 global), and runs the --ring engine end-to-end — exercising the
 process_count() > 1 branches (per-process output shards, global-MAF
 allgather, collective stop/resume lockstep) that single-process tests
 cannot reach.
@@ -18,13 +17,15 @@ import sys
 
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pid", type=int, required=True)
     ap.add_argument("--nprocs", type=int, default=2)
+    ap.add_argument("--local-devices", type=int, default=0,
+                    help="virtual CPU devices per process "
+                         "(default: 8 // nprocs)")
     ap.add_argument("--port", type=int, required=True)
     ap.add_argument("--crash-after", type=int, default=0,
                     help="os._exit(17) after N committed ring steps "
@@ -35,6 +36,10 @@ def main():
     ap.add_argument("argv", nargs=argparse.REMAINDER,
                     help="ngsld CLI args (after a leading --)")
     args = ap.parse_args()
+
+    n_local = args.local_devices or max(1, 8 // args.nprocs)
+    os.environ["XLA_FLAGS"] = \
+        f"--xla_force_host_platform_device_count={n_local}"
 
     import jax
     jax.config.update("jax_platforms", "cpu")

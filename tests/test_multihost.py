@@ -36,17 +36,26 @@ def _clean_env():
     return env
 
 
-def _launch(port, pid, cli_args, extra=()):
+def _launch(port, pid, cli_args, extra=(), n_proc=2, env_extra=None):
+    env = _clean_env()
+    if env_extra:
+        env.update(env_extra)
     return subprocess.Popen(
         [sys.executable, CHILD, "--pid", str(pid), "--port", str(port),
-         *extra, "--", *cli_args],
-        cwd=REPO, env=_clean_env(),
+         "--nprocs", str(n_proc), *extra, "--", *cli_args],
+        cwd=REPO, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
 
 
-def _run_pod(cli_args, extras=((), ()), timeout=240):
+def _run_pod(cli_args, extras=((), ()), timeout=240, n_proc=None,
+             env_extra=None):
+    if n_proc is None:
+        n_proc = len(extras)
     port = _free_port()
-    procs = [_launch(port, pid, cli_args, extras[pid]) for pid in (0, 1)]
+    procs = [_launch(port, pid, cli_args,
+                     extras[pid] if pid < len(extras) else (),
+                     n_proc=n_proc, env_extra=env_extra)
+             for pid in range(n_proc)]
     rcs, errs = [], []
     try:
         for p in procs:
@@ -85,9 +94,9 @@ def _cli(files, out, ckpt=None, seed=None):
     return args
 
 
-def _concat_shards(out):
+def _concat_shards(out, n_proc=2):
     data = b""
-    for pid in (0, 1):
+    for pid in range(n_proc):
         with open(f"{out}.part{pid:05d}", "rb") as fh:
             data += fh.read()
     return data
@@ -188,4 +197,41 @@ def test_host_crash_heterogeneous_resume(fix, tmp_path):
     rcs, errs = _run_pod(_cli(fix, out, ckpt=ckpt))
     assert rcs == [0, 0], errs
     _assert_pod_matches_strict(_concat_shards(out),
+                               _strict_output(fix, tmp_path))
+
+
+@pytest.mark.slow_multihost
+def test_four_process_ring_strip_sampled_uneven_tail(fix, tmp_path):
+    """4-process pod, forced strip stepper (interpret mode), --rnd_sample,
+    and an uneven tail (500 sites over 8 devices pad to 2048 under the
+    strip alignment, so the last blocks are pure padding). The shard
+    union must reproduce the oracle's exact sampled pair set — this is
+    the collective lockstep code at a process count the 2-proc tests
+    never reached."""
+    out = str(tmp_path / "pod4.ld")
+    rcs, errs = _run_pod(_cli(fix, out, seed=12345), n_proc=4,
+                         env_extra={"NGSLD_FORCE_STRIP": "1"},
+                         timeout=360)
+    assert rcs == [0, 0, 0, 0], errs
+    pod = _concat_shards(out, n_proc=4).decode().splitlines()
+    st = _strict_output(fix, tmp_path, seed=12345).decode().splitlines()
+    assert len(pod) == len(st) > 500
+    assert [r.split("\t")[:2] for r in pod] == \
+           [r.split("\t")[:2] for r in st]
+
+
+@pytest.mark.slow_multihost
+def test_four_process_crash_heterogeneous_resume(fix, tmp_path):
+    """One of FOUR hosts dies mid-sweep; the other three hang on the
+    broken collective (killed by the harness). The 4-way rerun must agree
+    on the collective-min resume step and match the oracle."""
+    out = str(tmp_path / "pod4c.ld")
+    ckpt = str(tmp_path / "ck4")
+    rcs, errs = _run_pod(_cli(fix, out, ckpt=ckpt),
+                         extras=((), (), ("--crash-after", "2"), ()),
+                         n_proc=4, timeout=150)
+    assert 17 in rcs, (rcs, errs)
+    rcs, errs = _run_pod(_cli(fix, out, ckpt=ckpt), n_proc=4, timeout=360)
+    assert rcs == [0, 0, 0, 0], errs
+    _assert_pod_matches_strict(_concat_shards(out, n_proc=4),
                                _strict_output(fix, tmp_path))
