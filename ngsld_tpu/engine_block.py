@@ -128,6 +128,57 @@ def _compute_block_fn(ignore_miss_data: bool, use_pallas: bool,
     return jax.jit(compute)
 
 
+@functools.lru_cache(maxsize=None)
+def _strip_compute_fn(n_shards: int, n_ind: int, ignore_miss: bool,
+                      interpret: bool, use_i16: bool):
+    """Strip-chunk compute for the block engine: the per-tile Pallas
+    kernel shard_map'ed over the 'pairs' mesh (each device runs its slice
+    of the chunk's tile list; tables replicated — same topology as the
+    gather path's shard_map), then the on-device sel compaction as a
+    global op. n_shards == 1 is the plain single-device jit."""
+    import jax
+    import jax.numpy as jnp
+    from .kernels.pallas_strip import TA, TB, strip_em, strip_em_compact
+
+    if n_shards == 1:
+        return jax.jit(functools.partial(
+            strip_em_compact, n_ind=n_ind, ignore_miss=ignore_miss,
+            interpret=interpret, use_i16=use_i16))
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    from .parallel.mesh import make_mesh
+    mesh = make_mesh(n_shards, 1, devices=jax.devices()[:n_shards])
+    rep, shd = PS(), PS("pairs")
+
+    def tiles(ga, gb, ea, eb, mafa, mafb, lo, hi, oka, okb, ta, tb):
+        return strip_em(ga, gb, ea, eb, mafa, mafb, lo, hi, oka, okb,
+                        ta, tb, n_ind=n_ind, ignore_miss=ignore_miss,
+                        interpret=interpret)
+
+    sharded = shard_map(
+        tiles, mesh=mesh,
+        in_specs=(rep,) * 10 + (shd, shd),
+        out_specs=(shd, shd, shd, shd), check_vma=False)
+
+    def compute(ga, gb, ea, eb, mafa, mafb, lo, hi, oka, okb, ta, tb,
+                sel):
+        f, r2p, nit, nu = sharded(ga, gb, ea, eb, mafa, mafb, lo, hi,
+                                  oka, okb, ta, tb)
+        n = ta.shape[0]
+        ff = f.transpose(0, 2, 3, 1).reshape(n * TA * TB, 4)
+        fm = jnp.concatenate([jnp.take(r2p.reshape(-1), sel)[:, None],
+                              jnp.take(ff, sel, axis=0)], axis=1)
+        idt = jnp.int16 if use_i16 else jnp.int32
+        im = jnp.stack([jnp.take(nit.reshape(-1), sel).astype(idt),
+                        jnp.take(nu.reshape(-1), sel).astype(idt)],
+                       axis=1)
+        return fm, im
+
+    return jax.jit(compute)
+
+
 def _prefetch_blocks(gen, depth: int = 4):
     """Run a generator in a daemon thread, yielding through a bounded queue.
 
@@ -383,12 +434,11 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
         # NGSLD_STRIP_MIN_UTIL. NGSLD_BLOCK_STRIP=1/0 forces on/off.
         strip_mode = False
         strip_env = os.environ.get("NGSLD_BLOCK_STRIP")
-        if (strip_env != "0" and prec == "f32" and n_shards == 1
+        if (strip_env != "0" and prec == "f32"
                 and getattr(pars, "shard_ind", 1) == 1):
             from .kernels.pallas_strip import TA as _TA
             from .kernels.pallas_strip import TB as _TB
-            from .kernels.pallas_strip import (strip_em_compact,
-                                               strip_tables)
+            from .kernels.pallas_strip import strip_tables
             from .kernels.pallas_strip import vmem_ok as _svok
             from .plan.band import band_limits as _bl
             from .plan.strips import strip_plan
@@ -443,6 +493,9 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
             # links), oversized groups split into <=GMAXT-tile pieces
             GMAXT = max(1, min(len(s_ta), int(os.environ.get(
                 "NGSLD_STRIP_TILES", "256"))))
+            # --shard: tiles split across the 'pairs' mesh per dispatch,
+            # so the per-dispatch tile count must divide evenly
+            GMAXT = -(-GMAXT // n_shards) * n_shards
             CTARGET = int(os.environ.get("NGSLD_STRIP_CTARGET",
                                          str(1 << 20)))
             jdead = Sp_b // _TB - 1
@@ -670,6 +723,12 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
         with log.phase("compute: banded pair sweep"), GracefulStop(log) as gs:
             if strip_mode:
                 interp = jax.default_backend() != "tpu"
+                strip_fn = _strip_compute_fn(
+                    n_shards, pars.n_ind, pars.ignore_miss_data, interp,
+                    pars.n_ind <= 32767)
+                if n_shards > 1:
+                    log.log(2, f"==> strip sweep: {n_shards}-device "
+                               "'pairs' mesh (tiles sharded per chunk)")
 
                 def strip_chunks():
                     """Regroup the banded pair stream (iter_pair_blocks —
@@ -788,16 +847,12 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                                               np.int32)])
                         t0 = time.perf_counter()
                         with hold():
-                            dev_out = strip_em_compact(
+                            dev_out = strip_fn(
                                 s_ga, s_gb, s_ea, s_eb, s_maf, s_maf,
                                 s_lo, s_hi, s_ok, s_ok,
                                 jnp.asarray(ta_arr),
                                 jnp.asarray(tb_arr),
-                                jnp.asarray(sel_pad),
-                                n_ind=pars.n_ind,
-                                ignore_miss=pars.ignore_miss_data,
-                                interpret=interp,
-                                use_i16=pars.n_ind <= 32767)
+                                jnp.asarray(sel_pad))
                         touch()
                         log.count_time("sweep: dispatch",
                                        time.perf_counter() - t0)

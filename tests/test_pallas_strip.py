@@ -363,3 +363,25 @@ def test_block_strip_sigint_then_resume(tmp_path, monkeypatch):
     run_jax(params_from_args(argv + ["--checkpoint", ckpt,
                                      "--out", str(out2)]))
     assert out2.read_bytes() == straight.read_bytes()
+
+
+def test_block_strip_sharded_matches_unsharded(tmp_path, monkeypatch):
+    """--shard 8 under the strip sweep (tiles shard_map'ed over the
+    'pairs' mesh): output must be byte-identical to the unsharded strip
+    run — the kernel computes the same tiles either way."""
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    monkeypatch.setenv("NGSLD_BLOCK_STRIP", "1")
+    files = write_all(simulate(n_ind=8, n_sites=1024, seed=57,
+                               contig_kb=50.0), str(tmp_path / "fx"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "8",
+            "--n_sites", "1024", "--pos", files["pos"], "--max_kb_dist",
+            "4", "--min_maf", "0.05", "--extend_out", "--precision",
+            "f32", "--verbose", "0"]
+    out1, out8 = tmp_path / "s1.ld", tmp_path / "s8.ld"
+    run_jax(params_from_args(argv + ["--out", str(out1)]))
+    run_jax(params_from_args(argv + ["--shard", "8", "--out", str(out8)]))
+    assert out8.read_bytes() == out1.read_bytes()
+    assert len(out1.read_bytes().splitlines()) > 1000
