@@ -54,7 +54,7 @@ def _sim_tables(S, I, seed=0):
 
 
 def strip_kernel_bench():
-    """The default dense engine's kernel: one 512-tile chunk (~8M live
+    """The default dense engine's kernel: one 256-tile chunk (~4M live
     pairs) through strip_em_compact, counted-evals scalar pulled per rep."""
     import jax
     import jax.numpy as jnp
@@ -74,7 +74,7 @@ def strip_kernel_bench():
 
     # one dispatch = the first 256 (k, j) tiles in group order + its sel
     tiles = [(k, j) for k in range(S // TA)
-             for j in range(k, min(S // TB, (k * TA + W) // TB + 1))][:512]
+             for j in range(k, min(S // TB, (k * TA + W) // TB + 1))][:256]
     ta = np.array([t[0] for t in tiles], np.int32)
     tb = np.array([t[1] for t in tiles], np.int32)
     sels, evals_cells = [], 0

@@ -162,7 +162,19 @@ def load_gl_rows_fast(pars, sites: np.ndarray) -> np.ndarray:
 
 def knife_edge_sites(maf: np.ndarray, min_maf: float, prec: str) -> np.ndarray:
     """Site indices whose device MAF is too close to min_maf to trust the
-    `maf < min_maf` plan decision at the engine's precision."""
+    `maf < min_maf` plan decision at the engine's precision.
+
+    Tolerance derivation (pinned by
+    tests/test_refine.py::test_knife_edge_tolerance_bounds_measured_f32_error):
+    the closed-form MAF is mean(E[G])/2 with each f32 posterior carrying
+    ~2^-24 relative error; XLA reduces the individual axis as a tree, so
+    the mean accumulates O(log I) ulps, keeping the absolute error ~1e-6
+    even at I = 5000 (measured worst case across depth/error regimes:
+    < 1e-5). The f32 band of 1e-4 therefore bounds the real error with
+    >= 10x margin — a site farther than tol from min_maf can never flip
+    the plan decision (ngsLD.cpp:264,270) — while flagging only
+    O(tol * n_sites) sites for the strict recompute. f64 analogously:
+    ~2^-53 per-element error, 1e-11 band."""
     if min_maf <= 0:
         return np.empty(0, np.int64)
     tol = 1e-4 if prec == "f32" else 1e-11
@@ -177,6 +189,18 @@ def degenerate_tiers(f: np.ndarray, prec: str,
 
     0 — healthy: the fast path's values are within the precision
         contract (~1e-12 f64 / ~1e-4 f32 of strict).
+
+    Threshold derivation: both engines stop the EM at max-abs update
+    < EPSILON = 1e-5 (gen_func.hpp:16), which makes ~1e-5 the f
+    divergence floor between ANY two implementations (measured f32-vs-
+    f64 converged |Δf| < 5e-5; pinned by tests/test_refine.py::
+    test_tier2_band_bounds_measured_f32_em_wobble). Dp/r2 divide by
+    denominator products of f-sums, so a denominator below ~1e-4 lets
+    that wobble move the printed value by O(0.1+) — the tier-2 band.
+    Denominators below ~1e-7 (or |D| within wobble of 0, whose sign
+    picks the Dp branch) are indistinguishable from exact zero at the
+    shared stop tolerance — strict's value there is inf/nan or branch-
+    dependent, so only the bit-exact recompute reproduces it (tier 1).
     1 — exact-zero class: a denominator at (or within f64 wobble of)
         exactly 0, a D whose sign could flip branches, or nonfinite
         output. Strict's value is inf/nan or branch-dependent, so these

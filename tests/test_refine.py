@@ -197,3 +197,72 @@ def test_native_polish_matches_numpy_polish():
     np.testing.assert_allclose(np.where(both_nan, 0, f_np),
                                np.where(both_nan, 0, f_c),
                                atol=1e-9)
+
+
+def test_knife_edge_tolerance_bounds_measured_f32_error():
+    """Grounds refine.knife_edge_sites' f32 tolerance (1e-4) in a MEASURED
+    error distribution: the f32 device MAF (ops.preprocess.est_maf on f32
+    log-GLs) vs the bit-exact strict f64 MAF, across depth/error regimes
+    and cohort sizes. The tolerance must bound the worst observed error
+    with >= 10x margin — a site farther than tol from min_maf can then
+    never flip the `maf < min_maf` plan decision (ngsLD.cpp:264,270).
+
+    Error model (documented in refine.py): each f32 posterior carries
+    ~2^-24 relative error; the mean over I individuals accumulates
+    O(log I) ulps under XLA's tree reductions, so the absolute MAF error
+    stays ~1e-6 even at I = 5000 — two orders under the 1e-4 band."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ngsld_tpu import strict
+    from ngsld_tpu.ops.preprocess import est_maf
+    from ngsld_tpu.utils.simulate import simulate
+
+    worst = 0.0
+    for seed, (n_ind, depth, err) in enumerate(
+            [(20, 0.5, 0.05), (100, 4.0, 0.01), (1000, 2.0, 0.002),
+             (5000, 8.0, 0.01)]):
+        sim = simulate(n_ind=n_ind, n_sites=400, seed=seed + 1,
+                       mean_depth=depth, err=err, mono_rate=0.1)
+        gl_log64 = np.log(sim.gl / sim.gl.sum(axis=2, keepdims=True))
+        maf64 = strict.est_maf_all(gl_log64, False)
+        maf32 = np.asarray(est_maf(jnp.asarray(gl_log64, jnp.float32),
+                                   False), np.float64)
+        worst = max(worst, float(np.nanmax(np.abs(maf32 - maf64))))
+    # tolerance must dominate the worst measured f32 error by >= 10x
+    from ngsld_tpu.refine import knife_edge_sites
+    tol_probe = np.array([0.05])      # any min_maf > 0 exposes the band
+    assert len(knife_edge_sites(tol_probe, 0.05 + 0.9e-4, "f32")) == 1
+    assert worst * 10 <= 1e-4, worst
+
+
+def test_tier2_band_bounds_measured_f32_em_wobble():
+    """Grounds degenerate_tiers' tier-2 thresholds: the f32 EM's converged
+    frequencies differ from the f64 EM's by at most ~the shared 1e-5 stop
+    tolerance (PERF.md: the stop rule is the accuracy floor for ANY
+    implementation). Measured here directly: |f32_f - f64_f| over random
+    pairs must stay an order of magnitude inside the 1e-4 Dp-denominator
+    band (so tier-0 pairs — den >= 1e-4 — move by < ~1e-1 relative only
+    when flagged, never silently)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ngsld_tpu.ops.em import pair_em
+    from ngsld_tpu.utils.simulate import simulate
+
+    sim = simulate(n_ind=60, n_sites=400, seed=9, mean_depth=2.0)
+    gl = sim.gl / sim.gl.sum(axis=2, keepdims=True)
+    eg = gl[..., 1] + 2 * gl[..., 2]
+    maf = eg.mean(axis=1) / 2
+    gn1, gn2 = gl[:200], gl[200:400]
+    m1, m2 = maf[:200], maf[200:400]
+    f64, _, _ = pair_em(jnp.asarray(gn1), jnp.asarray(gn2),
+                        jnp.asarray(m1), jnp.asarray(m2), False)
+    f32, _, _ = pair_em(jnp.asarray(gn1, jnp.float32),
+                        jnp.asarray(gn2, jnp.float32),
+                        jnp.asarray(m1, jnp.float32),
+                        jnp.asarray(m2, jnp.float32), False)
+    d = np.nanmax(np.abs(np.asarray(f64) - np.asarray(f32, np.float64)))
+    # both trajectories stop at eps < 1e-5; their converged f differ by
+    # O(stop tolerance), far inside the 1e-4 tier-2 denominator band
+    assert d <= 5e-5, d
