@@ -96,8 +96,6 @@ class Params:
             raise ConfigError(
                 "--shard_ind must divide --n_ind (padding individuals "
                 "would change the EM's denominators)")
-        if self.shard_ind > 1 and self.ring:
-            raise ConfigError("--shard_ind is not supported with --ring")
 
         if not os.path.exists(self.in_geno):
             # mirror of the stat() check (ngsLD.cpp:42-43)

@@ -61,7 +61,19 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
     from .plan.band import band_limits, contig_positions
 
     n_dev = pars.shard   # resolved once in run_jax
-    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("sites",))
+    n_is = getattr(pars, "shard_ind", 1)
+    if n_is > 1:
+        # 2-D ('sites', 'ind') mesh: site blocks ride the ring while the
+        # individual axis splits within each block (very large cohorts);
+        # per-individual reductions psum over 'ind'
+        # (parallel.ring.ring_sweep_stepper_ind)
+        if pars.n_ind % n_is:
+            raise strict.StrictError(
+                "shard", "--shard_ind must divide --n_ind")
+        mesh = Mesh(np.array(jax.devices()[:n_dev * n_is])
+                    .reshape(n_dev, n_is), ("sites", "ind"))
+    else:
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("sites",))
 
     tmp_spill = None
     try:
@@ -89,7 +101,7 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         from .kernels.pallas_strip import TA as _TA
         from .kernels.pallas_strip import vmem_ok as _strip_vmem_ok
         force_strip = os.environ.get("NGSLD_FORCE_STRIP") == "1"
-        use_strip = _strip_vmem_ok(pars.n_ind) and (
+        use_strip = n_is == 1 and _strip_vmem_ok(pars.n_ind) and (
             force_strip or (jax.default_backend() == "tpu"
                             and prec == "f32"))
         if use_strip:
@@ -170,8 +182,10 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
             from .plan.band import child_seeds
             seeds = child_seeds(pars.seed, n)
             okc = np.cumsum(ok.astype(np.int64))  # okc[j] = #ok in [0, j]
-            my_blocks = sorted(k for k, d in enumerate(jax.devices()[:n_dev])
-                               if d.process_index == jax.process_index())
+            my_blocks = sorted(
+                k for k in range(n_dev)
+                if np.atleast_1d(mesh.devices[k]).ravel()[0]
+                .process_index == jax.process_index())
             # sampled pairs as a SORTED array of keys anchor*n + draw_index
             # (ascending anchors x ascending draw indices => concatenation
             # is already sorted; membership below is one searchsorted)
@@ -217,7 +231,8 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
             # strip kernel's f32 values differ in the last ulps from the
             # XLA stepper's, so a resume must not mix them silently
             dict(mode="ring", n_dev=n_dev, n_sub=n_sub, block=B,
-                 n_proc=jax.process_count(), strip=bool(use_strip)),
+                 n_proc=jax.process_count(), strip=bool(use_strip),
+                 n_is=n_is),
             jax.process_index(), persistent)
         rck = spill if persistent else None
 
@@ -247,8 +262,15 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
             # row_chunk bounds the XLA stepper's peak memory to 256
             # anchor strips of EM intermediates while still vmapping
             # (scan-per-anchor would be ~256x more dispatches)
-            stepper = ring_sweep_stepper(mesh, pars.ignore_miss_data,
-                                         pars.extend_out, row_chunk=256)
+            if n_is > 1:
+                from .parallel.ring import ring_sweep_stepper_ind
+                stepper = ring_sweep_stepper_ind(
+                    mesh, pars.ignore_miss_data, pars.extend_out,
+                    row_chunk=256)
+            else:
+                stepper = ring_sweep_stepper(
+                    mesh, pars.ignore_miss_data, pars.extend_out,
+                    row_chunk=256)
         writer = RowWriter(out_fh, labels, pars.extend_out)
         if jax.process_index() == 0:
             # multi-host shards concatenate in part order; only the first
@@ -284,6 +306,7 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
             return out
 
         from .parallel.ring import ring_subblock_taker
+        from .parallel.ring import ring_subblock_taker_ind as _rsti
         from .utils.signals import GracefulStop
         interrupted = False
         with log.phase("compute: ring sweep"), GracefulStop(log) as gs:
@@ -327,7 +350,9 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                             mesh, n_sub, si, offset=t0)(
                                 gb_d, eb_d, maf_d, ok_d)
                     else:
-                        vis = ring_subblock_taker(
+                        taker = (ring_subblock_taker if n_is == 1
+                                 else _rsti)
+                        vis = taker(
                             mesh, n_sub, si, offset=t0)(gn_d, eg_d, maf_d)
                 for t in range(t0, t_max):
                     stop = gs.stopped
@@ -379,8 +404,9 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         # (a, pj) is unique across a block's tiles.
         budget = int(os.environ.get("NGSLD_RING_EMIT_ROWS", 2_000_000))
         my_blocks = sorted(
-            k for k, d in enumerate(jax.devices()[:n_dev])
-            if d.process_index == jax.process_index())
+            k for k in range(n_dev)
+            if np.atleast_1d(mesh.devices[k]).ravel()[0]
+            .process_index == jax.process_index())
         with log.phase("emit: merge + format"):
             for i in my_blocks:
                 mms = [np.load(p, mmap_mode="r")

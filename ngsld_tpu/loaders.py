@@ -271,11 +271,32 @@ def _ring_sharded_tables(pars, mesh, n_dev, B, Sp, np_dt, log,
     hold = hold or contextlib.nullcontext
 
     n, m = pars.n_sites, pars.n_ind
-    shd = NamedSharding(mesh, PS("sites", None, None))
-    devices = list(mesh.devices.reshape(-1))
-    my = [(k, d) for k, d in enumerate(devices) if
-          d.process_index == jax.process_index()]
+    # the mesh may carry an 'ind' axis (--ring --shard_ind): the table
+    # then shards over BOTH site blocks and individual slices, and each
+    # device receives only its (B, I_loc) window of the block it loads
+    n_is = dict(zip(mesh.axis_names, mesh.devices.shape)).get("ind", 1)
+    I_loc = m // n_is
+    shd = NamedSharding(mesh, PS("sites", "ind", None) if n_is > 1
+                        else PS("sites", None, None))
+    grid = mesh.devices.reshape(n_dev, n_is)
+    mine_devs = {}          # site block k -> [(ind shard q, device)]
+    for k in range(n_dev):
+        for q in range(n_is):
+            d = grid[k, q]
+            if d.process_index == jax.process_index():
+                mine_devs.setdefault(k, []).append((q, d))
+    my = sorted(mine_devs)  # this process's resident site blocks
     pad_val = np_dt(np.log(1.0 / 3.0))
+
+    def put_block(k, buf, shards):
+        """Ship one fully-loaded (B, m, 3) site block to every owned
+        device of its mesh row (slicing the individual axis per shard)."""
+        for q, d in mine_devs[k]:
+            sl = buf if n_is == 1 else np.ascontiguousarray(
+                buf[:, q * I_loc:(q + 1) * I_loc])
+            with hold():
+                shards.append(jax.device_put(sl, d))
+            touch()
 
     def assemble(shards):
         return jax.make_array_from_single_device_arrays(
@@ -292,7 +313,7 @@ def _ring_sharded_tables(pars, mesh, n_dev, B, Sp, np_dt, log,
         slab_sites = max(1, slab_bytes // (rec * 8))
         shards = []
         with open(pars.in_geno, "rb") as fh:
-            for k, d in my:
+            for k in my:
                 lo = k * B
                 rows = max(0, min(B, n - lo))
                 # pad rows must normalize to a harmless uniform record in
@@ -317,9 +338,7 @@ def _ring_sharded_tables(pars, mesh, n_dev, B, Sp, np_dt, log,
                             "NaN found! Is the file format correct?")
                     buf[s:s + cnt] = a
                     s += cnt
-                with hold():
-                    shards.append(jax.device_put(buf, d))
-                touch()
+                put_block(k, buf, shards)
                 del buf
         return assemble(shards), True
 
@@ -328,8 +347,7 @@ def _ring_sharded_tables(pars, mesh, n_dev, B, Sp, np_dt, log,
         # log-normalized); only resident blocks are buffered, everything
         # else is discarded as soon as it parses
         from .native import parse_geno_text_native
-        mine = {k: None for k, _ in my}
-        dev_of = dict(my)
+        mine = {k: None for k in my}
         shards = []
         chunk_bytes = min(slab_bytes, _StreamedTextLoader.CHUNK_BYTES)
         with strict.open_maybe_gz(pars.in_geno, "rb") as fh:
@@ -373,10 +391,7 @@ def _ring_sharded_tables(pars, mesh, n_dev, B, Sp, np_dt, log,
                 # a block is complete once the stream passes its end
                 for k in sorted(mine):
                     if mine[k] is not None and (k + 1) * B <= s:
-                        with hold():
-                            shards.append(
-                                jax.device_put(mine[k], dev_of[k]))
-                        touch()
+                        put_block(k, mine[k], shards)
                         del mine[k]
                 if used < len(chunk):
                     leftover = chunk[used:]
@@ -395,9 +410,7 @@ def _ring_sharded_tables(pars, mesh, n_dev, B, Sp, np_dt, log,
             b = mine[k]
             if b is None:
                 b = np.full((B, m, 3), pad_val, np_dt)
-            with hold():
-                shards.append(jax.device_put(b, dev_of[k]))
-            touch()
+            put_block(k, b, shards)
         return assemble(shards), False
 
     # fallback: strict reader (exact reference error surface); this DOES
@@ -408,13 +421,11 @@ def _ring_sharded_tables(pars, mesh, n_dev, B, Sp, np_dt, log,
     geno_log = strict.read_geno(pars.in_geno, pars.in_bin, pars.in_probs,
                                 pars.in_logscale, m, n)
     shards = []
-    for k, d in my:
+    for k in my:
         lo = k * B
         buf = np.full((B, m, 3), pad_val, np_dt)
         rows = max(0, min(B, n - lo))
         if rows:
             buf[:rows] = np.asarray(geno_log[lo:lo + rows], np_dt)
-        with hold():
-            shards.append(jax.device_put(buf, d))
-        touch()
+        put_block(k, buf, shards)
     return assemble(shards), False

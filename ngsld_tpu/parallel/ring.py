@@ -38,6 +38,7 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..ops.em import pair_em
+from ..ops.preprocess import miss_mask
 from ..ops.stats import chi2_stat, ld_stats, pearson_r2
 
 
@@ -176,6 +177,106 @@ def ring_subblock_taker_strip(mesh, n_sub: int, si: int, offset: int = 0):
         in_specs=(sB, P(None, "sites"), P("sites"), P("sites")),
         out_specs=(sB, P(None, "sites"), P("sites"), P("sites")),
         check_vma=False)
+    return jax.jit(mapped)
+
+
+def _tile_stats_ind_fn(ignore_miss_data: bool, extend_out: bool,
+                       row_chunk: int):
+    """2-D ('sites', 'ind') variant of _tile_stats_fn: each device holds
+    only its individual SLICE of both blocks; every per-individual
+    reduction (EM numerators/denominators, Pearson moments, n_used)
+    psums over the 'ind' axis (parallel.sweep's shard bodies)."""
+    from .sweep import _pair_em_shard, _pearson_shard
+
+    def tile_stats(gn_a, eg_a, maf_a, gn_b, eg_b, maf_b):
+        Ba = gn_a.shape[0]
+
+        def strip(args):
+            g1, e1, m1 = args           # one anchor site's LOCAL slice
+            gn1 = jnp.broadcast_to(g1[None], gn_b.shape)
+            eg1 = jnp.broadcast_to(e1[None], eg_b.shape)
+            maf1 = jnp.broadcast_to(m1[None], maf_b.shape)
+            f0 = jnp.stack([(1 - maf1) * (1 - maf_b), (1 - maf1) * maf_b,
+                            maf1 * (1 - maf_b), maf1 * maf_b],
+                           axis=1).astype(gn1.dtype)
+            if ignore_miss_data:
+                include = ~(miss_mask(gn1) | miss_mask(gn_b))
+            else:
+                include = jnp.ones(gn1.shape[:2], bool)
+            n_used = jax.lax.psum(jnp.sum(include, axis=1),
+                                  "ind").astype(jnp.int32)
+            f, n_iter = _pair_em_shard(gn1, gn_b, f0, include, n_used)
+            n_tot = jax.lax.psum(
+                jnp.full(gn1.shape[0], gn1.shape[1], jnp.int32), "ind")
+            r2p = _pearson_shard(eg1, eg_b, n_tot)
+            hmaf0, hmaf1, D, Dp, r2 = ld_stats(f)
+            chi2 = (chi2_stat(f) if extend_out
+                    else jnp.zeros_like(r2p, jnp.float32))
+            return dict(r2p=r2p, f=f, n_iter=n_iter, n_used=n_used,
+                        hmaf1=hmaf0, hmaf2=hmaf1, D=D, Dp=Dp, r2=r2,
+                        chi2=chi2)
+
+        xs = (gn_a, eg_a, maf_a)
+        bs = min(row_chunk, Ba) if row_chunk else Ba
+        return jax.lax.map(strip, xs, batch_size=bs)
+
+    return tile_stats
+
+
+def ring_sweep_stepper_ind(mesh, ignore_miss_data: bool = False,
+                           extend_out: bool = True, row_chunk: int = 0):
+    """Ring stepper over a 2-D ('sites', 'ind') mesh: the GL/E[G] tables
+    shard over BOTH the site-block axis and the individual axis (very
+    large cohorts whose blocks exceed one device even site-sharded). The
+    visiting blocks ride the 'sites' ring exactly as in
+    ring_sweep_stepper — the ppermute acts within each 'ind' column —
+    while the per-individual reductions psum over 'ind'. Stats are
+    replicated along 'ind' (every shard applies the identical EM update
+    after the psum), so emission is unchanged."""
+    n_dev = mesh.shape["sites"]
+    perm = [(k, (k - 1) % n_dev) for k in range(n_dev)]
+    tile_stats = _tile_stats_ind_fn(ignore_miss_data, extend_out,
+                                    row_chunk)
+
+    def local(gn, eg, maf, vgn, veg, vmaf):
+        out = tile_stats(gn, eg, maf, vgn, veg, vmaf)
+        nxt = tuple(jax.lax.ppermute(v, "sites", perm)
+                    for v in (vgn, veg, vmaf))
+        return out, *nxt
+
+    spec3 = P("sites", "ind", None)
+    espec = P("sites", "ind")
+    out_stats = {k: (P("sites", None, None) if k == "f"
+                     else P("sites", None)) for k in _STAT_KEYS}
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec3, espec, P("sites"),
+                  spec3, espec, P("sites")),
+        out_specs=(out_stats, spec3, espec, P("sites")),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def ring_subblock_taker_ind(mesh, n_sub: int, si: int, offset: int = 0):
+    """2-D-mesh analogue of ring_subblock_taker (tables sharded over
+    ('sites', 'ind'))."""
+    n_dev = mesh.shape["sites"]
+    perm = [(k, (k - offset) % n_dev) for k in range(n_dev)]
+
+    def local(gn, eg, maf):
+        B_sub = gn.shape[0] // n_sub
+        lo = si * B_sub
+        out = (gn[lo:lo + B_sub], eg[lo:lo + B_sub], maf[lo:lo + B_sub])
+        if offset % n_dev:
+            out = tuple(jax.lax.ppermute(v, "sites", perm) for v in out)
+        return out
+
+    spec3 = P("sites", "ind", None)
+    espec = P("sites", "ind")
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec3, espec, P("sites")),
+        out_specs=(spec3, espec, P("sites")), check_vma=False)
     return jax.jit(mapped)
 
 

@@ -435,3 +435,54 @@ def test_run_jax_shard_ind_matches_single(tmp_path):
                 # psum reduction order differs from the single-device
                 # sum; f64 keeps it at printing precision
                 assert abs(x - y) <= 2e-6, (c, a, b)
+
+
+def test_ring_with_shard_ind_matches_strict(tmp_path):
+    """--ring --shard 4 --shard_ind 2: the 2-D ('sites','ind') ring — site
+    blocks ride the ppermute ring while every per-individual reduction
+    psums over 'ind' (ring_sweep_stepper_ind). Output must match the
+    plain 1-D ring byte-for-byte in f64 (same math, same order) and the
+    strict oracle to engine tolerance."""
+    from ngsld_tpu import strict
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    files = write_all(simulate(n_ind=8, n_sites=300, seed=71),
+                      str(tmp_path / "fx"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "8",
+            "--n_sites", "300", "--pos", files["pos"], "--max_kb_dist",
+            "0", "--extend_out", "--engine", "jax", "--verbose", "0"]
+    r1 = tmp_path / "ring1.ld"
+    r2 = tmp_path / "ring2.ld"
+    s_out = tmp_path / "s.ld"
+    run_jax(params_from_args(argv + ["--ring", "--shard", "4",
+                                     "--ring_sub", "2",
+                                     "--out", str(r1)]))
+    run_jax(params_from_args(argv + ["--ring", "--shard", "4",
+                                     "--shard_ind", "2", "--ring_sub",
+                                     "2", "--out", str(r2)]))
+    strict.run(params_from_args(argv[:-4] + ["--engine", "strict",
+                                             "--verbose", "0",
+                                             "--out", str(s_out)]))
+    assert len(r2.read_bytes().splitlines()) > 1000
+    # 2-D vs 1-D ring: identical pair set; values agree to reduction-
+    # order tolerance (the 'ind' psum splits the individual sums)
+    a = r1.read_text().splitlines()
+    b = r2.read_text().splitlines()
+    assert len(a) == len(b)
+    assert a[0] == b[0]                      # header
+    import numpy as np
+    for x, y in zip(a[1:], b[1:]):
+        fx, fy = x.split("\t"), y.split("\t")
+        assert fx[:3] == fy[:3]
+        for c in range(3, len(fx)):
+            u, v = float(fx[c]), float(fy[c])
+            if not (np.isfinite(u) and np.isfinite(v)):
+                assert u == v or (np.isnan(u) and np.isnan(v)), (c, x, y)
+                continue
+            assert abs(u - v) <= 5e-5, (c, x, y)
+    # and against the oracle (pair set exact)
+    s = s_out.read_text().splitlines()
+    assert [r.split("\t")[:2] for r in b] == \
+           [r.split("\t")[:2] for r in s]
