@@ -385,3 +385,47 @@ def test_block_strip_sharded_matches_unsharded(tmp_path, monkeypatch):
     run_jax(params_from_args(argv + ["--shard", "8", "--out", str(out8)]))
     assert out8.read_bytes() == out1.read_bytes()
     assert len(out1.read_bytes().splitlines()) > 1000
+
+
+@pytest.mark.parametrize("seed", [101, 102, 103, 104])
+def test_block_strip_fuzz_configs(tmp_path, monkeypatch, seed):
+    """Randomized flag-combination fuzz: forced strip sweep vs the strict
+    oracle across band kinds, sampling, min_maf, and genotype calling —
+    the pair SET must match exactly, values to f32 grade."""
+    import numpy as np
+
+    from ngsld_tpu import strict
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    rng = np.random.default_rng(seed)
+    monkeypatch.setenv("NGSLD_BLOCK_STRIP", "1")
+    n_sites = int(rng.integers(300, 700))
+    n_ind = int(rng.integers(6, 14))
+    files = write_all(simulate(n_ind=n_ind, n_sites=n_sites, seed=seed,
+                               contig_kb=50.0), str(tmp_path / "fx"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", str(n_ind),
+            "--n_sites", str(n_sites), "--pos", files["pos"],
+            "--extend_out", "--verbose", "0"]
+    if rng.random() < 0.5:
+        argv += ["--max_kb_dist", str(int(rng.integers(2, 6)))]
+    else:
+        argv += ["--max_kb_dist", "0", "--max_snp_dist",
+                 str(int(rng.integers(20, 80)))]
+    if rng.random() < 0.5:
+        argv += ["--min_maf", "0.05"]
+    if rng.random() < 0.5:
+        argv += ["--rnd_sample", "0.6", "--seed", str(seed)]
+    if rng.random() < 0.5:
+        argv += ["--call_geno", "--N_thresh", "0.2", "--call_thresh",
+                 "0.9"]
+    r_out, s_out = tmp_path / "r.ld", tmp_path / "s.ld"
+    run_jax(params_from_args(argv + ["--precision", "f32",
+                                     "--out", str(r_out)]))
+    strict.run(params_from_args(argv + ["--engine", "strict",
+                                        "--out", str(s_out)]))
+    s = s_out.read_text().splitlines()
+    r = r_out.read_text().splitlines()
+    assert len(s) == len(r) > 50, (len(s), len(r), argv)
+    _cmp_vs_strict(s, r, 50)
