@@ -314,6 +314,12 @@ def e2e_allpairs_bench():
 
 
 def main():
+    # Wall budget: the driver runs this at end-of-round; the kernel
+    # headline + primary e2e must always land, the secondary per-engine
+    # e2e configs are skipped once the budget is spent (tunnel stall
+    # lottery makes per-run wall unpredictable; see PERF.md).
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("NGSLD_BENCH_BUDGET", "2400"))
     detail = {}
     strip = strip_kernel_bench()
     gather = gather_kernel_bench()
@@ -326,9 +332,13 @@ def main():
         headline = gather["evals_per_sec"]
         detail["headline_from"] = "gather_kernel"
     detail["e2e"] = e2e_bench()
-    detail["e2e_ring"] = e2e_ring_bench()
-    detail["e2e_sampled"] = e2e_sampled_bench()
-    detail["e2e_allpairs"] = e2e_allpairs_bench()
+    for key, fn in (("e2e_ring", e2e_ring_bench),
+                    ("e2e_sampled", e2e_sampled_bench),
+                    ("e2e_allpairs", e2e_allpairs_bench)):
+        if time.perf_counter() - t_start > budget:
+            detail[key] = {"skipped": "bench time budget spent"}
+            continue
+        detail[key] = fn()
     print(json.dumps({
         "metric": "pair_em_evals_per_sec",
         "value": headline,
