@@ -44,6 +44,7 @@ from ..constants import EPSILON, ITER_MAX
 
 _KBITS = ((0, 0), (0, 1), (1, 0), (1, 1))
 _UNROLL = 4
+_GROUP = 4         # anchors sharing one convergence loop (see _strip_kernel)
 TA = 128           # anchors per tile (sublane-major axis of outputs)
 TB = 128           # partners per tile (lane axis)
 
@@ -63,10 +64,27 @@ def _strip_kernel(ta_ref, tb_ref,             # scalar prefetch: tile coords
                   r2p_out,   # (1, TA, TB) f32
                   nit_out,   # (1, TA, TB) i32
                   nu_out,    # (1, TA, TB) i32
-                  active_ref,   # scratch (1, TB)
-                  *, I, Ip, iter_cap, ignore_miss, unroll=_UNROLL):
+                  fs_scr,    # scratch (4, G, 1, TB) f32
+                  act_scr,   # scratch (G, 1, TB) f32
+                  nit_scr,   # scratch (G, 1, TB) i32
+                  *, I, Ip, iter_cap, ignore_miss, unroll=_UNROLL,
+                  group=_GROUP):
+    """Grouped-anchor EM: G anchors share one while loop over
+    (G, Ip, TB)-shaped state, so each scalar-unit convergence check
+    covers G x Ip x TB evals instead of Ip x TB. The per-anchor version
+    (group=1) measured ~50% of the fixed-iteration ceiling with the
+    scalar syncs as the gap (PERF.md). State lives in VMEM scratch —
+    Mosaic's while-loop lowering cannot legalize VECTOR loop carries
+    (scf.yield), so only the (it, done) scalars ride the carry and the
+    body loads/stores the group's fs/active/nIter once per `unroll`
+    steps. Per-pair freeze/nIter semantics are unchanged — every
+    anchor's pairs see the same iteration numbering the solo loop used,
+    the group merely keeps iterating until its slowest anchor converges
+    (executed-not-counted waste, small within a band where neighboring
+    anchors have similar difficulty)."""
     i = pl.program_id(0)
     b0 = tb_ref[i] * TB
+    G = group
 
     gb = [gb_ref[c] for c in range(3)]                  # (Ip, TB)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (Ip, TB), 0)
@@ -79,34 +97,55 @@ def _strip_kernel(ta_ref, tb_ref,             # scalar prefetch: tile coords
     okb = okb_ref[:] > 0.0                              # (1, TB)
     eb = eb_ref[:]                                      # (Ip, TB)
 
-    def anchor(a, _):
-        g1 = [jnp.transpose(ga_ref[c, pl.ds(a, 1), :])  # (Ip, 1)
-              for c in range(3)]
+    def group_body(g, _):
+        a0 = g * G
+        # ---- per-anchor prologue, stacked on a leading G axis ----
+        g1s, fss, lives, n_useds = [], [], [], []
+        for j in range(G):
+            a = a0 + j
+            g1 = [jnp.transpose(ga_ref[c, pl.ds(a, 1), :])  # (Ip, 1)
+                  for c in range(3)]
+            if ignore_miss:
+                missa = (jnp.abs(g1[0] - g1[1]) < EPSILON) & \
+                        (jnp.abs(g1[1] - g1[2]) < EPSILON)
+                inc = inc_b & jnp.logical_not(missa)
+            else:
+                inc = inc_b
+            incf = inc.astype(jnp.float32)              # (Ip, TB)
+            n_used = jnp.sum(incf, axis=0, keepdims=True)   # (1, TB)
+            ma = mafa_ref[a, 0]
+            mb = mafb_ref[:]                            # (1, TB)
+            fs = [(1 - ma) * (1 - mb), (1 - ma) * mb,
+                  ma * (1 - mb), ma * mb]
+            live = (b_glob >= loa_ref[a, 0]) & (b_glob < hia_ref[a, 0]) \
+                & (oka_ref[a, 0] > 0.0) & okb
+            nu_out[0, pl.ds(a, 1), :] = n_used.astype(jnp.int32)
+            # Pearson r2 on standardized E[G]: corr = sum_i ea~ * eb~
+            # (tables carry (e - mean)/(sqrt(n) * sd); ngsLD.cpp:365-367)
+            ea = jnp.transpose(ea_ref[pl.ds(a, 1), :])  # (Ip, 1)
+            corr = jnp.sum(ea * eb, axis=0, keepdims=True)
+            r2p_out[0, pl.ds(a, 1), :] = corr * corr
+            g1s.append(g1)
+            fss.append(fs)
+            lives.append(live)
+            n_useds.append(incf if ignore_miss else n_used)
+        g1w = [jnp.stack([g1s[j][c] for j in range(G)])   # (G, Ip, 1)
+               for c in range(3)]
+        fsw = [jnp.stack([fss[j][k] for j in range(G)])   # (G, 1, TB)
+               for k in range(4)]
+        livew = jnp.stack(lives)                          # (G, 1, TB)
         if ignore_miss:
-            missa = (jnp.abs(g1[0] - g1[1]) < EPSILON) & \
-                    (jnp.abs(g1[1] - g1[2]) < EPSILON)
-            inc = inc_b & jnp.logical_not(missa)
+            incfw = jnp.stack(n_useds)                    # (G, Ip, TB)
+            n_usedw = jnp.sum(incfw, axis=1, keepdims=True)
         else:
-            inc = inc_b
-        incf = inc.astype(jnp.float32)                  # (Ip, TB)
-        n_used = jnp.sum(incf, axis=0, keepdims=True)   # (1, TB)
-        invx = 1.0 / n_used    # exact divide, once per anchor
-        ma = mafa_ref[a, 0]
-        mb = mafb_ref[:]                                # (1, TB)
-        fs = [(1 - ma) * (1 - mb), (1 - ma) * mb,
-              ma * (1 - mb), ma * mb]
-        live = (b_glob >= loa_ref[a, 0]) & (b_glob < hia_ref[a, 0]) \
-            & (oka_ref[a, 0] > 0.0) & okb
-        active_ref[:] = live.astype(jnp.float32)
+            incfw = inc_b.astype(jnp.float32)[None]       # (1, Ip, TB)
+            n_usedw = jnp.stack(n_useds)                  # (G, 1, TB)
+        invxw = 1.0 / n_usedw    # exact divide, once per group
+
         for k in range(4):
-            f_out[0, k, pl.ds(a, 1), :] = fs[k]
-        nit_out[0, pl.ds(a, 1), :] = jnp.full((1, TB), iter_cap, jnp.int32)
-        nu_out[0, pl.ds(a, 1), :] = n_used.astype(jnp.int32)
-        # Pearson r2 on standardized E[G]: corr = sum_i ea~ * eb~ (the
-        # tables carry (e - mean)/(sqrt(n) * sd); ngsLD.cpp:365-367)
-        ea = jnp.transpose(ea_ref[pl.ds(a, 1), :])      # (Ip, 1)
-        corr = jnp.sum(ea * eb, axis=0, keepdims=True)
-        r2p_out[0, pl.ds(a, 1), :] = corr * corr
+            fs_scr[k] = fsw[k]
+        act_scr[...] = livew.astype(jnp.float32)
+        nit_scr[...] = jnp.full((G, 1, TB), iter_cap, jnp.int32)
 
         def cond(c):
             it, done = c
@@ -114,22 +153,22 @@ def _strip_kernel(ta_ref, tb_ref,             # scalar prefetch: tile coords
 
         def em_step(it, fs, act, n_iter):
             Q = [[fs[2 * x] * gb[c] + fs[2 * x + 1] * gb[c + 1]
-                  for c in range(2)] for x in range(2)]
-            D = [g1[a1k] * Q[0][a2k] + g1[a1k + 1] * Q[1][a2k]
+                  for c in range(2)] for x in range(2)]   # (G, Ip, TB)
+            D = [g1w[a1k] * Q[0][a2k] + g1w[a1k + 1] * Q[1][a2k]
                  for (a1k, a2k) in _KBITS]
             s = fs[0] * D[0]
             for k in range(1, 4):
                 s = s + fs[k] * D[k]
             r0 = pl.reciprocal(s, approx=True)
-            r = incf * (r0 * (2.0 - s * r0))
-            f_new = [fs[k] * jnp.sum(D[k] * r, axis=0, keepdims=True)
-                     * invx for k in range(4)]
+            r = incfw * (r0 * (2.0 - s * r0))
+            f_new = [fs[k] * jnp.sum(D[k] * r, axis=1, keepdims=True)
+                     * invxw for k in range(4)]
             norm = ((f_new[0] + f_new[1]) + f_new[2]) + f_new[3]
             rn0 = pl.reciprocal(norm, approx=True)
             rn = rn0 * (2.0 - norm * rn0)
             f_new = [fn * rn for fn in f_new]
             f_next = [jnp.where(act, f_new[k], fs[k]) for k in range(4)]
-            eps = jnp.zeros((1, TB), jnp.float32)
+            eps = jnp.zeros((G, 1, TB), jnp.float32)
             for k in range(4):
                 d = jnp.abs(f_next[k] - fs[k])
                 eps = jnp.where(d > eps, d, eps)
@@ -139,22 +178,27 @@ def _strip_kernel(ta_ref, tb_ref,             # scalar prefetch: tile coords
             return f_next, still, n_iter
 
         def body(c):
-            it, _ = c
-            fs = [f_out[0, k, pl.ds(a, 1), :] for k in range(4)]
-            act = active_ref[:] > 0.0
-            n_iter = nit_out[0, pl.ds(a, 1), :]
+            it = c[0]
+            fs = [fs_scr[k] for k in range(4)]
+            act = act_scr[...] > 0.0
+            n_iter = nit_scr[...]
             for u in range(unroll):
                 fs, act, n_iter = em_step(it + u, fs, act, n_iter)
             for k in range(4):
-                f_out[0, k, pl.ds(a, 1), :] = fs[k]
-            nit_out[0, pl.ds(a, 1), :] = n_iter
-            active_ref[:] = act.astype(jnp.float32)
+                fs_scr[k] = fs[k]
+            act_scr[...] = act.astype(jnp.float32)
+            nit_scr[...] = n_iter
             return it + unroll, jnp.logical_not(jnp.any(act))
 
         jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+        for j in range(G):
+            a = a0 + j
+            for k in range(4):
+                f_out[0, k, pl.ds(a, 1), :] = fs_scr[k, j]
+            nit_out[0, pl.ds(a, 1), :] = nit_scr[j]
         return 0
 
-    jax.lax.fori_loop(0, TA, anchor, 0)
+    jax.lax.fori_loop(0, TA // G, group_body, 0)
 
 
 def strip_tables(gn, eg, n_ind: int):
@@ -193,12 +237,32 @@ def vmem_ok(n_ind: int) -> bool:
     return strips + estrips + outs <= 8_000_000
 
 
+def _default_group(Ip: int) -> int:
+    """Anchors per convergence loop: as large as the em_step temporaries
+    allow. ~12 (G, Ip, TB) f32 planes are live per step; keeping
+    G * Ip <= 1024 holds that under ~6 MB of VMEM alongside the
+    double-buffered strips. NGSLD_STRIP_GROUP overrides (must divide TA)."""
+    import os
+    env = os.environ.get("NGSLD_STRIP_GROUP")
+    if env is not None:
+        g = int(env)
+        if g < 1 or TA % g:
+            raise ValueError(f"NGSLD_STRIP_GROUP must divide TA={TA}: {g}")
+        return g
+    g = _GROUP
+    while g > 1 and g * Ip > 1024:
+        g //= 2
+    return g
+
+
 @functools.partial(jax.jit, static_argnames=("n_ind", "iter_cap",
-                                             "ignore_miss", "interpret"))
+                                             "ignore_miss", "interpret",
+                                             "group", "unroll"))
 def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
              *, n_ind: int,
              iter_cap: int = ITER_MAX, ignore_miss: bool = False,
-             interpret: bool = False):
+             interpret: bool = False, group: int | None = None,
+             unroll: int = _UNROLL):
     """Run one batch of tiles.
 
     ga (3, Sa, Ip), gb (3, Ip, Sb), ea (Sa, Ip), eb (Ip, Sb): strip
@@ -215,9 +279,12 @@ def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
     """
     # the while body runs `unroll` exact steps between scalar checks; a
     # cap that is not a multiple would overshoot it (see pallas_em)
-    assert iter_cap % _UNROLL == 0, iter_cap
+    assert iter_cap % unroll == 0, (iter_cap, unroll)
     n = ta.shape[0]
     Ip = ga.shape[2]
+    if group is None:
+        group = _default_group(Ip)
+    assert group >= 1 and TA % group == 0, group
     mafa = maf_a.reshape(-1, 1).astype(jnp.float32)
     mafb = maf_b.reshape(1, -1).astype(jnp.float32)
     loa = lo.reshape(-1, 1).astype(jnp.int32)
@@ -225,7 +292,8 @@ def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
     oka = ok_a.reshape(-1, 1).astype(jnp.float32)
     okb = ok_b.reshape(1, -1).astype(jnp.float32)
     kernel = functools.partial(_strip_kernel, I=n_ind, Ip=Ip,
-                               iter_cap=iter_cap, ignore_miss=ignore_miss)
+                               iter_cap=iter_cap, ignore_miss=ignore_miss,
+                               unroll=unroll, group=group)
     f, r2p, nit, nu = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -250,7 +318,9 @@ def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
                 pl.BlockSpec((1, TA, TB), lambda i, ta, tb: (i, 0, 0)),
                 pl.BlockSpec((1, TA, TB), lambda i, ta, tb: (i, 0, 0)),
             ],
-            scratch_shapes=[pltpu.VMEM((1, TB), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((4, group, 1, TB), jnp.float32),
+                            pltpu.VMEM((group, 1, TB), jnp.float32),
+                            pltpu.VMEM((group, 1, TB), jnp.int32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((n, 4, TA, TB), jnp.float32),
@@ -265,11 +335,12 @@ def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
 
 @functools.partial(jax.jit, static_argnames=("n_ind", "iter_cap",
                                              "ignore_miss", "interpret",
-                                             "use_i16"))
+                                             "use_i16", "group", "unroll"))
 def strip_em_compact(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b,
                      ta, tb, sel, *, n_ind: int,
                      iter_cap: int = ITER_MAX, ignore_miss: bool = False,
-                     interpret: bool = False, use_i16: bool = True):
+                     interpret: bool = False, use_i16: bool = True,
+                     group: int | None = None, unroll: int = _UNROLL):
     """strip_em + ON-DEVICE row compaction.
 
     `sel` (C,) int32 holds flat indices into the (n_tiles, TA, TB) cell
@@ -288,7 +359,7 @@ def strip_em_compact(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b,
     f, r2p, nit, nu = strip_em(
         ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
         n_ind=n_ind, iter_cap=iter_cap, ignore_miss=ignore_miss,
-        interpret=interpret)
+        interpret=interpret, group=group, unroll=unroll)
     n = ta.shape[0]
     ff = f.transpose(0, 2, 3, 1).reshape(n * TA * TB, 4)
     fm = jnp.concatenate([jnp.take(r2p.reshape(-1), sel)[:, None],

@@ -130,6 +130,37 @@ def test_vmem_model():
     assert not vmem_ok(4000)
 
 
+@pytest.mark.parametrize("group", [2, 8])
+def test_grouped_anchors_match_solo(group):
+    """The grouped-anchor convergence loop (G anchors per while loop)
+    must be cell-for-cell identical to group=1: same f, nIter, n_used,
+    r2p — grouping only changes how long the loop RUNS, never what any
+    pair computes (pallas_strip._strip_kernel)."""
+    S, I, W = 384, 12, 90
+    glp, maf, lo, hi, ok, tiles, tabs = _tables(S, I, seed=9, W=W)
+    Sp = len(lo)
+    mafp = np.pad(maf, (0, Sp - S), constant_values=0.5)
+    ta = jnp.asarray([t[0] for t in tiles], jnp.int32)
+    tb = jnp.asarray([t[1] for t in tiles], jnp.int32)
+    m = jnp.asarray(mafp)
+    okj = jnp.asarray(ok)
+    outs = {}
+    for g in (1, group):
+        outs[g] = [np.asarray(o) for o in strip_em(
+            *tabs, m, m, jnp.asarray(lo), jnp.asarray(hi), okj, okj,
+            ta, tb, n_ind=I, interpret=True, group=g)]
+    for a, b, name in zip(outs[1], outs[group],
+                          ("f", "r2p", "n_iter", "n_used")):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_default_group_scales_down_with_cohort():
+    from ngsld_tpu.kernels.pallas_strip import _default_group
+    assert _default_group(104) == 4
+    assert _default_group(512) == 2
+    assert _default_group(1104) == 1
+
+
 def test_ring_strip_stepper_matches_strict(tmp_path, monkeypatch):
     """--ring with the strip-kernel stepper (NGSLD_FORCE_STRIP, interpret
     mode) must reproduce the strict oracle's pair set exactly and its
