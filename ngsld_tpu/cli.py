@@ -106,6 +106,15 @@ def main(argv=None) -> int:
             from . import strict
             strict.run(pars)
         else:
+            import os
+            plat = os.environ.get("NGSLD_PLATFORM")
+            if plat:
+                # Hosts that preload jax with an accelerator platform at
+                # interpreter startup (sitecustomize) read JAX_PLATFORMS
+                # before the shell env can win; pin via jax.config like
+                # tests/conftest.py does.
+                import jax
+                jax.config.update("jax_platforms", plat)
             from .engine import run_jax
             run_jax(pars)
     except Exception as e:
