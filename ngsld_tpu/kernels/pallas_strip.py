@@ -97,10 +97,22 @@ def _strip_kernel(ta_ref, tb_ref,             # scalar prefetch: tile coords
     okb = okb_ref[:] > 0.0                              # (1, TB)
     eb = eb_ref[:]                                      # (Ip, TB)
 
+    # Pearson r2 on standardized E[G] for the WHOLE tile in one MXU
+    # matmul: corr[a, b] = sum_i ea~[a, i] * eb~[i, b] (the tables carry
+    # (e - mean)/(sqrt(n) * sd); ngsLD.cpp:365-367). One (TA, Ip) x
+    # (Ip, TB) dot replaces TA per-anchor matvec reductions on the VPU.
+    corr = jnp.dot(ea_ref[:], eb, preferred_element_type=jnp.float32)
+    r2p_out[0] = corr * corr
+    if not ignore_miss:
+        # inclusion is anchor-independent: one reduction serves the tile
+        incf_t = inc_b.astype(jnp.float32)              # (Ip, TB)
+        n_used_t = jnp.sum(incf_t, axis=0, keepdims=True)   # (1, TB)
+        nu_out[0] = jnp.broadcast_to(n_used_t.astype(jnp.int32), (TA, TB))
+
     def group_body(g, _):
         a0 = g * G
         # ---- per-anchor prologue, stacked on a leading G axis ----
-        g1s, fss, lives, n_useds = [], [], [], []
+        g1s, fss, lives, incfs = [], [], [], []
         for j in range(G):
             a = a0 + j
             g1 = [jnp.transpose(ga_ref[c, pl.ds(a, 1), :])  # (Ip, 1)
@@ -108,38 +120,35 @@ def _strip_kernel(ta_ref, tb_ref,             # scalar prefetch: tile coords
             if ignore_miss:
                 missa = (jnp.abs(g1[0] - g1[1]) < EPSILON) & \
                         (jnp.abs(g1[1] - g1[2]) < EPSILON)
-                inc = inc_b & jnp.logical_not(missa)
-            else:
-                inc = inc_b
-            incf = inc.astype(jnp.float32)              # (Ip, TB)
-            n_used = jnp.sum(incf, axis=0, keepdims=True)   # (1, TB)
+                incf = (inc_b & jnp.logical_not(missa)).astype(jnp.float32)
+                n_used = jnp.sum(incf, axis=0, keepdims=True)   # (1, TB)
+                nu_out[0, pl.ds(a, 1), :] = n_used.astype(jnp.int32)
+                incfs.append(incf)
             ma = mafa_ref[a, 0]
             mb = mafb_ref[:]                            # (1, TB)
             fs = [(1 - ma) * (1 - mb), (1 - ma) * mb,
                   ma * (1 - mb), ma * mb]
             live = (b_glob >= loa_ref[a, 0]) & (b_glob < hia_ref[a, 0]) \
                 & (oka_ref[a, 0] > 0.0) & okb
-            nu_out[0, pl.ds(a, 1), :] = n_used.astype(jnp.int32)
-            # Pearson r2 on standardized E[G]: corr = sum_i ea~ * eb~
-            # (tables carry (e - mean)/(sqrt(n) * sd); ngsLD.cpp:365-367)
-            ea = jnp.transpose(ea_ref[pl.ds(a, 1), :])  # (Ip, 1)
-            corr = jnp.sum(ea * eb, axis=0, keepdims=True)
-            r2p_out[0, pl.ds(a, 1), :] = corr * corr
             g1s.append(g1)
             fss.append(fs)
             lives.append(live)
-            n_useds.append(incf if ignore_miss else n_used)
         g1w = [jnp.stack([g1s[j][c] for j in range(G)])   # (G, Ip, 1)
                for c in range(3)]
         fsw = [jnp.stack([fss[j][k] for j in range(G)])   # (G, 1, TB)
                for k in range(4)]
         livew = jnp.stack(lives)                          # (G, 1, TB)
         if ignore_miss:
-            incfw = jnp.stack(n_useds)                    # (G, Ip, TB)
+            incfw = jnp.stack(incfs)                      # (G, Ip, TB)
             n_usedw = jnp.sum(incfw, axis=1, keepdims=True)
         else:
-            incfw = inc_b.astype(jnp.float32)[None]       # (1, Ip, TB)
-            n_usedw = jnp.stack(n_useds)                  # (G, 1, TB)
+            incfw = incf_t[None]                          # (1, Ip, TB)
+            # shape invxw (G, 1, TB) like the per-anchor version did:
+            # em_step's Ip-reductions must see group-shape-INVARIANT
+            # consumer shapes or XLA revectorizes them and the rounding
+            # drifts between group sizes (pinned by
+            # test_grouped_anchors_match_solo)
+            n_usedw = jnp.broadcast_to(n_used_t[None], (G, 1, TB))
         invxw = 1.0 / n_usedw    # exact divide, once per group
 
         for k in range(4):

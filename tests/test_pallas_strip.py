@@ -422,7 +422,9 @@ def test_block_strip_sharded_matches_unsharded(tmp_path, monkeypatch):
 def test_block_strip_fuzz_configs(tmp_path, monkeypatch, seed):
     """Randomized flag-combination fuzz: forced strip sweep vs the strict
     oracle across band kinds, sampling, min_maf, and genotype calling —
-    the pair SET must match exactly, values to f32 grade."""
+    the pair SET must match exactly, values to f32 grade. The anchor
+    group size is fuzzed too — grouping must be invisible (see
+    test_grouped_anchors_match_solo for the cell-exact pin)."""
     import numpy as np
 
     from ngsld_tpu import strict
@@ -432,6 +434,8 @@ def test_block_strip_fuzz_configs(tmp_path, monkeypatch, seed):
 
     rng = np.random.default_rng(seed)
     monkeypatch.setenv("NGSLD_BLOCK_STRIP", "1")
+    monkeypatch.setenv("NGSLD_STRIP_GROUP",
+                       str(rng.choice([1, 2, 8, 16])))
     n_sites = int(rng.integers(300, 700))
     n_ind = int(rng.integers(6, 14))
     files = write_all(simulate(n_ind=n_ind, n_sites=n_sites, seed=seed,
