@@ -131,11 +131,14 @@ def test_vmem_model():
 
 
 @pytest.mark.parametrize("group", [2, 8])
-def test_grouped_anchors_match_solo(group):
+@pytest.mark.parametrize("ignore_miss", [False, True])
+def test_grouped_anchors_match_solo(group, ignore_miss):
     """The grouped-anchor convergence loop (G anchors per while loop)
     must be cell-for-cell identical to group=1: same f, nIter, n_used,
     r2p — grouping only changes how long the loop RUNS, never what any
-    pair computes (pallas_strip._strip_kernel)."""
+    pair computes (pallas_strip._strip_kernel). Covers both inclusion
+    branches: ignore_miss keeps per-anchor (Ip, TB) masks while the
+    default shares one tile-level mask."""
     S, I, W = 384, 12, 90
     glp, maf, lo, hi, ok, tiles, tabs = _tables(S, I, seed=9, W=W)
     Sp = len(lo)
@@ -148,7 +151,8 @@ def test_grouped_anchors_match_solo(group):
     for g in (1, group):
         outs[g] = [np.asarray(o) for o in strip_em(
             *tabs, m, m, jnp.asarray(lo), jnp.asarray(hi), okj, okj,
-            ta, tb, n_ind=I, interpret=True, group=g)]
+            ta, tb, n_ind=I, interpret=True, group=g,
+            ignore_miss=ignore_miss)]
     for a, b, name in zip(outs[1], outs[group],
                           ("f", "r2p", "n_iter", "n_used")):
         np.testing.assert_array_equal(a, b, err_msg=name)
