@@ -90,19 +90,34 @@ def strip_kernel_bench():
     sel_pad = np.zeros(Cq, np.int32)
     sel_pad[:P] = sel
 
-    @jax.jit
-    def fn(sel_d):
-        fm, im = strip_em_compact(
-            ga, gb, ea, eb, jnp.asarray(maf), jnp.asarray(maf),
-            jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(ok),
-            jnp.asarray(ok), jnp.asarray(ta), jnp.asarray(tb), sel_d,
-            n_ind=I)
-        # counted LIVE evals: sum (nIter+1) over selected (in-band) pairs
-        return jnp.sum(im[:P, 0].astype(jnp.int32) + 1), fm, im
+    def make_fn(group):
+        @jax.jit
+        def fn(sel_d):
+            fm, im = strip_em_compact(
+                ga, gb, ea, eb, jnp.asarray(maf), jnp.asarray(maf),
+                jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(ok),
+                jnp.asarray(ok), jnp.asarray(ta), jnp.asarray(tb), sel_d,
+                n_ind=I, group=group)
+            # counted LIVE evals: sum (nIter+1) over selected in-band pairs
+            return jnp.sum(im[:P, 0].astype(jnp.int32) + 1), fm, im
+        return fn
 
     sel_d = jnp.asarray(sel_pad)
-    total, _, _ = fn(sel_d)
-    total = int(total)                  # warmup + sync
+    # compile-failure ladder: default grouped -> solo anchors -> give up
+    # (headline falls back to the gather kernel). A Mosaic legalization
+    # regression must degrade the headline, never zero the round.
+    group_used = None
+    for group in (None, 1):
+        try:
+            fn = make_fn(group)
+            total = int(fn(sel_d)[0])   # warmup + compile + sync
+            group_used = group
+            break
+        except Exception as e:
+            print(f"[bench] strip kernel (group={group}) failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+    else:
+        return None
     reps, dt = 5, float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -116,6 +131,7 @@ def strip_kernel_bench():
         "n_pairs": P, "n_ind": I, "n_tiles": len(tiles),
         "mean_iters": total / P,
         "kernel": "pallas-strip-compact",
+        "anchor_group": group_used if group_used is not None else "auto",
         "ms_per_chunk": dt * 1e3,
         "achieved_tflops": evals_per_sec * FLOPS_PER_EVAL / 1e12,
         "exec_ceiling_evals_per_sec": EXEC_CEILING,

@@ -656,6 +656,7 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                         yield flush()
 
                 bi = -1
+                strip_ran = False
                 try:
                     for item in _prefetch_blocks(strip_chunks(), depth=2):
                         ta_slots, tb_slots, sel, blk = item
@@ -689,13 +690,25 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                             tb_slots, np.full(GMAXT - gc, jdead,
                                               np.int32)])
                         t0 = time.perf_counter()
-                        with hold():
-                            dev_out = strip_fn(
-                                s_ga, s_gb, s_ea, s_eb, s_maf, s_maf,
-                                s_lo, s_hi, s_ok, s_ok,
-                                jnp.asarray(ta_arr),
-                                jnp.asarray(tb_arr),
-                                jnp.asarray(sel_pad))
+                        try:
+                            with hold():
+                                dev_out = strip_fn(
+                                    s_ga, s_gb, s_ea, s_eb, s_maf, s_maf,
+                                    s_lo, s_hi, s_ok, s_ok,
+                                    jnp.asarray(ta_arr),
+                                    jnp.asarray(tb_arr),
+                                    jnp.asarray(sel_pad))
+                        except Exception as e:
+                            if not strip_ran:
+                                raise RuntimeError(
+                                    "strip-tile kernel failed on the "
+                                    "first chunk (compile/legalization?) "
+                                    "— rerun with NGSLD_BLOCK_STRIP=0 to "
+                                    "force the gathered-pair sweep, or "
+                                    "NGSLD_STRIP_GROUP=1 to disable "
+                                    "anchor grouping") from e
+                            raise
+                        strip_ran = True
                         touch()
                         log.count_time("sweep: dispatch",
                                        time.perf_counter() - t0)
