@@ -115,9 +115,26 @@ static inline char* emit_f6(char* p, unsigned long long n) {
   return p + 6;
 }
 
+// nan/inf spelled the way glibc %f spells them ("nan", "-nan", "inf",
+// "-inf"; the sign of a nan is its sign BIT, which glibc honors). Corner
+// EM pairs derive nan D'/chi2 in bulk — sprintf here costs ~150 ns/field.
+// noinline + bit-level sign: inlined next to `rr * rr`, GCC folds
+// signbit(x*x) to 0 (nan signs are "unspecified" to the optimizer) while
+// the runtime register genuinely holds -nan — which printf would print.
+// The call boundary forces the real value; memcpy reads its real bits.
+static __attribute__((noinline)) char* emit_nonfinite(char* p, double v) {
+  uint64_t bits;
+  std::memcpy(&bits, &v, sizeof bits);
+  if (bits >> 63) *p++ = '-';
+  const char* s = std::isnan(v) ? "nan" : "inf";
+  *p++ = s[0]; *p++ = s[1]; *p++ = s[2];
+  return p;
+}
+
 // "%f" (6 decimals), glibc-identical for finite |v| < 1e9.
 static inline char* fmt_f6(char* p, double v) {
   if (!(std::fabs(v) < 1e9)) {  // nan, inf, huge -> glibc
+    if (!std::isfinite(v)) return emit_nonfinite(p, v);
     return p + std::sprintf(p, "%f", v);
   }
   if (std::signbit(v)) {
@@ -125,16 +142,24 @@ static inline char* fmt_f6(char* p, double v) {
     v = -v;
   }
   // Fast path: for v < 512 the double product w = v*1e6 is within
-  // ulp(w)/2 <= 6e-8 of the exact product, so when the fractional part is
-  // farther than 1e-7 from a rounding boundary (0, 0.5, 1) the decision
-  // matches exact rounding. Boundary-band values (incl. all exact ties)
-  // take the __float128 path, whose 113-bit product is exact for |v|<1e9.
+  // ulp(w)/2 <= 6e-8 of the exact product t, so when the fractional part
+  // r = w - floor(w) is farther than 1e-7 from the one rounding boundary
+  // (0.5) the decision matches exact rounding:
+  //   r <= 0.5-1e-7: t < n+0.5 strictly, and even if t dips below n
+  //     (t in (n-6e-8, n)) it still rounds UP to n -- emit n either way;
+  //   r >= 0.5+1e-7: t > n+0.5 strictly and t < n+1+6e-8, so it rounds to
+  //     n+1 whether t sits below or above the integer n+1.
+  // Near-integer fractions are therefore safe (ties live at .5, not at
+  // integers); this matters because converged EM corners print exact
+  // 0.000000/1.000000 constantly. Only the |r-0.5| < 1e-7 band (incl. all
+  // exact ties) takes the __float128 path, whose 113-bit product is exact
+  // for |v| < 1e9.
   if (v < 512.0) {
     double w = v * 1e6;
     unsigned long long n = (unsigned long long)w;
     double r = w - (double)n;
-    if (r >= 1e-7 && r <= 0.5 - 1e-7) return emit_f6(p, n);
-    if (r >= 0.5 + 1e-7 && r <= 1.0 - 1e-7) return emit_f6(p, n + 1);
+    if (r <= 0.5 - 1e-7) return emit_f6(p, n);
+    if (r >= 0.5 + 1e-7) return emit_f6(p, n + 1);
   }
   __float128 w = (__float128)v * 1000000;  // exact
   unsigned long long n = (unsigned long long)w;
@@ -147,6 +172,7 @@ static inline char* fmt_f6(char* p, double v) {
 // is a sum of exact integer position deltas, or +inf across contigs).
 static inline char* fmt_f0(char* p, double v) {
   if (!(std::fabs(v) < 1e15) || v != std::floor(v)) {
+    if (!std::isfinite(v)) return emit_nonfinite(p, v);
     return p + std::sprintf(p, "%.0f", v);
   }
   if (std::signbit(v)) {  // includes -0.0 -> "-0"

@@ -113,6 +113,12 @@ def test_fmt_f6_fuzz_matches_glibc():
                   123456.1234565, 5 / 2**26, 3 / 2**27]),
         np.ldexp(rng.integers(1, 2**52, 5000).astype(np.float64),
                  rng.integers(-80, -20, 5000)),         # random dyadics
+        # near-integer products: 6-decimal values put v*1e6 within an ulp
+        # of an integer — the band the fast path newly covers (converged
+        # EM corners print exact 0.000000/1.000000 constantly)
+        np.round(rng.uniform(0, 512, 20000), 6),
+        np.nextafter(np.round(rng.uniform(0, 512, 5000), 6), np.inf),
+        np.nextafter(np.round(rng.uniform(0, 512, 5000), 6), -np.inf),
     ]
     for arr in vals:
         arr = np.ascontiguousarray(arr, np.float64)
