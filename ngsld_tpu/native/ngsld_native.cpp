@@ -104,14 +104,23 @@ static inline char* fmt_int(char* p, long long x) {
   return p;
 }
 
+static const char kDigitPairs[201] =
+    "00010203040506070809101112131415161718192021222324"
+    "25262728293031323334353637383940414243444546474849"
+    "50515253545556575859606162636465666768697071727374"
+    "75767778798081828384858687888990919293949596979899";
+
 static inline char* emit_f6(char* p, unsigned long long n) {
   p = fmt_int(p, (long long)(n / 1000000ULL));
   *p++ = '.';
-  unsigned long long fp = n % 1000000ULL;
-  for (int i = 5; i >= 0; i--) {
-    p[i] = (char)('0' + (fp % 10));
-    fp /= 10;
-  }
+  // six fraction digits as three digit-pair table copies (the divides
+  // by constants compile to multiplies; this is every %f field's tail)
+  unsigned fp = (unsigned)(n % 1000000ULL);
+  unsigned d01 = fp / 10000, rem = fp % 10000;
+  unsigned d23 = rem / 100, d45 = rem % 100;
+  std::memcpy(p, kDigitPairs + 2 * d01, 2);
+  std::memcpy(p + 2, kDigitPairs + 2 * d23, 2);
+  std::memcpy(p + 4, kDigitPairs + 2 * d45, 2);
   return p + 6;
 }
 
