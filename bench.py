@@ -13,6 +13,8 @@ Counted evals are LIVE pairs only ((nIter+1) x n_ind over in-band cells).
 `detail` additionally carries:
   * gather_kernel — the round-1/2 gathered-pair kernel (pair_em_sorted)
     on the same workload shape, for cross-round comparability
+  * large_cohort_kernel — the streamed I-chunked kernel at n_ind=20,000
+    (the unbounded-cohort path; budget-gated like the e2e configs)
   * roofline accounting (achieved FLOP/s vs the measured fixed-iteration
     structural ceiling; PERF.md measurement series)
   * e2e — END-TO-END CLI runs (subprocess, as a user would run them):
@@ -135,6 +137,60 @@ def strip_kernel_bench():
         "ms_per_chunk": dt * 1e3,
         "achieved_tflops": evals_per_sec * FLOPS_PER_EVAL / 1e12,
         "exec_ceiling_evals_per_sec": EXEC_CEILING,
+        "frac_of_exec_ceiling": evals_per_sec / EXEC_CEILING,
+    }
+
+
+def large_cohort_kernel_bench():
+    """The streamed I-chunked kernel (pair_em_ichunk) at n_ind = 20,000 —
+    the unbounded-cohort path (reference: pair_freq_iter has no n_ind
+    limit, gen_func.cpp:1076-1119; the column/row Pallas kernels top out
+    at ~1.1k/~8k). Workload: a simulated 512-individual panel TILED to
+    20k individuals — EM normalizes per-individual sums, so convergence
+    trajectories (and counted iterations) match the 512-ind panel while
+    the kernel streams the full 20k rows through VMEM double buffers."""
+    import jax
+    import jax.numpy as jnp
+    from ngsld_tpu.kernels.pallas_em import pair_em_ichunk
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": "no TPU"}
+    P, I_base, I = 2048, 512, 20000
+    gl, _, maf = _sim_tables(4096, I_base, seed=3)
+    rng = np.random.default_rng(5)
+    i1 = rng.integers(0, len(gl), P)
+    i2 = rng.integers(0, len(gl), P)
+    reps_needed = -(-I // I_base)
+    gn1 = np.tile(gl[i1], (1, reps_needed, 1))[:, :I]
+    gn2 = np.tile(gl[i2], (1, reps_needed, 1))[:, :I]
+    args = (jnp.asarray(gn1), jnp.asarray(gn2),
+            jnp.asarray(maf[i1]), jnp.asarray(maf[i2]))
+
+    @jax.jit
+    def fn(a, b, c, d):
+        f, n_iter, n_used = pair_em_ichunk(a, b, c, d, False)
+        return f, n_iter.astype(jnp.uint8), n_used
+
+    try:
+        out = fn(*args)
+        _ = np.asarray(out[1])
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+    reps, dt = 3, float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        host_iters = np.asarray(out[1])
+        dt = min(dt, time.perf_counter() - t0)
+    iters = host_iters.astype(np.int64) + 1
+    evals_per_sec = float(iters.sum()) * I / dt
+    return {
+        "evals_per_sec": evals_per_sec,
+        "n_pairs": P, "n_ind": I,
+        "mean_iters": float(iters.mean()),
+        "kernel": "pallas-ichunk-streamed",
+        "ms_per_batch": dt * 1e3,
+        "achieved_tflops": evals_per_sec * FLOPS_PER_EVAL / 1e12,
         "frac_of_exec_ceiling": evals_per_sec / EXEC_CEILING,
     }
 
@@ -378,7 +434,8 @@ def main():
         headline = gather["evals_per_sec"]
         detail["headline_from"] = "gather_kernel"
     detail["e2e"] = e2e_bench()
-    for key, fn in (("e2e_ring", e2e_ring_bench),
+    for key, fn in (("large_cohort_kernel", large_cohort_kernel_bench),
+                    ("e2e_ring", e2e_ring_bench),
                     ("e2e_sampled", e2e_sampled_bench),
                     ("e2e_allpairs", e2e_allpairs_bench)):
         if time.perf_counter() - t_start > budget:
