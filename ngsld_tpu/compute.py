@@ -11,6 +11,23 @@ from __future__ import annotations
 import functools
 
 
+def _imat(n_iter, n_used, ignore_miss_data: bool, n_ind: int):
+    """Pack the per-pair int metadata for the host pull.
+
+    With --ignore_miss_data off, EVERY pair uses all n_ind individuals
+    (ops/em.py include mask == ones; the Pallas kernels' inclusion test
+    is just rows < I), so n_used is a constant the host synthesizes and
+    n_iter (<= ITER_MAX == 100, gen_func.hpp:18) ships as one int8 —
+    (P, 1) i8 instead of (P, 2) i16, 3 fewer bytes of the 24 B/pair on
+    the host link. engine_block.fmt rebuilds the 2-column layout from
+    im.shape[1]."""
+    import jax.numpy as jnp
+    if not ignore_miss_data:
+        return n_iter.astype(jnp.int8)[:, None]
+    idt = jnp.int16 if n_ind <= 32767 else jnp.int32
+    return jnp.stack([n_iter.astype(idt), n_used.astype(idt)], axis=1)
+
+
 @functools.lru_cache(maxsize=None)
 def _compute_block_ind_fn(ignore_miss_data: bool, n_shards: int,
                           n_ind_shards: int):
@@ -35,8 +52,7 @@ def _compute_block_ind_fn(ignore_miss_data: bool, n_shards: int,
         r2p, f, n_iter, n_used, *_rest = step(gn1, gn2, eg1, eg2,
                                               maf1, maf2)
         fmat = jnp.concatenate([r2p[:, None].astype(f.dtype), f], axis=1)
-        idt = jnp.int16 if gn.shape[1] <= 32767 else jnp.int32
-        imat = jnp.stack([n_iter.astype(idt), n_used.astype(idt)], axis=1)
+        imat = _imat(n_iter, n_used, ignore_miss_data, gn.shape[1])
         return fmat, imat
 
     return jax.jit(compute), mesh
@@ -98,11 +114,7 @@ def _compute_block_fn(ignore_miss_data: bool, use_pallas: bool,
             f, n_iter, n_used = pair_em(gn1, gn2, maf1, maf2, ignore_miss_data)
         fmat = jnp.concatenate([r2p[:, None].astype(f.dtype), f],
                                axis=1)  # (P, 5)
-        # nIter <= 100 and n_used <= n_ind: int16 halves the metadata bytes
-        # on the host link (int32 when the cohort could overflow it)
-        idt = jnp.int16 if gn.shape[1] <= 32767 else jnp.int32
-        imat = jnp.stack([n_iter.astype(idt),
-                          n_used.astype(idt)], axis=1)  # (P, 2)
+        imat = _imat(n_iter, n_used, ignore_miss_data, gn.shape[1])
         return fmat, imat
 
     if n_shards > 1:
@@ -134,7 +146,8 @@ def _strip_compute_fn(n_shards: int, n_ind: int, ignore_miss: bool,
     if n_shards == 1:
         return jax.jit(functools.partial(
             strip_em_compact, n_ind=n_ind, ignore_miss=ignore_miss,
-            interpret=interpret, use_i16=use_i16))
+            interpret=interpret, use_i16=use_i16,
+            slim_im=not ignore_miss))
 
     from jax import shard_map
     from jax.sharding import PartitionSpec as PS
@@ -161,10 +174,13 @@ def _strip_compute_fn(n_shards: int, n_ind: int, ignore_miss: bool,
         ff = f.transpose(0, 2, 3, 1).reshape(n * TA * TB, 4)
         fm = jnp.concatenate([jnp.take(r2p.reshape(-1), sel)[:, None],
                               jnp.take(ff, sel, axis=0)], axis=1)
-        idt = jnp.int16 if use_i16 else jnp.int32
-        im = jnp.stack([jnp.take(nit.reshape(-1), sel).astype(idt),
-                        jnp.take(nu.reshape(-1), sel).astype(idt)],
-                       axis=1)
+        if not ignore_miss:
+            im = jnp.take(nit.reshape(-1), sel).astype(jnp.int8)[:, None]
+        else:
+            idt = jnp.int16 if use_i16 else jnp.int32
+            im = jnp.stack([jnp.take(nit.reshape(-1), sel).astype(idt),
+                            jnp.take(nu.reshape(-1), sel).astype(idt)],
+                           axis=1)
         return fm, im
 
     return jax.jit(compute)

@@ -400,7 +400,15 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
             fast path."""
             t0 = time.perf_counter()
             n_iter = im[:, 0].astype(np.int32)
-            n_used = im[:, 1].astype(np.int32)
+            if im.shape[1] > 1:
+                n_used = im[:, 1].astype(np.int32)
+            else:
+                # slim pull layout (compute._imat): --ignore_miss_data is
+                # off, so every pair used the whole cohort — synthesize
+                # the constant column and rebuild the 2-col im the
+                # downstream _unpack/refine slicing expects
+                n_used = np.full(im.shape[0], pars.n_ind, np.int32)
+                im = np.column_stack([n_iter, n_used])
             log.count("em_iterations", int(n_iter.astype(np.int64).sum()))
             if pars.verbose >= 2:
                 log.hist("em_iteration_histogram",

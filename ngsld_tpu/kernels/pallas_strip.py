@@ -344,11 +344,13 @@ def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
 
 @functools.partial(jax.jit, static_argnames=("n_ind", "iter_cap",
                                              "ignore_miss", "interpret",
-                                             "use_i16", "group", "unroll"))
+                                             "use_i16", "slim_im",
+                                             "group", "unroll"))
 def strip_em_compact(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b,
                      ta, tb, sel, *, n_ind: int,
                      iter_cap: int = ITER_MAX, ignore_miss: bool = False,
                      interpret: bool = False, use_i16: bool = True,
+                     slim_im: bool = False,
                      group: int | None = None, unroll: int = _UNROLL):
     """strip_em + ON-DEVICE row compaction.
 
@@ -364,7 +366,13 @@ def strip_em_compact(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b,
     area — the difference between the strip sweep winning and losing
     end-to-end on slow links (PERF.md round-2 measurement: full-tile
     pulls inflated bytes by ~1/utilization). Callers slice [:n_live]
-    before pulling."""
+    before pulling.
+
+    slim_im=True drops n_used and narrows n_iter to int8 — im (C, 1) i8
+    (21 B/pair). Valid only when ignore_miss is False: every pair then
+    uses all n_ind individuals (the in-kernel inclusion mask is just
+    rows < I), so the host synthesizes the constant column; n_iter is
+    bounded by ITER_MAX == 100 (gen_func.hpp:18) which fits i8."""
     f, r2p, nit, nu = strip_em(
         ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
         n_ind=n_ind, iter_cap=iter_cap, ignore_miss=ignore_miss,
@@ -373,7 +381,11 @@ def strip_em_compact(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b,
     ff = f.transpose(0, 2, 3, 1).reshape(n * TA * TB, 4)
     fm = jnp.concatenate([jnp.take(r2p.reshape(-1), sel)[:, None],
                           jnp.take(ff, sel, axis=0)], axis=1)
-    idt = jnp.int16 if use_i16 else jnp.int32
-    im = jnp.stack([jnp.take(nit.reshape(-1), sel).astype(idt),
-                    jnp.take(nu.reshape(-1), sel).astype(idt)], axis=1)
+    if slim_im:
+        assert not ignore_miss, "slim_im requires the constant-n_used mode"
+        im = jnp.take(nit.reshape(-1), sel).astype(jnp.int8)[:, None]
+    else:
+        idt = jnp.int16 if use_i16 else jnp.int32
+        im = jnp.stack([jnp.take(nit.reshape(-1), sel).astype(idt),
+                        jnp.take(nu.reshape(-1), sel).astype(idt)], axis=1)
     return fm, im

@@ -468,3 +468,42 @@ def test_block_strip_fuzz_configs(tmp_path, monkeypatch, seed):
     r = r_out.read_text().splitlines()
     assert len(s) == len(r) > 50, (len(s), len(r), argv)
     _cmp_vs_strict(s, r, 50)
+
+
+def test_strip_compact_slim_im_matches_wide():
+    """slim_im=True ships n_iter as (C, 1) i8 and drops the constant
+    n_used column (compute._imat contract); values must match the wide
+    (C, 2) i16 layout element-for-element."""
+    from ngsld_tpu.kernels.pallas_strip import strip_em_compact
+
+    S, I, W = 256, 6, 60
+    glp, maf, lo, hi, ok, tiles, tabs = _tables(S, I, seed=9, W=W)
+    Sp = len(lo)
+    mafp = np.pad(maf, (0, Sp - S), constant_values=0.5)
+    ta = jnp.asarray([t[0] for t in tiles], jnp.int32)
+    tb = jnp.asarray([t[1] for t in tiles], jnp.int32)
+    sel_rows = []
+    for t, (k, j) in enumerate(tiles):
+        A = (k * TA + np.arange(TA))[:, None]
+        PJ = (j * TB + np.arange(TB))[None, :]
+        valid = (PJ >= lo[np.minimum(A, Sp - 1)]) \
+            & (PJ < hi[np.minimum(A, Sp - 1)]) & (A < S) & (PJ < S)
+        a_loc, b_loc = np.nonzero(valid)
+        sel_rows.append(((t * TA + a_loc) * TB + b_loc).astype(np.int32))
+    sel = np.concatenate(sel_rows)
+    assert len(sel) > 500
+    m = jnp.asarray(mafp)
+    okj = jnp.asarray(ok)
+    args = (*tabs, m, m, jnp.asarray(lo), jnp.asarray(hi), okj, okj,
+            ta, tb, jnp.asarray(sel))
+    fm_w, im_w = strip_em_compact(*args, n_ind=I, interpret=True)
+    fm_s, im_s = strip_em_compact(*args, n_ind=I, interpret=True,
+                                  slim_im=True)
+    assert im_w.shape == (len(sel), 2) and im_w.dtype == jnp.int16
+    assert im_s.shape == (len(sel), 1) and im_s.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(fm_w), np.asarray(fm_s))
+    np.testing.assert_array_equal(np.asarray(im_w[:, 0]),
+                                  np.asarray(im_s[:, 0]).astype(np.int16))
+    # the dropped column was the constant the host synthesizes
+    np.testing.assert_array_equal(np.asarray(im_w[:, 1]),
+                                  np.full(len(sel), I, np.int16))
