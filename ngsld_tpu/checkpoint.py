@@ -105,16 +105,19 @@ class _RingSpill:
     @staticmethod
     def pack(cols: dict) -> np.ndarray:
         """{col: ndarray} -> one structured record array (rows stay in the
-        tile's row-major (a, pj) order)."""
+        tile's row-major (a, pj) order). Stat fields are whichever of
+        _RING_COLS the caller provides — the compacted engine spills only
+        (r2p, f, n_iter, n_used) and derives the rest at merge time."""
         n = len(cols["a"])
+        keys = [k for k in _RING_COLS if k in cols]
         fields = [("a", np.int64), ("pj", np.int64)]
-        for k in _RING_COLS:
+        for k in keys:
             v = cols[k]
             fields.append((k, v.dtype, v.shape[1:]) if v.ndim > 1
                           else (k, v.dtype))
         rec = np.empty(n, dtype=np.dtype(fields))
         rec["a"], rec["pj"] = cols["a"], cols["pj"]
-        for k in _RING_COLS:
+        for k in keys:
             rec[k] = cols[k]
         return rec
 

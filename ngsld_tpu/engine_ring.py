@@ -11,6 +11,7 @@ import numpy as np
 
 from . import strict
 from .checkpoint import _RingSpill
+from .engine_block import _chi2_host, _stats_host
 from .loaders import _ring_sharded_tables
 
 
@@ -35,14 +36,20 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
     over a 1-D 'sites' mesh — one contiguous block per device — and
     partner blocks ride the ring via ppermute (parallel.ring).
 
-    After each ring step, this host pulls ONLY its addressable (resident)
-    blocks' stat tiles, masks them (band, triangle, MAF, real sites) and
-    keeps just the compacted surviving rows, so host memory is O(emitted
-    rows), not O(n_steps * S * B) tiles; device memory is O(table/n_dev +
-    B^2 stats) per device (size the mesh so B = S/n_dev stays ~10^4). Rows
-    are emitted per resident block in (s1, s2) order — on a multi-host pod
-    every host runs the same program (collectives ride ICI/DCN) and writes
-    the shard holding its own blocks' rows.
+    Each ring step compacts ON DEVICE (parallel.ring._device_compact): the
+    stepper itself applies the emission mask (band, triangle, MAF, real
+    sites, sampling) and gathers the surviving rows, so this host pulls
+    only its own blocks' LIVE (r2p, hap-freq, n_iter) rows — 21-24 B per
+    emitted pair instead of ~52 B per rectangle cell — plus a per-block
+    count that cross-checks the host's replay of the same mask (which
+    supplies the (a, pj) labels). Derived columns (D/D'/r2/hap-MAFs/chi2)
+    are computed at merge time on the host (_stats_host), never shipped.
+    Host memory is O(emitted rows), not O(n_steps * S * B) tiles; device
+    memory is O(table/n_dev + B*B_sub stats) per device (size the mesh so
+    B = S/n_dev stays ~10^4). Rows are emitted per resident block in
+    (s1, s2) order — on a multi-host pod every host runs the same program
+    (collectives ride ICI/DCN) and writes the shard holding its own
+    blocks' rows.
 
     With --checkpoint the sweep is resumable at (sub-ring, ring step)
     granularity (_RingSpill): completed steps' tiles feed the merge from
@@ -176,16 +183,19 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         # sampled draw-index sets (cost/memory ~ its own emitted rows), and
         # a pair's draw index is recovered in O(1) as the ok-prefix-sum
         # rank of the partner within the anchor's band.
+        # blocks this process OWNS (first device of the mesh row is local):
+        # it computes their sampling plans and masks, pulls their compacted
+        # rows, and emits their output shard
+        my_blocks = sorted(
+            k for k in range(n_dev)
+            if np.atleast_1d(mesh.devices[k]).ravel()[0]
+            .process_index == jax.process_index())
         samp_keys = okc = None
         if pars.rnd_sample < 1.0:
             from .gsl_rng import iter_uniform_chunks
             from .plan.band import child_seeds
             seeds = child_seeds(pars.seed, n)
             okc = np.cumsum(ok.astype(np.int64))  # okc[j] = #ok in [0, j]
-            my_blocks = sorted(
-                k for k in range(n_dev)
-                if np.atleast_1d(mesh.devices[k]).ravel()[0]
-                .process_index == jax.process_index())
             # sampled pairs as a SORTED array of keys anchor*n + draw_index
             # (ascending anchors x ascending draw indices => concatenation
             # is already sorted; membership below is one searchsorted)
@@ -230,12 +240,35 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
             # strip= pins WHICH stepper produced the spilled tiles: the
             # strip kernel's f32 values differ in the last ulps from the
             # XLA stepper's, so a resume must not mix them silently
+            # cols= versions the spilled record layout: slim-v2 stores only
+            # (a, pj, r2p, f, n_iter, n_used) and derives the rest at merge
+            # — resumes against round-3 full-stat spills must be rejected
             dict(mode="ring", n_dev=n_dev, n_sub=n_sub, block=B,
                  n_proc=jax.process_count(), strip=bool(use_strip),
-                 n_is=n_is),
+                 n_is=n_is, cols="slim-v2"),
             jax.process_index(), persistent)
         rck = spill if persistent else None
 
+        # Device-side row compaction (parallel.ring._device_compact):
+        # every stepper returns (fm, im, cnt) with only the live rows
+        # meaningful, so per-step host-link bytes scale with emitted
+        # pairs (21-24 B each), not with B x B_sub rectangle area (the
+        # old 10-stat full-tile pull cost ~52 B/cell). Derived columns
+        # (D/D'/r2/hap-MAFs/chi2) moved to merge time on the host.
+        compact_cfg = dict(
+            n=n, B=B, B_sub=B_sub, n_dev=n_dev,
+            sample=pars.rnd_sample < 1.0,
+            slim_im=not pars.ignore_miss_data,
+            use_i16=pars.n_ind <= 32767)
+        with hold():
+            shd1 = NamedSharding(mesh, PS("sites"))
+            hip = np.zeros(Sp, np.int32)
+            hip[:n] = hi
+            okp = np.zeros(Sp, np.float32)
+            okp[:n] = ok
+            hi_d = jax.device_put(hip, shd1)
+            ok_d = jax.device_put(okp, shd1)
+        touch()
         if use_strip:
             from .kernels.pallas_strip import strip_tables
             from .parallel.ring import (ring_subblock_taker_strip,
@@ -244,18 +277,12 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                 ga_d, gb_d, ea_d, eb_d = jax.jit(functools.partial(
                     strip_tables, n_ind=pars.n_ind))(gn_d, eg_d)
                 del gn_d, eg_d   # the strip layouts replace them
-                shd1 = NamedSharding(mesh, PS("sites"))
-                hip = np.zeros(Sp, np.int32)
-                hip[:n] = hi
-                okp = np.zeros(Sp, np.float32)
-                okp[:n] = ok
-                hi_d = jax.device_put(hip, shd1)
-                ok_d = jax.device_put(okp, shd1)
             touch()
             stepper = ring_sweep_stepper_strip(
                 mesh, pars.n_ind, B, B_sub, pars.ignore_miss_data,
                 pars.extend_out,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                compact_cfg=compact_cfg)
             log.log(2, f"==> ring: strip-kernel stepper "
                        f"({B // 128}x{B_sub // 128} tiles/step/device)")
         else:
@@ -266,44 +293,57 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                 from .parallel.ring import ring_sweep_stepper_ind
                 stepper = ring_sweep_stepper_ind(
                     mesh, pars.ignore_miss_data, pars.extend_out,
-                    row_chunk=256)
+                    row_chunk=256, compact_cfg=compact_cfg)
             else:
                 stepper = ring_sweep_stepper(
                     mesh, pars.ignore_miss_data, pars.extend_out,
-                    row_chunk=256)
+                    row_chunk=256, compact_cfg=compact_cfg)
         writer = RowWriter(out_fh, labels, pars.extend_out)
         if jax.process_index() == 0:
             # multi-host shards concatenate in part order; only the first
             # shard carries the header
             writer.write_header()
 
-        def compact_tile(i, si, t, tiles):
-            """Mask one resident block's (B, B_sub) step tile down to its
-            surviving rows (triangle, real sites, MAF, band)."""
+        def host_mask(i, si, t):
+            """The emission mask of one resident block's (B, B_sub) step
+            tile (triangle, real sites, MAF, band, sampling) — the SAME
+            predicate parallel.ring._device_compact evaluates on device.
+            Returns (valid, samp) where samp is the sampling-membership
+            plane the device still needs (packed bits input), or None when
+            --rnd_sample is off. The host side provides the (a, pj) labels
+            and live counts; the device side orders/ships only the
+            surviving value rows."""
             A = (i * B + np.arange(B, dtype=np.int64))[:, None]    # (B, 1)
             PJ = (((i + t) % n_dev) * B + si * B_sub
                   + np.arange(B_sub, dtype=np.int64))[None, :]     # (1, Bs)
             valid = (PJ > A) & (PJ < n) & (A < n)
             valid &= ok[np.minimum(A, n - 1)] & ok[np.minimum(PJ, n - 1)]
             valid &= PJ < hi[np.minimum(A, n - 1)]   # band: s2 < hi[s1]
-            if samp_keys is not None and valid.any():
-                # draw index of (a, pj) = #ok candidates strictly before pj;
-                # one vectorized searchsorted over all valid cells
-                c = (okc[np.maximum(np.minimum(PJ, n) - 1, 0)]
-                     - okc[np.minimum(A, n - 1)])
-                q = (np.minimum(A, n - 1) * np.int64(n) + c)[valid]
-                pos_in = np.searchsorted(samp_keys, q)
-                hit = pos_in < len(samp_keys)
-                hit[hit] = samp_keys[pos_in[hit]] == q[hit]
-                sampled = np.zeros_like(valid)
-                sampled[valid] = hit
-                valid = sampled
-            if not valid.any():
-                return None
-            out = {k: tiles[k][i][valid] for k in tiles}
-            out["a"] = np.broadcast_to(A, valid.shape)[valid]
-            out["pj"] = np.broadcast_to(PJ, valid.shape)[valid]
-            return out
+            samp = None
+            if samp_keys is not None:
+                # draw index of (a, pj) = #ok candidates strictly before
+                # pj; one vectorized searchsorted over all valid cells
+                samp = np.zeros_like(valid)
+                if valid.any():
+                    c = (okc[np.maximum(np.minimum(PJ, n) - 1, 0)]
+                         - okc[np.minimum(A, n - 1)])
+                    q = (np.minimum(A, n - 1) * np.int64(n) + c)[valid]
+                    pos_in = np.searchsorted(samp_keys, q)
+                    hit = pos_in < len(samp_keys)
+                    hit[hit] = samp_keys[pos_in[hit]] == q[hit]
+                    samp[valid] = hit
+                valid = valid & samp
+            return valid, samp
+
+        CAPW = -(-(B * B_sub) // 32)
+        bits_shd = NamedSharding(mesh, PS("sites", None))
+
+        def pack_bits(samp):
+            """(B, B_sub) bool -> (CAPW,) u32, little-endian bit order
+            (the exact layout parallel.ring._unpack_bits reverses)."""
+            by = np.packbits(samp.reshape(-1), bitorder="little")
+            by = np.pad(by, (0, CAPW * 4 - len(by)))
+            return by.view(np.uint32)
 
         from .parallel.ring import ring_subblock_taker
         from .parallel.ring import ring_subblock_taker_ind as _rsti
@@ -353,7 +393,8 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                         taker = (ring_subblock_taker if n_is == 1
                                  else _rsti)
                         vis = taker(
-                            mesh, n_sub, si, offset=t0)(gn_d, eg_d, maf_d)
+                            mesh, n_sub, si, offset=t0, with_ok=True)(
+                                gn_d, eg_d, maf_d, ok_d)
                 for t in range(t0, t_max):
                     stop = gs.stopped
                     if jax.process_count() > 1:
@@ -368,23 +409,72 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                         # with the same --checkpoint resumes right here
                         interrupted = True
                         break
+                    # host mask pass: (a, pj) labels + live counts for MY
+                    # blocks, and (when sampling) the packed membership
+                    # bits every device ANDs into its own mask
+                    masks = {i: host_mask(i, si, t) for i in my_blocks}
+                    extra = []
+                    if compact_cfg["sample"]:
+                        rows = {i: pack_bits(samp)
+                                for i, (_, samp) in masks.items()}
+
+                        def _bits_cb(index):
+                            i0 = index[0].start or 0
+                            return rows.get(
+                                i0, np.zeros(CAPW, np.uint32))[None]
+
+                        extra = [jax.make_array_from_callback(
+                            (n_dev, CAPW), bits_shd, _bits_cb)]
                     with hold():
                         if use_strip:
-                            stats, *vis = stepper(
+                            res, *vis = stepper(
                                 ga_d, ea_d, hi_d, ok_d, maf_d, *vis,
-                                jnp.int32(t), jnp.int32(si))
-                            vis = tuple(vis)
+                                jnp.int32(t), jnp.int32(si), *extra)
                         else:
-                            stats, *vis = stepper(gn_d, eg_d, maf_d, *vis)
-                            vis = tuple(vis)
-                        tiles = {k: _local_blocks(v, B) for k, v in
-                                 stats.items()}
+                            res, *vis = stepper(
+                                gn_d, eg_d, maf_d, hi_d, ok_d, *vis,
+                                jnp.int32(t), jnp.int32(si), *extra)
+                        vis = tuple(vis)
+                        fm_g, im_g, cnt_g = res
+                        fm_sh = {(s.index[0].start or 0): s.data
+                                 for s in fm_g.addressable_shards}
+                        im_sh = {(s.index[0].start or 0): s.data
+                                 for s in im_g.addressable_shards}
+                        cnt_sh = {(s.index[0].start or 0): s.data
+                                  for s in cnt_g.addressable_shards}
                     touch()
                     step_rows = {}
-                    for i in sorted(next(iter(tiles.values())).keys()):
-                        step_rows[i] = compact_tile(i, si, t, tiles)
+                    for i in my_blocks:
+                        valid, _ = masks[i]
+                        a_idx, pj_idx = np.nonzero(valid)
+                        live = len(a_idx)
+                        if live == 0:
+                            step_rows[i] = None
+                            continue
+                        with hold():
+                            # device/host mask agreement check is free:
+                            # the device count rides the (tiny) cnt pull
+                            dev_live = int(np.asarray(cnt_sh[i])[0])
+                            if dev_live != live:
+                                raise AssertionError(
+                                    f"ring compact mismatch: device "
+                                    f"{dev_live} vs host {live} rows "
+                                    f"(block {i}, si {si}, t {t})")
+                            fm = np.asarray(fm_sh[i][0, :live])
+                            im = np.asarray(im_sh[i][0, :live])
+                        touch()
+                        n_iter = im[:, 0].astype(np.int32)
+                        n_used = (im[:, 1].astype(np.int32)
+                                  if im.shape[1] > 1 else
+                                  np.full(live, pars.n_ind, np.int32))
+                        step_rows[i] = dict(
+                            a=(i * B + a_idx).astype(np.int64),
+                            pj=((((i + t) % n_dev) * B + si * B_sub
+                                 + pj_idx).astype(np.int64)),
+                            r2p=fm[:, 0], f=fm[:, 1:5],
+                            n_iter=n_iter, n_used=n_used)
                     spill.save_step(si, t, step_rows)
-                    del step_rows, tiles
+                    del step_rows, masks
                     log.count("ring_steps")
 
         if interrupted:
@@ -403,10 +493,6 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         # rows); byte-identical to a global per-block lexsort because
         # (a, pj) is unique across a block's tiles.
         budget = int(os.environ.get("NGSLD_RING_EMIT_ROWS", 2_000_000))
-        my_blocks = sorted(
-            k for k in range(n_dev)
-            if np.atleast_1d(mesh.devices[k]).ravel()[0]
-            .process_index == jax.process_index())
         with log.phase("emit: merge + format"):
             for i in my_blocks:
                 mms = [np.load(p, mmap_mode="r")
@@ -451,18 +537,26 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                     af, pf = cat["a"], cat["pj"]
                     dist = np.where(contig[af] == contig[pf],
                                     pos[pf] - pos[af], np.inf)
+                    # derived columns come from the hap freqs HERE, in the
+                    # EM dtype — the device no longer computes (or ships)
+                    # them per rectangle cell; _stats_host/_chi2_host
+                    # mirror ops.stats op-for-op (engine_block contract)
+                    fh = cat["f"]
+                    hmaf1, hmaf2, D, Dp, r2 = _stats_host(fh)
+                    chi2 = (_chi2_host(fh) if pars.extend_out
+                            else np.zeros(len(fh), np.float32))
                     cols = dict(
-                        r2p=cat["r2p"], D=cat["D"], Dp=cat["Dp"],
-                        r2=cat["r2"], f=cat["f"], hmaf1=cat["hmaf1"],
-                        hmaf2=cat["hmaf2"],
-                        chi2=cat["chi2"].astype(np.float32),
+                        r2p=cat["r2p"], D=D, Dp=Dp,
+                        r2=r2, f=fh, hmaf1=hmaf1,
+                        hmaf2=hmaf2,
+                        chi2=chi2.astype(np.float32),
                         n_iter=cat["n_iter"].astype(np.int32),
                         n_used=cat["n_used"].astype(np.int32),
                         maf1=maf[af], maf2=maf[pf])
                     tiers = (np.zeros(len(cat), np.uint8) if no_refine
                              else degenerate_tiers(
                                  cat["f"], prec,
-                                 extra_nonfinite=(cat["Dp"], cat["r2"])))
+                                 extra_nonfinite=(Dp, r2)))
                     t1, t2 = tiers == 1, tiers == 2
                     if tiers.any():
                         # tier 1: bit-exact strict recompute; tier 2: fast

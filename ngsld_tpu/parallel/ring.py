@@ -42,9 +42,16 @@ from ..ops.preprocess import miss_mask
 from ..ops.stats import chi2_stat, ld_stats, pearson_r2
 
 
-def _tile_stats_fn(ignore_miss_data: bool, extend_out: bool, row_chunk: int):
+def _tile_stats_fn(ignore_miss_data: bool, extend_out: bool, row_chunk: int,
+                   slim: bool = False):
     """All B_a x B_b pair statistics between an anchor and a partner block
-    (shared by the all-steps ring_sweep and the one-step stepper)."""
+    (shared by the all-steps ring_sweep and the one-step stepper).
+
+    slim=True returns only (r2p, f, n_iter, n_used) — the compacted
+    steppers derive D/D'/r2/hap-MAFs/chi2 on the HOST at merge time
+    (engine_block._stats_host mirrors ops.stats.ld_stats op-for-op in the
+    same dtype), so computing them per rectangle cell here would be pure
+    waste."""
 
     def tile_stats(gn_a, eg_a, maf_a, gn_b, eg_b, maf_b):
         Ba = gn_a.shape[0]
@@ -57,6 +64,8 @@ def _tile_stats_fn(ignore_miss_data: bool, extend_out: bool, row_chunk: int):
             f, n_iter, n_used = pair_em(gn1, gn_b, maf1, maf_b,
                                         ignore_miss_data)
             r2p = pearson_r2(eg1, eg_b)
+            if slim:
+                return dict(r2p=r2p, f=f, n_iter=n_iter, n_used=n_used)
             hmaf0, hmaf1, D, Dp, r2 = ld_stats(f)
             chi2 = (chi2_stat(f) if extend_out
                     else jnp.zeros_like(r2p, jnp.float32))
@@ -79,10 +88,64 @@ _STAT_KEYS = ("r2p", "f", "n_iter", "n_used", "hmaf1", "hmaf2",
               "D", "Dp", "r2", "chi2")
 
 
+def _unpack_bits(words, area: int):
+    """(ceil(area/32),) u32 -> (area,) bool, little-endian bit order —
+    the exact inverse of the host packing (np.packbits bitorder='little'
+    viewed as LE uint32)."""
+    b = ((words[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1) != 0
+    return b.reshape(-1)[:area]
+
+
+def _device_compact(r2p, f, nit, nu, i, t, si, cfg,
+                    hi_loc, ok_loc, vok, bits):
+    """Device-side row compaction of one (B, B_sub) step tile.
+
+    Rebuilds the emission mask (strict upper triangle, real sites, MAF-ok
+    anchor AND partner, band limit, optional --rnd_sample membership via
+    the packed `bits` plane) from per-device data that already rides the
+    ring, gathers the surviving cells in row-major (a, pj) order, and
+    returns (fm (CAP, 5), im, cnt) with CAP = B*B_sub — only [:cnt] rows
+    ever leave the device, so host-link bytes scale with LIVE pairs like
+    the block engine's strip sweep (engine_block), not with rectangle
+    area. The host recomputes the same mask (engine_ring._host_mask_rows)
+    for the (a, pj) labels; `cnt` cross-checks the two stay identical.
+
+    Replaces the full-tile pull + host compact_tile of rounds 1-3: at the
+    old 10-stat layout that pull cost ~52 B per rectangle CELL; this path
+    costs 21-24 B per live pair (plus 0.125 B/cell of sampling bits when
+    --rnd_sample is active)."""
+    B, B_sub, n, n_dev = cfg["B"], cfg["B_sub"], cfg["n"], cfg["n_dev"]
+    a_loc = jnp.arange(B, dtype=jnp.int32)
+    A = (i.astype(jnp.int32) * B + a_loc)[:, None]              # (B, 1)
+    org = ((i + t) % n_dev).astype(jnp.int32) * B + si * B_sub
+    PJ = org + jnp.arange(B_sub, dtype=jnp.int32)[None, :]      # (1, Bs)
+    valid = (PJ > A) & (PJ < n) & (A < n)
+    valid &= (ok_loc[:, None] > 0.0) & (vok[None, :] > 0.0)
+    valid &= PJ < hi_loc[:, None]
+    vf = valid.reshape(-1)
+    if cfg["sample"]:
+        vf = vf & _unpack_bits(bits, B * B_sub)
+    cnt = jnp.sum(vf, dtype=jnp.int32)
+    idx = jnp.flatnonzero(vf, size=B * B_sub, fill_value=0)
+    fm = jnp.concatenate([r2p.reshape(-1)[idx][:, None],
+                          f.reshape(-1, 4)[idx]], axis=1)
+    nit_c = nit.reshape(-1)[idx]
+    if cfg["slim_im"]:
+        # --ignore_miss_data off: n_used is the constant n_ind (host
+        # synthesizes it) and n_iter <= ITER_MAX == 100 fits int8
+        im = nit_c.astype(jnp.int8)[:, None]
+    else:
+        idt = jnp.int16 if cfg["use_i16"] else jnp.int32
+        im = jnp.stack([nit_c.astype(idt),
+                        nu.reshape(-1)[idx].astype(idt)], axis=1)
+    return fm, im, cnt
+
+
 def ring_sweep_stepper_strip(mesh, n_ind: int, B: int, B_sub: int,
                              ignore_miss_data: bool = False,
                              extend_out: bool = True,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             compact_cfg: dict | None = None):
     """Strip-kernel variant of ring_sweep_stepper: the per-step
     (B x B_sub) stat tile is computed by the Pallas strip kernel
     (kernels/pallas_strip) instead of the XLA lax.map batch — the EM
@@ -99,7 +162,12 @@ def ring_sweep_stepper_strip(mesh, n_ind: int, B: int, B_sub: int,
     ring_subblock_taker_strip); t and si are traced i32 scalars (ring
     step / sub-ring index), from which each device derives its partner
     block's global origin — traced, so checkpoint fast-forwards stay
-    correct. Requires B % TA == 0 and B_sub % TB == 0 (engine rounds)."""
+    correct. Requires B % TA == 0 and B_sub % TB == 0 (engine rounds).
+
+    compact_cfg (see _device_compact) switches the output contract from
+    the full stats dict to device-compacted ((fm, im, cnt), carried...);
+    when cfg['sample'] the signature gains a trailing `bits` plane
+    ((n_dev, ceil(B*B_sub/32)) u32, 'sites'-sharded)."""
     from ..kernels.pallas_strip import TA, TB, strip_em
     n_dev = mesh.shape["sites"]
     perm = [(k, (k - 1) % n_dev) for k in range(n_dev)]
@@ -108,7 +176,8 @@ def ring_sweep_stepper_strip(mesh, n_ind: int, B: int, B_sub: int,
     ta = jnp.repeat(jnp.arange(nk, dtype=jnp.int32), nj)
     tb = jnp.tile(jnp.arange(nj, dtype=jnp.int32), nk)
 
-    def local(ga, ea, hi_g, ok_g, maf, vgb, veb, vmafb, vokb, t, si):
+    def local(ga, ea, hi_g, ok_g, maf, vgb, veb, vmafb, vokb, t, si,
+              bits=None):
         idx = jax.lax.axis_index("sites")
         a_glob = idx * B + jnp.arange(B)
         org = ((idx + t) % n_dev) * B + si * B_sub
@@ -127,6 +196,15 @@ def ring_sweep_stepper_strip(mesh, n_ind: int, B: int, B_sub: int,
             y = x.reshape(nk, nj, TA, TB)
             return y.transpose(0, 2, 1, 3).reshape(B, B_sub)
 
+        nxt = tuple(jax.lax.ppermute(v, "sites", perm)
+                    for v in (vgb, veb, vmafb, vokb))
+        if compact_cfg is not None:
+            fm, im, cnt = _device_compact(
+                rearrange(r2p), rearrange(f), rearrange(nit),
+                rearrange(nu), idx, t, si, compact_cfg,
+                hi_g, ok_g, vokb,
+                bits[0] if bits is not None else None)
+            return (fm[None], im[None], cnt[None]), *nxt
         fh = rearrange(f)
         f2 = fh.reshape(-1, 4)
         hmaf0, hmaf1, D, Dp, r2 = (v.reshape(B, B_sub)
@@ -136,20 +214,27 @@ def ring_sweep_stepper_strip(mesh, n_ind: int, B: int, B_sub: int,
         out = dict(r2p=rearrange(r2p), f=fh,
                    n_iter=rearrange(nit), n_used=rearrange(nu),
                    hmaf1=hmaf0, hmaf2=hmaf1, D=D, Dp=Dp, r2=r2, chi2=chi2)
-        nxt = tuple(jax.lax.ppermute(v, "sites", perm)
-                    for v in (vgb, veb, vmafb, vokb))
         return out, *nxt
 
     sA = P(None, "sites", None)     # ga (3, S, Ip)
     sB = P(None, None, "sites")     # gb (3, Ip, S)
-    out_stats = {k: (P("sites", None, None) if k == "f"
-                     else P("sites", None)) for k in _STAT_KEYS}
+    in_specs = [sA, P("sites", None), P("sites"), P("sites"), P("sites"),
+                sB, P(None, "sites"), P("sites"), P("sites"), P(), P()]
+    carried = (sB, P(None, "sites"), P("sites"), P("sites"))
+    if compact_cfg is not None:
+        res_spec = (P("sites", None, None), P("sites", None, None),
+                    P("sites"))
+        if compact_cfg["sample"]:
+            in_specs.append(P("sites", None))
+        out_specs = (res_spec, *carried)
+    else:
+        out_specs = ({k: (P("sites", None, None) if k == "f"
+                          else P("sites", None)) for k in _STAT_KEYS},
+                     *carried)
     mapped = shard_map(
         local, mesh=mesh,
-        in_specs=(sA, P("sites", None), P("sites"), P("sites"), P("sites"),
-                  sB, P(None, "sites"), P("sites"), P("sites"), P(), P()),
-        out_specs=(out_stats, sB, P(None, "sites"), P("sites"),
-                   P("sites")),
+        in_specs=tuple(in_specs),
+        out_specs=out_specs,
         check_vma=False)
     return jax.jit(mapped)
 
@@ -181,11 +266,12 @@ def ring_subblock_taker_strip(mesh, n_sub: int, si: int, offset: int = 0):
 
 
 def _tile_stats_ind_fn(ignore_miss_data: bool, extend_out: bool,
-                       row_chunk: int):
+                       row_chunk: int, slim: bool = False):
     """2-D ('sites', 'ind') variant of _tile_stats_fn: each device holds
     only its individual SLICE of both blocks; every per-individual
     reduction (EM numerators/denominators, Pearson moments, n_used)
-    psums over the 'ind' axis (parallel.sweep's shard bodies)."""
+    psums over the 'ind' axis (parallel.sweep's shard bodies).
+    slim: as in _tile_stats_fn."""
     from .sweep import _pair_em_shard, _pearson_shard
 
     def tile_stats(gn_a, eg_a, maf_a, gn_b, eg_b, maf_b):
@@ -209,6 +295,8 @@ def _tile_stats_ind_fn(ignore_miss_data: bool, extend_out: bool,
             n_tot = jax.lax.psum(
                 jnp.full(gn1.shape[0], gn1.shape[1], jnp.int32), "ind")
             r2p = _pearson_shard(eg1, eg_b, n_tot)
+            if slim:
+                return dict(r2p=r2p, f=f, n_iter=n_iter, n_used=n_used)
             hmaf0, hmaf1, D, Dp, r2 = ld_stats(f)
             chi2 = (chi2_stat(f) if extend_out
                     else jnp.zeros_like(r2p, jnp.float32))
@@ -224,7 +312,8 @@ def _tile_stats_ind_fn(ignore_miss_data: bool, extend_out: bool,
 
 
 def ring_sweep_stepper_ind(mesh, ignore_miss_data: bool = False,
-                           extend_out: bool = True, row_chunk: int = 0):
+                           extend_out: bool = True, row_chunk: int = 0,
+                           compact_cfg: dict | None = None):
     """Ring stepper over a 2-D ('sites', 'ind') mesh: the GL/E[G] tables
     shard over BOTH the site-block axis and the individual axis (very
     large cohorts whose blocks exceed one device even site-sharded). The
@@ -232,11 +321,46 @@ def ring_sweep_stepper_ind(mesh, ignore_miss_data: bool = False,
     ring_sweep_stepper — the ppermute acts within each 'ind' column —
     while the per-individual reductions psum over 'ind'. Stats are
     replicated along 'ind' (every shard applies the identical EM update
-    after the psum), so emission is unchanged."""
+    after the psum), so emission is unchanged.
+
+    compact_cfg: same contract change as ring_sweep_stepper; the
+    compacted (fm, im, cnt) outputs stay replicated along 'ind' and the
+    engine pulls from each mesh row's first device."""
     n_dev = mesh.shape["sites"]
     perm = [(k, (k - 1) % n_dev) for k in range(n_dev)]
     tile_stats = _tile_stats_ind_fn(ignore_miss_data, extend_out,
-                                    row_chunk)
+                                    row_chunk,
+                                    slim=compact_cfg is not None)
+    spec3 = P("sites", "ind", None)
+    espec = P("sites", "ind")
+
+    if compact_cfg is not None:
+        def local_c(gn, eg, maf, hi_g, ok_g, vgn, veg, vmaf, vok, t, si,
+                    bits=None):
+            out = tile_stats(gn, eg, maf, vgn, veg, vmaf)
+            idx = jax.lax.axis_index("sites")
+            fm, im, cnt = _device_compact(
+                out["r2p"], out["f"], out["n_iter"], out["n_used"],
+                idx, t, si, compact_cfg, hi_g, ok_g, vok,
+                bits[0] if bits is not None else None)
+            nxt = tuple(jax.lax.ppermute(v, "sites", perm)
+                        for v in (vgn, veg, vmaf, vok))
+            return (fm[None], im[None], cnt[None]), *nxt
+
+        in_specs = [spec3, espec, P("sites"),
+                    P("sites"), P("sites"),
+                    spec3, espec, P("sites"), P("sites"),
+                    P(), P()]
+        if compact_cfg["sample"]:
+            in_specs.append(P("sites", None))
+        mapped = shard_map(
+            local_c, mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=((P("sites", None, None), P("sites", None, None),
+                        P("sites")),
+                       spec3, espec, P("sites"), P("sites")),
+            check_vma=False)
+        return jax.jit(mapped)
 
     def local(gn, eg, maf, vgn, veg, vmaf):
         out = tile_stats(gn, eg, maf, vgn, veg, vmaf)
@@ -244,8 +368,6 @@ def ring_sweep_stepper_ind(mesh, ignore_miss_data: bool = False,
                     for v in (vgn, veg, vmaf))
         return out, *nxt
 
-    spec3 = P("sites", "ind", None)
-    espec = P("sites", "ind")
     out_stats = {k: (P("sites", None, None) if k == "f"
                      else P("sites", None)) for k in _STAT_KEYS}
     mapped = shard_map(
@@ -257,31 +379,37 @@ def ring_sweep_stepper_ind(mesh, ignore_miss_data: bool = False,
     return jax.jit(mapped)
 
 
-def ring_subblock_taker_ind(mesh, n_sub: int, si: int, offset: int = 0):
+def ring_subblock_taker_ind(mesh, n_sub: int, si: int, offset: int = 0,
+                            with_ok: bool = False):
     """2-D-mesh analogue of ring_subblock_taker (tables sharded over
     ('sites', 'ind'))."""
     n_dev = mesh.shape["sites"]
     perm = [(k, (k - offset) % n_dev) for k in range(n_dev)]
 
-    def local(gn, eg, maf):
+    def local(gn, eg, maf, ok=None):
         B_sub = gn.shape[0] // n_sub
         lo = si * B_sub
         out = (gn[lo:lo + B_sub], eg[lo:lo + B_sub], maf[lo:lo + B_sub])
+        if ok is not None:
+            out = out + (ok[lo:lo + B_sub],)
         if offset % n_dev:
             out = tuple(jax.lax.ppermute(v, "sites", perm) for v in out)
         return out
 
     spec3 = P("sites", "ind", None)
     espec = P("sites", "ind")
+    specs = (spec3, espec, P("sites"))
+    if with_ok:
+        specs = specs + (P("sites"),)
     mapped = shard_map(
         local, mesh=mesh,
-        in_specs=(spec3, espec, P("sites")),
-        out_specs=(spec3, espec, P("sites")), check_vma=False)
+        in_specs=specs, out_specs=specs, check_vma=False)
     return jax.jit(mapped)
 
 
 def ring_sweep_stepper(mesh, ignore_miss_data: bool = False,
-                       extend_out: bool = True, row_chunk: int = 0):
+                       extend_out: bool = True, row_chunk: int = 0,
+                       compact_cfg: dict | None = None):
     """One-ring-step variant of ring_sweep for streaming drivers: the
     visiting block triple is carried explicitly, so the host can pull and
     emit each step's (S, B) stat tile before computing the next — peak
@@ -289,10 +417,48 @@ def ring_sweep_stepper(mesh, ignore_miss_data: bool = False,
 
     Returns fn(gn, eg, maf, vgn, veg, vmaf) -> (stats_dict, vgn', veg',
     vmaf') where the primed arrays are the visiting blocks advanced one
-    ring position (initialize the triple with the resident arrays)."""
+    ring position (initialize the triple with the resident arrays).
+
+    compact_cfg (see _device_compact) changes the contract to
+    fn(gn, eg, maf, hi, ok, vgn, veg, vmaf, vok, t, si[, bits]) ->
+    ((fm, im, cnt), vgn', veg', vmaf', vok'): the band/ok vectors join
+    the inputs (the visiting ok RIDES THE RING — it must be the host's
+    knife-edge-refined ok, not derivable from vmaf on device), derived
+    stats are skipped entirely (merge-time host derive), and each
+    device's tile leaves compacted to its live rows."""
     n_dev = mesh.shape["sites"]
     perm = [(k, (k - 1) % n_dev) for k in range(n_dev)]
-    tile_stats = _tile_stats_fn(ignore_miss_data, extend_out, row_chunk)
+    tile_stats = _tile_stats_fn(ignore_miss_data, extend_out, row_chunk,
+                                slim=compact_cfg is not None)
+    spec3 = P("sites", None, None)
+
+    if compact_cfg is not None:
+        def local_c(gn, eg, maf, hi_g, ok_g, vgn, veg, vmaf, vok, t, si,
+                    bits=None):
+            out = tile_stats(gn, eg, maf, vgn, veg, vmaf)
+            idx = jax.lax.axis_index("sites")
+            fm, im, cnt = _device_compact(
+                out["r2p"], out["f"], out["n_iter"], out["n_used"],
+                idx, t, si, compact_cfg, hi_g, ok_g, vok,
+                bits[0] if bits is not None else None)
+            nxt = tuple(jax.lax.ppermute(v, "sites", perm)
+                        for v in (vgn, veg, vmaf, vok))
+            return (fm[None], im[None], cnt[None]), *nxt
+
+        in_specs = [spec3, P("sites", None), P("sites"),
+                    P("sites"), P("sites"),
+                    spec3, P("sites", None), P("sites"), P("sites"),
+                    P(), P()]
+        if compact_cfg["sample"]:
+            in_specs.append(P("sites", None))
+        mapped = shard_map(
+            local_c, mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=((P("sites", None, None), P("sites", None, None),
+                        P("sites")),
+                       spec3, P("sites", None), P("sites"), P("sites")),
+            check_vma=False)
+        return jax.jit(mapped)
 
     def local(gn, eg, maf, vgn, veg, vmaf):
         out = tile_stats(gn, eg, maf, vgn, veg, vmaf)
@@ -300,7 +466,6 @@ def ring_sweep_stepper(mesh, ignore_miss_data: bool = False,
                     for v in (vgn, veg, vmaf))
         return out, *nxt
 
-    spec3 = P("sites", None, None)
     out_stats = {k: (P("sites", None, None) if k == "f"
                      else P("sites", None)) for k in _STAT_KEYS}
     mapped = shard_map(
@@ -312,7 +477,8 @@ def ring_sweep_stepper(mesh, ignore_miss_data: bool = False,
     return jax.jit(mapped)
 
 
-def ring_subblock_taker(mesh, n_sub: int, si: int, offset: int = 0):
+def ring_subblock_taker(mesh, n_sub: int, si: int, offset: int = 0,
+                        with_ok: bool = False):
     """jitted fn(gn, eg, maf) -> (vgn, veg, vmaf): the si-th of n_sub
     equal sub-blocks of every device's resident rows, as 'sites'-sharded
     arrays of global length S/n_sub. Seeds a sub-block ring: rotating
@@ -324,23 +490,32 @@ def ring_subblock_taker(mesh, n_sub: int, si: int, offset: int = 0):
     device (i + offset) mod n_dev in a single ppermute, exactly the state
     the one-step stepper reaches after `offset` rotations — used by
     checkpoint resume to skip already-emitted ring steps without replaying
-    their compute."""
+    their compute.
+
+    with_ok=True adds a fourth (S,) array (the MAF-ok plane) to both the
+    inputs and the visiting state — the compacted steppers mask partner
+    cells with the HOST's knife-edge-refined ok, which is not derivable
+    from vmaf on device."""
     n_dev = mesh.shape["sites"]
     perm = [(k, (k - offset) % n_dev) for k in range(n_dev)]
 
-    def local(gn, eg, maf):
+    def local(gn, eg, maf, ok=None):
         B_sub = gn.shape[0] // n_sub
         lo = si * B_sub
         out = (gn[lo:lo + B_sub], eg[lo:lo + B_sub], maf[lo:lo + B_sub])
+        if ok is not None:
+            out = out + (ok[lo:lo + B_sub],)
         if offset % n_dev:
             out = tuple(jax.lax.ppermute(v, "sites", perm) for v in out)
         return out
 
     spec3 = P("sites", None, None)
+    specs = (spec3, P("sites", None), P("sites"))
+    if with_ok:
+        specs = specs + (P("sites"),)
     mapped = shard_map(
         local, mesh=mesh,
-        in_specs=(spec3, P("sites", None), P("sites")),
-        out_specs=(spec3, P("sites", None), P("sites")), check_vma=False)
+        in_specs=specs, out_specs=specs, check_vma=False)
     return jax.jit(mapped)
 
 
