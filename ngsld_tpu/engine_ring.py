@@ -97,8 +97,14 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         # sub-block ring: visiting state rotates B_sub-row sub-blocks so the
         # per-step stat tile is (B, B_sub) — a full (B, B) tile would not
         # fit device memory at pod scale, and narrow bands waste less
-        # out-of-band compute. 0 = auto (~4k sites per sub-block).
-        n_sub = getattr(pars, "ring_sub", 0) or max(1, -(-B // 4096))
+        # out-of-band compute. 0 = auto: ~4k sites per sub-block AND a cap
+        # on the per-step tile AREA (the stat planes + compaction gather
+        # cost tens of bytes per CELL on device; a degenerate few-device
+        # ring makes B huge, e.g. 100k sites on 1 device = 4e8 cells at
+        # B_sub=4096 — past HBM). NGSLD_RING_AREA overrides the cap.
+        area_cap = int(os.environ.get("NGSLD_RING_AREA", 100_000_000))
+        n_sub = getattr(pars, "ring_sub", 0) or max(
+            1, -(-B // 4096), -(-(B * B) // area_cap))
         n_sub = min(n_sub, B)
         # Strip-kernel stepper (kernels/pallas_strip): the per-step tile
         # computes in VMEM with per-anchor early exit + in-kernel band
