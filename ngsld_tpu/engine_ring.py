@@ -429,8 +429,10 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                             return rows.get(
                                 i0, np.zeros(CAPW, np.uint32))[None]
 
-                        extra = [jax.make_array_from_callback(
-                            (n_dev, CAPW), bits_shd, _bits_cb)]
+                        with hold():
+                            extra = [jax.make_array_from_callback(
+                                (n_dev, CAPW), bits_shd, _bits_cb)]
+                        touch()
                     with hold():
                         if use_strip:
                             res, *vis = stepper(
