@@ -110,7 +110,7 @@ class _RingSpill:
         (r2p, f, n_iter, n_used) and derives the rest at merge time."""
         n = len(cols["a"])
         keys = [k for k in _RING_COLS if k in cols]
-        fields = [("a", np.int64), ("pj", np.int64)]
+        fields = [("a", cols["a"].dtype), ("pj", cols["pj"].dtype)]
         for k in keys:
             v = cols[k]
             fields.append((k, v.dtype, v.shape[1:]) if v.ndim > 1

@@ -117,6 +117,12 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         use_strip = n_is == 1 and _strip_vmem_ok(pars.n_ind) and (
             force_strip or (jax.default_backend() == "tpu"
                             and prec == "f32"))
+        # tier classification keys on the precision of the values the
+        # STEPPER produces: the strip kernel is f32 even when the run
+        # precision is f64 (NGSLD_FORCE_STRIP on CPU), so its fragile
+        # band must be repaired as f32 output or knife-edge Dp/r2 ship
+        # f32 garbage unrepaired
+        tier_prec = "f32" if use_strip else prec
         if use_strip:
             B = -(-B // (n_sub * _TA)) * (n_sub * _TA)
         else:
@@ -471,16 +477,19 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                             fm = np.asarray(fm_sh[i][0, :live])
                             im = np.asarray(im_sh[i][0, :live])
                         touch()
-                        n_iter = im[:, 0].astype(np.int32)
-                        n_used = (im[:, 1].astype(np.int32)
-                                  if im.shape[1] > 1 else
-                                  np.full(live, pars.n_ind, np.int32))
-                        step_rows[i] = dict(
-                            a=(i * B + a_idx).astype(np.int64),
+                        # spill rows stay slim on disk too: int32 labels
+                        # (site indices < 2^31 at any supported scale),
+                        # n_iter as pulled, and NO n_used column when it
+                        # is the constant the merge synthesizes
+                        cols_i = dict(
+                            a=(i * B + a_idx).astype(np.int32),
                             pj=((((i + t) % n_dev) * B + si * B_sub
-                                 + pj_idx).astype(np.int64)),
+                                 + pj_idx).astype(np.int32)),
                             r2p=fm[:, 0], f=fm[:, 1:5],
-                            n_iter=n_iter, n_used=n_used)
+                            n_iter=im[:, 0])
+                        if im.shape[1] > 1:
+                            cols_i["n_used"] = im[:, 1]
+                        step_rows[i] = cols_i
                     spill.save_step(si, t, step_rows)
                     del step_rows, masks
                     log.count("ring_steps")
@@ -515,7 +524,8 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                     # file once per merge chunk (O(chunks x file))
                     t1s, t2s = set(), set()
                     for x in mms:
-                        tt = degenerate_tiers(np.asarray(x["f"]), prec)
+                        tt = degenerate_tiers(np.asarray(x["f"]),
+                                              tier_prec)
                         for which, bag in ((tt == 1, t1s), (tt == 2, t2s)):
                             if which.any():
                                 bag.update(np.asarray(x["a"])[which])
@@ -559,11 +569,14 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                         hmaf2=hmaf2,
                         chi2=chi2.astype(np.float32),
                         n_iter=cat["n_iter"].astype(np.int32),
-                        n_used=cat["n_used"].astype(np.int32),
+                        n_used=(cat["n_used"].astype(np.int32)
+                                if "n_used" in (cat.dtype.names or ())
+                                else np.full(len(cat), pars.n_ind,
+                                             np.int32)),
                         maf1=maf[af], maf2=maf[pf])
                     tiers = (np.zeros(len(cat), np.uint8) if no_refine
                              else degenerate_tiers(
-                                 cat["f"], prec,
+                                 cat["f"], tier_prec,
                                  extra_nonfinite=(Dp, r2)))
                     t1, t2 = tiers == 1, tiers == 2
                     if tiers.any():

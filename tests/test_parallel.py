@@ -486,3 +486,55 @@ def test_ring_with_shard_ind_matches_strict(tmp_path):
     s = s_out.read_text().splitlines()
     assert [r.split("\t")[:2] for r in b] == \
            [r.split("\t")[:2] for r in s]
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_ring_fuzz_configs(tmp_path, monkeypatch, seed):
+    """Randomized flag-combination fuzz through the RING engine vs the
+    strict oracle: band kinds, sampling (packed-bits plane), min_maf,
+    genotype calling, ignore_miss (wide im), sub-ring counts, the
+    2-D ('sites','ind') mesh, and the forced strip stepper — the pair
+    SET must match exactly (device compaction replays the host mask),
+    values to f32/f64 grade."""
+    from ngsld_tpu import strict
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    rng = np.random.default_rng(seed)
+    n_sites = int(rng.integers(250, 500))
+    n_ind = int(rng.integers(3, 7)) * 2
+    files = write_all(simulate(n_ind=n_ind, n_sites=n_sites, seed=seed,
+                               contig_kb=50.0), str(tmp_path / "fx"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", str(n_ind),
+            "--n_sites", str(n_sites), "--pos", files["pos"],
+            "--extend_out", "--verbose", "0"]
+    if rng.random() < 0.5:
+        argv += ["--max_kb_dist", str(int(rng.integers(2, 6)))]
+    else:
+        argv += ["--max_kb_dist", "0", "--max_snp_dist",
+                 str(int(rng.integers(20, 80)))]
+    if rng.random() < 0.5:
+        argv += ["--min_maf", "0.05"]
+    if rng.random() < 0.5:
+        argv += ["--rnd_sample", "0.6", "--seed", str(seed)]
+    if rng.random() < 0.4:
+        argv += ["--ignore_miss_data"]
+    ring = ["--ring", "--ring_sub", str(int(rng.integers(1, 4)))]
+    if rng.random() < 0.4:
+        ring += ["--shard", "4", "--shard_ind", "2"]
+    else:
+        ring += ["--shard", "0"]
+        if rng.random() < 0.4:
+            monkeypatch.setenv("NGSLD_FORCE_STRIP", "1")
+    s_out, r_out = tmp_path / "s.ld", tmp_path / "r.ld"
+    strict.run(params_from_args(argv + ["--engine", "strict",
+                                        "--out", str(s_out)]))
+    run_jax(params_from_args(argv + ring + ["--out", str(r_out)]))
+    # same contract as the block-engine fuzz: pair set byte-exact, values
+    # f32-grade, Dp/r2/chi2 excluded in the fragile band (tiny hap-MAF
+    # denominators make those ratios stop-point-dependent across ANY two
+    # EM implementations; see refine.degenerate_tiers' derivation)
+    from test_pallas_strip import _cmp_vs_strict
+    _cmp_vs_strict(s_out.read_text().splitlines(),
+                   r_out.read_text().splitlines(), 30)
