@@ -111,36 +111,30 @@ def _strip_kernel(ta_ref, tb_ref,             # scalar prefetch: tile coords
 
     def group_body(g, _):
         a0 = g * G
-        # ---- per-anchor prologue, stacked on a leading G axis ----
-        g1s, fss, lives, incfs = [], [], [], []
-        for j in range(G):
-            a = a0 + j
-            g1 = [jnp.transpose(ga_ref[c, pl.ds(a, 1), :])  # (Ip, 1)
-                  for c in range(3)]
-            if ignore_miss:
-                missa = (jnp.abs(g1[0] - g1[1]) < EPSILON) & \
-                        (jnp.abs(g1[1] - g1[2]) < EPSILON)
-                incf = (inc_b & jnp.logical_not(missa)).astype(jnp.float32)
-                n_used = jnp.sum(incf, axis=0, keepdims=True)   # (1, TB)
-                nu_out[0, pl.ds(a, 1), :] = n_used.astype(jnp.int32)
-                incfs.append(incf)
-            ma = mafa_ref[a, 0]
-            mb = mafb_ref[:]                            # (1, TB)
-            fs = [(1 - ma) * (1 - mb), (1 - ma) * mb,
-                  ma * (1 - mb), ma * mb]
-            live = (b_glob >= loa_ref[a, 0]) & (b_glob < hia_ref[a, 0]) \
-                & (oka_ref[a, 0] > 0.0) & okb
-            g1s.append(g1)
-            fss.append(fs)
-            lives.append(live)
-        g1w = [jnp.stack([g1s[j][c] for j in range(G)])   # (G, Ip, 1)
+        # ---- grouped prologue: ONE block slice per table, no per-anchor
+        # transposes (a (G, Ip) anchor block with a trailing unit axis IS
+        # the stack of the G (Ip, 1) anchor columns — same values, no
+        # G separate relayouts on the VPU) ----
+        g1w = [ga_ref[c, pl.ds(a0, G), :][:, :, None]     # (G, Ip, 1)
                for c in range(3)]
-        fsw = [jnp.stack([fss[j][k] for j in range(G)])   # (G, 1, TB)
-               for k in range(4)]
-        livew = jnp.stack(lives)                          # (G, 1, TB)
+        ma = mafa_ref[pl.ds(a0, G), :][:, :, None]        # (G, 1, 1)
+        mb = mafb_ref[:][None]                            # (1, 1, TB)
+        fsw = [(1 - ma) * (1 - mb), (1 - ma) * mb,
+               ma * (1 - mb), ma * mb]                    # (G, 1, TB)
+        bg = b_glob[None]                                 # (1, 1, TB)
+        livew = (bg >= loa_ref[pl.ds(a0, G), :][:, :, None]) \
+            & (bg < hia_ref[pl.ds(a0, G), :][:, :, None]) \
+            & (oka_ref[pl.ds(a0, G), :][:, :, None] > 0.0) & okb[None]
         if ignore_miss:
-            incfw = jnp.stack(incfs)                      # (G, Ip, TB)
-            n_usedw = jnp.sum(incfw, axis=1, keepdims=True)
+            missa = (jnp.abs(g1w[0] - g1w[1]) < EPSILON) & \
+                    (jnp.abs(g1w[1] - g1w[2]) < EPSILON)  # (G, Ip, 1)
+            incfw = (inc_b[None]
+                     & jnp.logical_not(missa)).astype(jnp.float32)
+            # integral 0/1 sums in f32 are exact: identical to the old
+            # per-anchor (Ip, TB) reductions regardless of lowering
+            n_usedw = jnp.sum(incfw, axis=1, keepdims=True)  # (G, 1, TB)
+            nu_out[0, pl.ds(a0, G), :] = \
+                n_usedw[:, 0, :].astype(jnp.int32)
         else:
             incfw = incf_t[None]                          # (1, Ip, TB)
             # shape invxw (G, 1, TB) like the per-anchor version did:
