@@ -56,11 +56,18 @@ def _em_update(f, gl1, gl2, include, inv_x):
 
 
 def pair_em(gl1: jnp.ndarray, gl2: jnp.ndarray, maf1: jnp.ndarray,
-            maf2: jnp.ndarray, ignore_miss_data: bool):
+            maf2: jnp.ndarray, ignore_miss_data: bool, live=None):
     """EM haplotype frequencies for P pairs.
 
     Returns (f (P,4), n_iter (P,) int32, n_used (P,) int32).
-    """
+
+    live (P,) bool (optional): pairs the caller will actually EMIT. Dead
+    pairs freeze at the f0 init with n_iter == ITER_MAX instead of
+    iterating to their own (discarded) convergence — in a vectorized
+    batch the LOOP runs to the slowest ACTIVE lane, and out-of-band
+    rectangle lanes are routinely the slowest (garbage trajectories),
+    so masking them shortens every banded tile batch (the ring
+    steppers' rectangles; see parallel.ring._tile_mask)."""
     dt = gl1.dtype
     P = gl1.shape[0]
     f0 = jnp.stack([(1 - maf1) * (1 - maf2), (1 - maf1) * maf2,
@@ -93,7 +100,8 @@ def pair_em(gl1: jnp.ndarray, gl2: jnp.ndarray, maf1: jnp.ndarray,
         n_iter = jnp.where(newly, it, n_iter)
         return it + 1, f_next, active & ~newly, n_iter
 
-    carry = (jnp.int32(0), f0, jnp.ones(P, bool),
+    act0 = jnp.ones(P, bool) if live is None else live
+    carry = (jnp.int32(0), f0, act0,
              jnp.full(P, ITER_MAX, jnp.int32))
     _, f, _, n_iter = jax.lax.while_loop(cond, body, carry)
     return f, n_iter, n_used

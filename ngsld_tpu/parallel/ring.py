@@ -53,16 +53,19 @@ def _tile_stats_fn(ignore_miss_data: bool, extend_out: bool, row_chunk: int,
     same dtype), so computing them per rectangle cell here would be pure
     waste."""
 
-    def tile_stats(gn_a, eg_a, maf_a, gn_b, eg_b, maf_b):
+    def tile_stats(gn_a, eg_a, maf_a, gn_b, eg_b, maf_b, live=None):
         Ba = gn_a.shape[0]
 
         def strip(args):
-            g1, e1, m1 = args           # one anchor site
+            if live is None:
+                (g1, e1, m1), lv = args, None
+            else:
+                g1, e1, m1, lv = args   # lv: this anchor's live lanes
             gn1 = jnp.broadcast_to(g1[None], gn_b.shape)
             eg1 = jnp.broadcast_to(e1[None], eg_b.shape)
             maf1 = jnp.broadcast_to(m1[None], maf_b.shape)
             f, n_iter, n_used = pair_em(gn1, gn_b, maf1, maf_b,
-                                        ignore_miss_data)
+                                        ignore_miss_data, live=lv)
             r2p = pearson_r2(eg1, eg_b)
             if slim:
                 return dict(r2p=r2p, f=f, n_iter=n_iter, n_used=n_used)
@@ -73,7 +76,8 @@ def _tile_stats_fn(ignore_miss_data: bool, extend_out: bool, row_chunk: int,
                         hmaf1=hmaf0, hmaf2=hmaf1, D=D, Dp=Dp, r2=r2,
                         chi2=chi2)
 
-        xs = (gn_a, eg_a, maf_a)
+        xs = (gn_a, eg_a, maf_a) if live is None \
+            else (gn_a, eg_a, maf_a, live)
         # default (row_chunk=0): ONE flat vmapped batch, as documented;
         # row_chunk > 0 bounds peak memory by vmapping row_chunk anchor
         # strips per scan step (lax.map with no batch_size would scan
@@ -96,24 +100,13 @@ def _unpack_bits(words, area: int):
     return b.reshape(-1)[:area]
 
 
-def _device_compact(r2p, f, nit, nu, i, t, si, cfg,
-                    hi_loc, ok_loc, vok, bits):
-    """Device-side row compaction of one (B, B_sub) step tile.
-
-    Rebuilds the emission mask (strict upper triangle, real sites, MAF-ok
-    anchor AND partner, band limit, optional --rnd_sample membership via
-    the packed `bits` plane) from per-device data that already rides the
-    ring, gathers the surviving cells in row-major (a, pj) order, and
-    returns (fm (CAP, 5), im, cnt) with CAP = B*B_sub — only [:cnt] rows
-    ever leave the device, so host-link bytes scale with LIVE pairs like
-    the block engine's strip sweep (engine_block), not with rectangle
-    area. The host recomputes the same mask (engine_ring._host_mask_rows)
-    for the (a, pj) labels; `cnt` cross-checks the two stay identical.
-
-    Replaces the full-tile pull + host compact_tile of rounds 1-3: at the
-    old 10-stat layout that pull cost ~52 B per rectangle CELL; this path
-    costs 21-24 B per live pair (plus 0.125 B/cell of sampling bits when
-    --rnd_sample is active)."""
+def _tile_mask(i, t, si, cfg, hi_loc, ok_loc, vok, bits):
+    """The emission mask of one (B, B_sub) step tile, on device: strict
+    upper triangle, real sites, MAF-ok anchor AND partner, band limit,
+    optional --rnd_sample membership via the packed `bits` plane. Built
+    entirely from per-device data that already rides the ring; mirrors
+    engine_ring.host_mask cell for cell (the host replays it for the
+    (a, pj) labels)."""
     B, B_sub, n, n_dev = cfg["B"], cfg["B_sub"], cfg["n"], cfg["n_dev"]
     a_loc = jnp.arange(B, dtype=jnp.int32)
     A = (i.astype(jnp.int32) * B + a_loc)[:, None]              # (B, 1)
@@ -122,9 +115,25 @@ def _device_compact(r2p, f, nit, nu, i, t, si, cfg,
     valid = (PJ > A) & (PJ < n) & (A < n)
     valid &= (ok_loc[:, None] > 0.0) & (vok[None, :] > 0.0)
     valid &= PJ < hi_loc[:, None]
-    vf = valid.reshape(-1)
     if cfg["sample"]:
-        vf = vf & _unpack_bits(bits, B * B_sub)
+        valid &= _unpack_bits(bits, B * B_sub).reshape(B, B_sub)
+    return valid
+
+
+def _device_compact(r2p, f, nit, nu, valid, cfg):
+    """Device-side row compaction of one (B, B_sub) step tile by its
+    emission mask (_tile_mask): gathers the surviving cells in row-major
+    (a, pj) order and returns (fm (CAP, 5), im, cnt) with CAP = B*B_sub —
+    only [:cnt] rows ever leave the device, so host-link bytes scale with
+    LIVE pairs like the block engine's strip sweep (engine_block), not
+    with rectangle area. `cnt` cross-checks the host's mask replay.
+
+    Replaces the full-tile pull + host compact_tile of rounds 1-3: at the
+    old 10-stat layout that pull cost ~52 B per rectangle CELL; this path
+    costs 21-24 B per live pair (plus 0.125 B/cell of sampling bits when
+    --rnd_sample is active)."""
+    B, B_sub = cfg["B"], cfg["B_sub"]
+    vf = valid.reshape(-1)
     cnt = jnp.sum(vf, dtype=jnp.int32)
     idx = jnp.flatnonzero(vf, size=B * B_sub, fill_value=0)
     fm = jnp.concatenate([r2p.reshape(-1)[idx][:, None],
@@ -199,11 +208,11 @@ def ring_sweep_stepper_strip(mesh, n_ind: int, B: int, B_sub: int,
         nxt = tuple(jax.lax.ppermute(v, "sites", perm)
                     for v in (vgb, veb, vmafb, vokb))
         if compact_cfg is not None:
+            valid = _tile_mask(idx, t, si, compact_cfg, hi_g, ok_g, vokb,
+                               bits[0] if bits is not None else None)
             fm, im, cnt = _device_compact(
                 rearrange(r2p), rearrange(f), rearrange(nit),
-                rearrange(nu), idx, t, si, compact_cfg,
-                hi_g, ok_g, vokb,
-                bits[0] if bits is not None else None)
+                rearrange(nu), valid, compact_cfg)
             return (fm[None], im[None], cnt[None]), *nxt
         fh = rearrange(f)
         f2 = fh.reshape(-1, 4)
@@ -274,11 +283,14 @@ def _tile_stats_ind_fn(ignore_miss_data: bool, extend_out: bool,
     slim: as in _tile_stats_fn."""
     from .sweep import _pair_em_shard, _pearson_shard
 
-    def tile_stats(gn_a, eg_a, maf_a, gn_b, eg_b, maf_b):
+    def tile_stats(gn_a, eg_a, maf_a, gn_b, eg_b, maf_b, live=None):
         Ba = gn_a.shape[0]
 
         def strip(args):
-            g1, e1, m1 = args           # one anchor site's LOCAL slice
+            if live is None:
+                (g1, e1, m1), lv = args, None
+            else:
+                g1, e1, m1, lv = args   # lv: this anchor's live lanes
             gn1 = jnp.broadcast_to(g1[None], gn_b.shape)
             eg1 = jnp.broadcast_to(e1[None], eg_b.shape)
             maf1 = jnp.broadcast_to(m1[None], maf_b.shape)
@@ -291,7 +303,8 @@ def _tile_stats_ind_fn(ignore_miss_data: bool, extend_out: bool,
                 include = jnp.ones(gn1.shape[:2], bool)
             n_used = jax.lax.psum(jnp.sum(include, axis=1),
                                   "ind").astype(jnp.int32)
-            f, n_iter = _pair_em_shard(gn1, gn_b, f0, include, n_used)
+            f, n_iter = _pair_em_shard(gn1, gn_b, f0, include, n_used,
+                                       live=lv)
             n_tot = jax.lax.psum(
                 jnp.full(gn1.shape[0], gn1.shape[1], jnp.int32), "ind")
             r2p = _pearson_shard(eg1, eg_b, n_tot)
@@ -304,7 +317,8 @@ def _tile_stats_ind_fn(ignore_miss_data: bool, extend_out: bool,
                         hmaf1=hmaf0, hmaf2=hmaf1, D=D, Dp=Dp, r2=r2,
                         chi2=chi2)
 
-        xs = (gn_a, eg_a, maf_a)
+        xs = (gn_a, eg_a, maf_a) if live is None \
+            else (gn_a, eg_a, maf_a, live)
         bs = min(row_chunk, Ba) if row_chunk else Ba
         return jax.lax.map(strip, xs, batch_size=bs)
 
@@ -337,12 +351,13 @@ def ring_sweep_stepper_ind(mesh, ignore_miss_data: bool = False,
     if compact_cfg is not None:
         def local_c(gn, eg, maf, hi_g, ok_g, vgn, veg, vmaf, vok, t, si,
                     bits=None):
-            out = tile_stats(gn, eg, maf, vgn, veg, vmaf)
             idx = jax.lax.axis_index("sites")
+            valid = _tile_mask(idx, t, si, compact_cfg, hi_g, ok_g, vok,
+                               bits[0] if bits is not None else None)
+            out = tile_stats(gn, eg, maf, vgn, veg, vmaf, live=valid)
             fm, im, cnt = _device_compact(
                 out["r2p"], out["f"], out["n_iter"], out["n_used"],
-                idx, t, si, compact_cfg, hi_g, ok_g, vok,
-                bits[0] if bits is not None else None)
+                valid, compact_cfg)
             nxt = tuple(jax.lax.ppermute(v, "sites", perm)
                         for v in (vgn, veg, vmaf, vok))
             return (fm[None], im[None], cnt[None]), *nxt
@@ -435,12 +450,16 @@ def ring_sweep_stepper(mesh, ignore_miss_data: bool = False,
     if compact_cfg is not None:
         def local_c(gn, eg, maf, hi_g, ok_g, vgn, veg, vmaf, vok, t, si,
                     bits=None):
-            out = tile_stats(gn, eg, maf, vgn, veg, vmaf)
             idx = jax.lax.axis_index("sites")
+            valid = _tile_mask(idx, t, si, compact_cfg, hi_g, ok_g, vok,
+                               bits[0] if bits is not None else None)
+            # the mask also seeds pair_em's active set: dead rectangle
+            # lanes freeze at iteration 0 instead of gating their whole
+            # vmapped batch with discarded trajectories
+            out = tile_stats(gn, eg, maf, vgn, veg, vmaf, live=valid)
             fm, im, cnt = _device_compact(
                 out["r2p"], out["f"], out["n_iter"], out["n_used"],
-                idx, t, si, compact_cfg, hi_g, ok_g, vok,
-                bits[0] if bits is not None else None)
+                valid, compact_cfg)
             nxt = tuple(jax.lax.ppermute(v, "sites", perm)
                         for v in (vgn, veg, vmaf, vok))
             return (fm[None], im[None], cnt[None]), *nxt

@@ -28,8 +28,11 @@ from ..ops.stats import chi2_stat, ld_stats
 _KBITS = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 
-def _pair_em_shard(gl1, gl2, f0, include, n_used):
-    """Per-shard EM body: local individuals, psum('ind') reductions."""
+def _pair_em_shard(gl1, gl2, f0, include, n_used, live=None):
+    """Per-shard EM body: local individuals, psum('ind') reductions.
+    live: optional initial active set (see ops.em.pair_em) — dead lanes
+    freeze at f0/ITER_MAX; every 'ind' shard receives the same mask so
+    the collective loop stays in lockstep."""
     dt = gl1.dtype
     Ploc = gl1.shape[0]
     incf = include.astype(dt)
@@ -65,7 +68,8 @@ def _pair_em_shard(gl1, gl2, f0, include, n_used):
         n_iter = jnp.where(newly, it, n_iter)
         return it + 1, f_next, active & ~newly, n_iter
 
-    carry = (jnp.int32(0), f0, jnp.ones(Ploc, bool),
+    act0 = jnp.ones(Ploc, bool) if live is None else live
+    carry = (jnp.int32(0), f0, act0,
              jnp.full(Ploc, ITER_MAX, jnp.int32))
     _, f, _, n_iter = jax.lax.while_loop(cond, body, carry)
     return f, n_iter
