@@ -409,10 +409,9 @@ def main():
     # headline + primary e2e must always land, the secondary per-engine
     # e2e configs are skipped once the budget is spent (tunnel stall
     # lottery makes per-run wall unpredictable; see PERF.md).
-    t_start = time.perf_counter()
     budget = float(os.environ.get("NGSLD_BENCH_BUDGET", "2400"))
     err = _wait_device(float(os.environ.get("NGSLD_BENCH_INIT_BUDGET",
-                                            "1800")))
+                                            "2400")))
     if err is not None:
         # still print ONE parseable JSON line so the round records the
         # failure mode instead of a stack trace
@@ -422,6 +421,9 @@ def main():
             "detail": {"error": f"device init failed: {err}"},
         }))
         return 1
+    # the config budget starts AFTER device init lands: a long init stall
+    # (tunnel outage lottery) must not starve the secondary e2e configs
+    t_start = time.perf_counter()
     detail = {}
     strip = strip_kernel_bench()
     gather = gather_kernel_bench()
