@@ -157,3 +157,41 @@ def test_ichunk_matches_column_kernel_exactly():
                                   interpret=True)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=2e-5)
     assert (np.abs(np.asarray(it1) - np.asarray(it2)) <= 1).all()
+
+
+def test_pair_em_live_mask_freezes_dead_lanes():
+    """pair_em(live=...): masked-out lanes return the f0 init with
+    n_iter == ITER_MAX; live lanes are BIT-identical to the unmasked
+    run (per-lane trajectories are independent — the ring steppers rely
+    on this to freeze dead rectangle lanes at iteration 0)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ngsld_tpu.constants import ITER_MAX
+    from ngsld_tpu.ops.em import pair_em
+
+    rng = np.random.default_rng(7)
+    P, I = 64, 10
+    gl = rng.dirichlet([2.0, 1.0, 1.0], size=(2 * P, I)).astype(np.float32)
+    eg = gl[..., 1] + 2 * gl[..., 2]
+    maf = (eg.mean(axis=1) / 2).astype(np.float32)
+    a = (jnp.asarray(gl[:P]), jnp.asarray(gl[P:]),
+         jnp.asarray(maf[:P]), jnp.asarray(maf[P:]))
+    live = jnp.asarray(rng.random(P) < 0.5)
+    f_all, it_all, nu_all = jax.jit(pair_em, static_argnums=4)(*a, False)
+    f_m, it_m, nu_m = jax.jit(
+        lambda g1, g2, m1, m2, lv: pair_em(g1, g2, m1, m2, False, live=lv)
+    )(*a, live)
+    lv = np.asarray(live)
+    np.testing.assert_array_equal(np.asarray(f_m)[lv],
+                                  np.asarray(f_all)[lv])
+    np.testing.assert_array_equal(np.asarray(it_m)[lv],
+                                  np.asarray(it_all)[lv])
+    # dead lanes: the f0 init (independence prior) and the ITER_MAX marker
+    m1, m2 = np.asarray(a[2])[~lv], np.asarray(a[3])[~lv]
+    f0 = np.stack([(1 - m1) * (1 - m2), (1 - m1) * m2,
+                   m1 * (1 - m2), m1 * m2], axis=1)
+    np.testing.assert_array_equal(np.asarray(f_m)[~lv], f0)
+    assert (np.asarray(it_m)[~lv] == ITER_MAX).all()
+    np.testing.assert_array_equal(np.asarray(nu_m), np.asarray(nu_all))
