@@ -102,7 +102,10 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         # cost tens of bytes per CELL on device; a degenerate few-device
         # ring makes B huge, e.g. 100k sites on 1 device = 4e8 cells at
         # B_sub=4096 — past HBM). NGSLD_RING_AREA overrides the cap.
-        area_cap = int(os.environ.get("NGSLD_RING_AREA", 100_000_000))
+        # default sized for a 16 GB chip: the per-step transient peak is
+        # roughly 70-80 B/cell (kernel stat outputs + rearrange copies +
+        # the compaction gather), so 6e7 cells keeps it under ~5 GB
+        area_cap = int(os.environ.get("NGSLD_RING_AREA", 60_000_000))
         n_sub = getattr(pars, "ring_sub", 0) or max(
             1, -(-B // 4096), -(-(B * B) // area_cap))
         n_sub = min(n_sub, B)
