@@ -125,14 +125,17 @@ def test_ring_sweep_matches_pairwise():
                 jnp.asarray(gl[partners]),
                 jnp.asarray(np.full(B, maf[a])), jnp.asarray(maf[partners]),
                 False)
+            # f32 end to end (x64 is off): identical algebra, but
+            # fusion order may differ by an ulp between the two
+            # compilations (and across compile-cache generations)
             np.testing.assert_allclose(out["f"][t, a], np.asarray(f_ref),
-                                       atol=1e-9)
+                                       atol=5e-7)
             np.testing.assert_array_equal(out["n_iter"][t, a],
                                           np.asarray(it_ref))
             r2p_ref = pearson_r2(jnp.asarray(np.broadcast_to(eg[a], (B, I))),
                                  jnp.asarray(eg[partners]))
             np.testing.assert_allclose(out["r2p"][t, a], np.asarray(r2p_ref),
-                                       atol=1e-9)
+                                       atol=5e-7)
 
     # band coverage accounting
     from ngsld_tpu.plan.band import band_limits
