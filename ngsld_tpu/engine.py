@@ -129,8 +129,10 @@ def run_jax(pars: Params, out_fh=None) -> None:
         else:
             out_fh = getattr(sys.stdout, "buffer", sys.stdout)
 
+    from .engine_block import StripCompileError
     from .utils.keepalive import DeviceKeepalive
-    try:
+
+    def _body():
         with DeviceKeepalive() as ka:
             if getattr(pars, "ring", False):
                 # ring mode owns its own step-granular checkpoint
@@ -144,6 +146,32 @@ def run_jax(pars: Params, out_fh=None) -> None:
                 # the engine selects, which needs the plan
                 _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                               touch=ka.touch, hold=ka.hold)
+
+    try:
+        try:
+            _body()
+        except StripCompileError as e:
+            # a kernel that fails BEFORE any output is a recoverable
+            # planning choice, not a run killer: retry the whole run on
+            # the gathered-pair sweep — when the output can be rewound
+            # and no checkpoint manifest has pinned the strip decomposition
+            if getattr(pars, "checkpoint", None):
+                raise
+            if close:
+                out_fh.close()
+                out_fh = open(path, "wb")
+            elif hasattr(out_fh, "seek"):
+                out_fh.seek(0)
+                out_fh.truncate()
+            else:
+                raise
+            log.log(0, f"==> WARNING: {e}; retrying with the "
+                       "gathered-pair sweep")
+            os.environ["NGSLD_NO_STRIP"] = "1"
+            try:
+                _body()
+            finally:
+                os.environ.pop("NGSLD_NO_STRIP", None)
     finally:
         if close:
             out_fh.close()

@@ -22,6 +22,13 @@ from .compute import (_compute_block_fn, _compute_block_ind_fn,
 from .loaders import _StreamedGLLoader, _StreamedTextLoader
 
 
+class StripCompileError(RuntimeError):
+    """The strip-tile Pallas kernel failed before producing any output
+    (compile/legalization). run_jax catches this and retries the whole
+    run on the gathered-pair sweep when that is safe (no --checkpoint,
+    rewindable output)."""
+
+
 def _prefetch_blocks(gen, depth: int = 4):
     """Run a generator in a daemon thread, yielding through a bounded queue.
 
@@ -277,37 +284,40 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
         # NGSLD_STRIP_MIN_UTIL. NGSLD_BLOCK_STRIP=1/0 forces on/off.
         strip_mode = False
         strip_env = os.environ.get("NGSLD_BLOCK_STRIP")
+        if os.environ.get("NGSLD_NO_STRIP") == "1":   # run_jax retry
+            strip_env = "0"
         if (strip_env != "0" and prec == "f32"
                 and getattr(pars, "shard_ind", 1) == 1):
             from .kernels.pallas_strip import TA as _TA
             from .kernels.pallas_strip import TB as _TB
-            from .kernels.pallas_strip import strip_tables
-            from .kernels.pallas_strip import vmem_ok as _svok
+            from .kernels.pallas_strip import strip_i_align, strip_tables
             from .plan.band import band_limits as _bl
             from .plan.strips import strip_plan
-            if _svok(pars.n_ind):
-                hi_b = _bl(pos_dist, pars.max_kb_dist, pars.max_snp_dist)
-                ok_b = ~(maf < pars.min_maf)
-                # + one extra all-dead partner tile: grid padding points
-                # unused dispatch slots at it, so pad tiles die at
-                # iteration 0 instead of recomputing a live tile
-                Sp_b = -(-pars.n_sites // _TA) * _TA + _TB
-                hi_p = np.zeros(Sp_b, np.int64)
-                hi_p[:pars.n_sites] = hi_b
-                ok_p = np.zeros(Sp_b, np.float32)
-                ok_p[:pars.n_sites] = ok_b
-                s_ta, s_tb, s_groups, s_util = strip_plan(
-                    hi_p, ok_p, pars.n_sites)
-                u_eff = s_util * pars.rnd_sample
-                min_util = float(os.environ.get("NGSLD_STRIP_MIN_UTIL",
-                                                "0.08"))
-                strip_mode = len(s_ta) > 0 and (
-                    strip_env == "1"
-                    or (jax.default_backend() == "tpu"
-                        and u_eff >= min_util))
-                if len(s_ta) and not strip_mode and pars.verbose >= 2:
-                    log.log(2, f"==> strip sweep skipped: eff util "
-                               f"{u_eff:.3f} < {min_util} (gather path)")
+            # any cohort size qualifies: past the VMEM-resident
+            # limit the STREAMED strip kernel takes over automatically
+            # (pallas_strip.strip_streamed)
+            hi_b = _bl(pos_dist, pars.max_kb_dist, pars.max_snp_dist)
+            ok_b = ~(maf < pars.min_maf)
+            # + one extra all-dead partner tile: grid padding points
+            # unused dispatch slots at it, so pad tiles die at
+            # iteration 0 instead of recomputing a live tile
+            Sp_b = -(-pars.n_sites // _TA) * _TA + _TB
+            hi_p = np.zeros(Sp_b, np.int64)
+            hi_p[:pars.n_sites] = hi_b
+            ok_p = np.zeros(Sp_b, np.float32)
+            ok_p[:pars.n_sites] = ok_b
+            s_ta, s_tb, s_groups, s_util = strip_plan(
+                hi_p, ok_p, pars.n_sites)
+            u_eff = s_util * pars.rnd_sample
+            min_util = float(os.environ.get("NGSLD_STRIP_MIN_UTIL",
+                                            "0.08"))
+            strip_mode = len(s_ta) > 0 and (
+                strip_env == "1"
+                or (jax.default_backend() == "tpu"
+                    and u_eff >= min_util))
+            if len(s_ta) and not strip_mode and pars.verbose >= 2:
+                log.log(2, f"==> strip sweep skipped: eff util "
+                           f"{u_eff:.3f} < {min_util} (gather path)")
         if strip_mode:
             with log.phase("strip tables (device)"), hold():
                 padfn = jax.jit(lambda g, e: strip_tables(
@@ -315,7 +325,8 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                                 (0, 0)),
                             constant_values=1.0 / 3.0),
                     jnp.pad(e, ((0, Sp_b - pars.n_sites),
-                                (0, 0))), pars.n_ind))
+                                (0, 0))), pars.n_ind,
+                    i_align=strip_i_align(pars.n_ind)))
                 s_ga, s_gb, s_ea, s_eb = padfn(gn_d, eg_d)
                 if jax.default_backend() == "tpu":
                     # the gather tables are dead weight in strip mode;
@@ -708,7 +719,7 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                                     jnp.asarray(sel_pad))
                         except Exception as e:
                             if not strip_ran:
-                                raise RuntimeError(
+                                raise StripCompileError(
                                     "strip-tile kernel failed on the "
                                     "first chunk (compile/legalization?) "
                                     "— rerun with NGSLD_BLOCK_STRIP=0 to "

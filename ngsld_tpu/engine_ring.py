@@ -11,7 +11,7 @@ import numpy as np
 
 from . import strict
 from .checkpoint import _RingSpill
-from .engine_block import _chi2_host, _stats_host
+from .engine_block import StripCompileError, _chi2_host, _stats_host
 from .loaders import _ring_sharded_tables
 
 
@@ -115,11 +115,14 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         # forces it elsewhere (interpret mode; f32-grade values) for
         # tests. Needs B/B_sub aligned to the 128-lane tile quanta.
         from .kernels.pallas_strip import TA as _TA
-        from .kernels.pallas_strip import vmem_ok as _strip_vmem_ok
         force_strip = os.environ.get("NGSLD_FORCE_STRIP") == "1"
-        use_strip = n_is == 1 and _strip_vmem_ok(pars.n_ind) and (
+        # any cohort size: past the VMEM-resident limit strip_em streams
+        # the individual axis (pallas_strip.strip_streamed)
+        use_strip = n_is == 1 and (
             force_strip or (jax.default_backend() == "tpu"
                             and prec == "f32"))
+        if os.environ.get("NGSLD_NO_STRIP") == "1":   # run_jax retry
+            use_strip = False
         # tier classification keys on the precision of the values the
         # STEPPER produces: the strip kernel is f32 even when the run
         # precision is f64 (NGSLD_FORCE_STRIP on CPU), so its fragile
@@ -288,9 +291,11 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
             from .kernels.pallas_strip import strip_tables
             from .parallel.ring import (ring_subblock_taker_strip,
                                         ring_sweep_stepper_strip)
+            from .kernels.pallas_strip import strip_i_align
             with log.phase("Building strip tables (sharded)"), hold():
                 ga_d, gb_d, ea_d, eb_d = jax.jit(functools.partial(
-                    strip_tables, n_ind=pars.n_ind))(gn_d, eg_d)
+                    strip_tables, n_ind=pars.n_ind,
+                    i_align=strip_i_align(pars.n_ind)))(gn_d, eg_d)
                 del gn_d, eg_d   # the strip layouts replace them
             touch()
             stepper = ring_sweep_stepper_strip(
@@ -364,6 +369,7 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         from .parallel.ring import ring_subblock_taker_ind as _rsti
         from .utils.signals import GracefulStop
         interrupted = False
+        strip_step_ok = False
         with log.phase("compute: ring sweep"), GracefulStop(log) as gs:
             for si in range(n_sub):
                 if interrupted:
@@ -444,9 +450,18 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                         touch()
                     with hold():
                         if use_strip:
-                            res, *vis = stepper(
-                                ga_d, ea_d, hi_d, ok_d, maf_d, *vis,
-                                jnp.int32(t), jnp.int32(si), *extra)
+                            try:
+                                res, *vis = stepper(
+                                    ga_d, ea_d, hi_d, ok_d, maf_d, *vis,
+                                    jnp.int32(t), jnp.int32(si), *extra)
+                            except Exception as e:
+                                if not strip_step_ok:
+                                    raise StripCompileError(
+                                        "strip-kernel ring stepper failed "
+                                        "on its first step (compile/"
+                                        "legalization?)") from e
+                                raise
+                            strip_step_ok = True
                         else:
                             res, *vis = stepper(
                                 gn_d, eg_d, maf_d, hi_d, ok_d, *vis,

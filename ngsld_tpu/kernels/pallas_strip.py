@@ -204,7 +204,203 @@ def _strip_kernel(ta_ref, tb_ref,             # scalar prefetch: tile coords
     jax.lax.fori_loop(0, TA // G, group_body, 0)
 
 
-def strip_tables(gn, eg, n_ind: int):
+def _strip_ichunk_kernel(ta_ref, tb_ref,           # scalar prefetch
+                         ga_hbm,    # (3, Sa, Ip)  anchor table, ANY space
+                         gb_hbm,    # (3, Ip, Sb)  partner table, ANY space
+                         ea_hbm,    # (Sa, Ip)     standardized E[G]
+                         eb_hbm,    # (Ip, Sb)
+                         mafa_ref, mafb_ref, loa_ref, hia_ref,
+                         oka_ref, okb_ref,          # per-tile VMEM blocks
+                         f_out,     # (1, 4, TA, TB) f32
+                         r2p_out,   # (1, TA, TB) f32
+                         nit_out,   # (1, TA, TB) i32
+                         nu_out,    # (1, TA, TB) i32
+                         fs_scr,    # VMEM (4, TA, TB) f32   EM state
+                         act_scr,   # VMEM (TA, TB) f32
+                         invx_scr,  # VMEM (TA, TB) f32
+                         gbufa,     # VMEM (2, 3, TA, IC) f32  dbuf
+                         gbufb,     # VMEM (2, 3, IC, TB) f32  dbuf
+                         ebufa,     # VMEM (2, TA, IC) f32
+                         ebufb,     # VMEM (2, IC, TB) f32
+                         sems,      # DMA ((2, 4))
+                         *, I, Ip, IC, iter_cap, ignore_miss, ga_sub):
+    """Streamed variant of _strip_kernel for UNBOUNDED cohorts: the tile's
+    EM state ((4+2) x TA x TB) lives in VMEM while the individual axis
+    streams from HBM in IC-sized chunks INSIDE each EM iteration — the
+    strip layout's key reuse survives (one partner chunk serves every
+    anchor of the tile; the gather/ichunk kernel re-reads per PAIR).
+    Per-iteration HBM traffic is 12*(TA+TB)*Ip bytes against
+    ~15*TA*TB*Ip flops — ~80 flops/byte, far above the HBM roofline.
+
+    The convergence loop is per TILE (all anchors share it; per-pair
+    freeze/nIter semantics unchanged — extra executed iterations never
+    touch frozen pairs). Anchor-subgroup ga_sub bounds the (ga_sub, IC,
+    TB) elementwise temporaries. Same reference mapping as _strip_kernel
+    (gen_func.cpp:1013-1178) with pair_freq_iter's unbounded-cohort
+    contract (gen_func.cpp:1076-1119)."""
+    i = pl.program_id(0)
+    row0 = ta_ref[i] * TA
+    col0 = tb_ref[i] * TB
+    n_chunks = Ip // IC
+
+    def dmas(slot, c, with_e):
+        cps = [
+            pltpu.make_async_copy(
+                ga_hbm.at[:, pl.ds(row0, TA), pl.ds(c * IC, IC)],
+                gbufa.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                gb_hbm.at[:, pl.ds(c * IC, IC), pl.ds(col0, TB)],
+                gbufb.at[slot], sems.at[slot, 1]),
+        ]
+        if with_e:
+            cps += [
+                pltpu.make_async_copy(
+                    ea_hbm.at[pl.ds(row0, TA), pl.ds(c * IC, IC)],
+                    ebufa.at[slot], sems.at[slot, 2]),
+                pltpu.make_async_copy(
+                    eb_hbm.at[pl.ds(c * IC, IC), pl.ds(col0, TB)],
+                    ebufb.at[slot], sems.at[slot, 3]),
+            ]
+        return cps
+
+    # ---- live mask, f0 init, per-pair state ----
+    b_glob = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, TB), 1)
+    okb = okb_ref[:] > 0.0
+    live = (b_glob >= loa_ref[:]) & (b_glob < hia_ref[:]) \
+        & (oka_ref[:] > 0.0) & okb                      # (TA, TB)
+    ma = mafa_ref[:]                                    # (TA, 1)
+    mb = mafb_ref[:]                                    # (1, TB)
+    fs_scr[0] = (1 - ma) * (1 - mb)
+    fs_scr[1] = (1 - ma) * mb
+    fs_scr[2] = ma * (1 - mb)
+    fs_scr[3] = ma * mb
+    act_scr[...] = live.astype(jnp.float32)
+    nit_out[0] = jnp.full((TA, TB), iter_cap, jnp.int32)
+
+    def inc_of(slot, c):
+        """Inclusion plane for chunk c: real individuals, minus the
+        per-pair missing test when --ignore_miss_data (both sides'
+        normalized records uniform within EPSILON, preprocess contract)."""
+        rows = c * IC + jax.lax.broadcasted_iota(jnp.int32, (IC, TB), 0)
+        inc = rows < I                                  # (IC, TB)
+        if ignore_miss:
+            g1 = [gbufa[slot, k] for k in range(3)]     # (TA, IC)
+            g2 = [gbufb[slot, k] for k in range(3)]     # (IC, TB)
+            missb = (jnp.abs(g2[0] - g2[1]) < EPSILON) & \
+                    (jnp.abs(g2[1] - g2[2]) < EPSILON)
+            missa = (jnp.abs(g1[0] - g1[1]) < EPSILON) & \
+                    (jnp.abs(g1[1] - g1[2]) < EPSILON)  # (TA, IC)
+            # (TA, IC, TB) inclusion: both sides present AND a real row
+            return (jnp.logical_not(missa)[:, :, None]
+                    & (inc & jnp.logical_not(missb))[None])
+        return jnp.broadcast_to(inc[None], (1, IC, TB))
+
+    # ---- pre-pass: Pearson corr (+ n_used when ignore_miss) ----
+    for d in dmas(0, 0, True):
+        d.start()
+
+    def pre_body(c, carry):
+        corr, nu = carry
+        slot = jax.lax.rem(c, 2)
+        nxt = jax.lax.rem(c + 1, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            for d in dmas(nxt, c + 1, True):
+                d.start()
+        for d in dmas(slot, c, True):
+            d.wait()
+        corr = corr + jnp.dot(ebufa[slot], ebufb[slot],
+                              preferred_element_type=jnp.float32)
+        if ignore_miss:
+            nu = nu + jnp.sum(inc_of(slot, c).astype(jnp.float32), axis=1)
+        return corr, nu
+
+    corr0 = jnp.zeros((TA, TB), jnp.float32)
+    corr, nu = jax.lax.fori_loop(0, n_chunks, pre_body,
+                                 (corr0, jnp.zeros((TA, TB), jnp.float32)))
+    r2p_out[0] = corr * corr
+    if ignore_miss:
+        nu_out[0] = nu.astype(jnp.int32)
+        invx_scr[...] = 1.0 / nu
+    else:
+        nu_out[0] = jnp.full((TA, TB), I, jnp.int32)
+        invx_scr[...] = jnp.full((TA, TB), 1.0 / I, jnp.float32)
+
+    # ---- EM: while loop over iterations, chunks streamed per step ----
+    def cond(carry):
+        it, done = carry
+        return jnp.logical_and(it < iter_cap, jnp.logical_not(done))
+
+    def body(carry):
+        it = carry[0]
+        fs = [fs_scr[k] for k in range(4)]              # (TA, TB)
+        for d in dmas(0, 0, False):
+            d.start()
+
+        def chunk_body(c, S):
+            slot = jax.lax.rem(c, 2)
+            nxt = jax.lax.rem(c + 1, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for d in dmas(nxt, c + 1, False):
+                    d.start()
+            for d in dmas(slot, c, False):
+                d.wait()
+            g2 = [gbufb[slot, k] for k in range(3)]     # (IC, TB)
+            incf = inc_of(slot, c).astype(jnp.float32)  # (TA|1, IC, TB)
+            S_new = list(S)
+            for g0 in range(0, TA, ga_sub):             # static subgroups
+                g1 = [gbufa[slot, k, g0:g0 + ga_sub, :]
+                      for k in range(3)]                # (GA, IC)
+                fsg = [fs[k][g0:g0 + ga_sub, None, :]
+                       for k in range(4)]               # (GA, 1, TB)
+                incg = (incf[g0:g0 + ga_sub] if ignore_miss
+                        else incf)                      # (GA|1, IC, TB)
+                Q = [[fsg[2 * x] * g2[cc] + fsg[2 * x + 1] * g2[cc + 1]
+                      for cc in range(2)] for x in range(2)]
+                D = [g1[a1k][:, :, None] * Q[0][a2k]
+                     + g1[a1k + 1][:, :, None] * Q[1][a2k]
+                     for (a1k, a2k) in _KBITS]           # (GA, IC, TB)
+                s = fsg[0] * D[0]
+                for k in range(1, 4):
+                    s = s + fsg[k] * D[k]
+                r0 = pl.reciprocal(s, approx=True)
+                r = incg * (r0 * (2.0 - s * r0))
+                S_new = [S_new[k].at[g0:g0 + ga_sub].add(
+                            jnp.sum(D[k] * r, axis=1))
+                         for k in range(4)]
+            return tuple(S_new)
+
+        S0 = tuple(jnp.zeros((TA, TB), jnp.float32) for _ in range(4))
+        S = jax.lax.fori_loop(0, n_chunks, chunk_body, S0)
+        act = act_scr[...] > 0.0
+        invx = invx_scr[...]
+        f_new = [fs[k] * S[k] * invx for k in range(4)]
+        norm = ((f_new[0] + f_new[1]) + f_new[2]) + f_new[3]
+        rn0 = pl.reciprocal(norm, approx=True)
+        rn = rn0 * (2.0 - norm * rn0)
+        f_new = [fn * rn for fn in f_new]
+        f_next = [jnp.where(act, f_new[k], fs[k]) for k in range(4)]
+        eps = jnp.zeros((TA, TB), jnp.float32)
+        for k in range(4):
+            d = jnp.abs(f_next[k] - fs[k])
+            eps = jnp.where(d > eps, d, eps)
+        newly = jnp.logical_and(act, eps < EPSILON)
+        still = jnp.logical_and(act, jnp.logical_not(newly))
+        nit_out[0] = jnp.where(newly, it, nit_out[0])
+        for k in range(4):
+            fs_scr[k] = f_next[k]
+        act_scr[...] = still.astype(jnp.float32)
+        return it + 1, jnp.logical_not(jnp.any(still))
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+    for k in range(4):
+        f_out[0, k] = fs_scr[k]
+
+
+def strip_tables(gn, eg, n_ind: int, i_align: int = 8):
     """Build the strip kernel's device tables from the engine's
     preprocessed site-major arrays.
 
@@ -213,10 +409,13 @@ def strip_tables(gn, eg, n_ind: int):
     rows<I test). eg (S, I) expected genotypes -> standardized tables
     ea (S, Ip), eb (Ip, S) carrying (e - mean)/(sqrt(n)*sd) so a pair's
     Pearson r2 is the squared dot product (zero-variance sites produce
-    inf/nan exactly like the two-pass formula's 0-division)."""
+    inf/nan exactly like the two-pass formula's 0-division).
+
+    i_align: individual-axis padding quantum — 8 for the VMEM-resident
+    kernel, the I-chunk size for the streamed kernel (strip_ic)."""
     S, I, _ = gn.shape
     assert I == n_ind, (I, n_ind)   # cross-check the caller's cohort size
-    Ip = -(-I // 8) * 8
+    Ip = -(-I // i_align) * i_align
     g = jnp.pad(gn.astype(jnp.float32), ((0, 0), (0, Ip - I), (0, 0)),
                 constant_values=1.0 / 3.0)
     ga = g.transpose(2, 0, 1)
@@ -258,6 +457,33 @@ def _default_group(Ip: int) -> int:
     return g
 
 
+IC_STREAM = 256    # I-chunk for the streamed kernel (lane-width multiple)
+_GA_SUB = 2        # anchors per elementwise temporary in the streamed EM
+
+
+def _ic_stream() -> int:
+    import os
+    return int(os.environ.get("NGSLD_STRIP_IC", IC_STREAM))
+
+
+def strip_streamed(n_ind: int) -> bool:
+    """Whether strip_em picks the streamed (I-chunked) kernel: whenever
+    the whole-strip working set no longer fits VMEM (vmem_ok), the tile
+    streams the individual axis instead — n_ind is unbounded, like the
+    reference's pair_freq_iter (gen_func.cpp:1076-1119).
+    NGSLD_STRIP_STREAM=1 forces it at any cohort size (tests)."""
+    import os
+    if os.environ.get("NGSLD_STRIP_STREAM") == "1":
+        return True
+    return not vmem_ok(n_ind)
+
+
+def strip_i_align(n_ind: int) -> int:
+    """Individual-axis padding quantum strip_tables must use so the
+    tables match the kernel strip_em will pick for this cohort size."""
+    return _ic_stream() if strip_streamed(n_ind) else 8
+
+
 @functools.partial(jax.jit, static_argnames=("n_ind", "iter_cap",
                                              "ignore_miss", "interpret",
                                              "group", "unroll"))
@@ -279,21 +505,79 @@ def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
     f (n, 4, TA, TB) f32, r2p (n, TA, TB) f32, n_iter (n, TA, TB) i32,
     n_used (n, TA, TB) i32. Dead cells (out of band / triangle / maf)
     hold the f0 init and n_iter == iter_cap; callers mask them.
+
+    Cohorts past the VMEM-resident limit (strip_streamed) automatically
+    take the STREAMED kernel (_strip_ichunk_kernel): tables then must be
+    built with strip_tables(..., i_align=strip_i_align(n_ind)).
     """
     # the while body runs `unroll` exact steps between scalar checks; a
     # cap that is not a multiple would overshoot it (see pallas_em)
     assert iter_cap % unroll == 0, (iter_cap, unroll)
     n = ta.shape[0]
     Ip = ga.shape[2]
-    if group is None:
-        group = _default_group(Ip)
-    assert group >= 1 and TA % group == 0, group
     mafa = maf_a.reshape(-1, 1).astype(jnp.float32)
     mafb = maf_b.reshape(1, -1).astype(jnp.float32)
     loa = lo.reshape(-1, 1).astype(jnp.int32)
     hia = hi.reshape(-1, 1).astype(jnp.int32)
     oka = ok_a.reshape(-1, 1).astype(jnp.float32)
     okb = ok_b.reshape(1, -1).astype(jnp.float32)
+    if strip_streamed(n_ind):
+        IC = _ic_stream()
+        if Ip % IC:     # tables built without streaming alignment
+            raise ValueError(
+                f"streamed strip kernel needs Ip % {IC} == 0; "
+                f"build tables with strip_tables(..., i_align="
+                f"strip_i_align(n_ind)) (got Ip={Ip})")
+        kernel = functools.partial(
+            _strip_ichunk_kernel, I=n_ind, Ip=Ip, IC=IC,
+            iter_cap=iter_cap, ignore_miss=ignore_miss, ga_sub=_GA_SUB)
+        f, r2p, nit, nu = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),   # ga
+                    pl.BlockSpec(memory_space=pl.ANY),   # gb
+                    pl.BlockSpec(memory_space=pl.ANY),   # ea
+                    pl.BlockSpec(memory_space=pl.ANY),   # eb
+                    pl.BlockSpec((TA, 1), lambda i, ta, tb: (ta[i], 0)),
+                    pl.BlockSpec((1, TB), lambda i, ta, tb: (0, tb[i])),
+                    pl.BlockSpec((TA, 1), lambda i, ta, tb: (ta[i], 0)),
+                    pl.BlockSpec((TA, 1), lambda i, ta, tb: (ta[i], 0)),
+                    pl.BlockSpec((TA, 1), lambda i, ta, tb: (ta[i], 0)),
+                    pl.BlockSpec((1, TB), lambda i, ta, tb: (0, tb[i])),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 4, TA, TB),
+                                 lambda i, ta, tb: (i, 0, 0, 0)),
+                    pl.BlockSpec((1, TA, TB), lambda i, ta, tb: (i, 0, 0)),
+                    pl.BlockSpec((1, TA, TB), lambda i, ta, tb: (i, 0, 0)),
+                    pl.BlockSpec((1, TA, TB), lambda i, ta, tb: (i, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((4, TA, TB), jnp.float32),     # fs
+                    pltpu.VMEM((TA, TB), jnp.float32),        # act
+                    pltpu.VMEM((TA, TB), jnp.float32),        # invx
+                    pltpu.VMEM((2, 3, TA, IC), jnp.float32),  # ga dbuf
+                    pltpu.VMEM((2, 3, IC, TB), jnp.float32),  # gb dbuf
+                    pltpu.VMEM((2, TA, IC), jnp.float32),     # ea dbuf
+                    pltpu.VMEM((2, IC, TB), jnp.float32),     # eb dbuf
+                    pltpu.SemaphoreType.DMA((2, 4)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((n, 4, TA, TB), jnp.float32),
+                jax.ShapeDtypeStruct((n, TA, TB), jnp.float32),
+                jax.ShapeDtypeStruct((n, TA, TB), jnp.int32),
+                jax.ShapeDtypeStruct((n, TA, TB), jnp.int32),
+            ],
+            interpret=interpret,
+        )(ta, tb, ga, gb, ea, eb, mafa, mafb, loa, hia, oka, okb)
+        return f, r2p, nit, nu
+    if group is None:
+        group = _default_group(Ip)
+    assert group >= 1 and TA % group == 0, group
     kernel = functools.partial(_strip_kernel, I=n_ind, Ip=Ip,
                                iter_cap=iter_cap, ignore_miss=ignore_miss,
                                unroll=unroll, group=group)
