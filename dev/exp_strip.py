@@ -152,3 +152,62 @@ def tb_leg(tb_val):
 for tbv in (256, 512):
     tb_leg(tbv)
 print("done2", flush=True)
+
+
+# ---- streamed strip leg: n_ind=20k through _strip_ichunk_kernel ----
+def streamed_leg():
+    import ngsld_tpu.kernels.pallas_strip as ps
+    I2 = 20000
+    S2 = 1024
+    reps_needed = -(-I2 // I)
+    gl_big = np.tile(gl[:S2], (1, reps_needed, 1))[:, :I2]
+    eg_big = gl_big[..., 1] + 2 * gl_big[..., 2]
+    maf2 = (eg_big.mean(axis=1) / 2).astype(np.float32)
+    try:
+        assert ps.strip_streamed(I2), "20k must stream"
+        tabs = jax.jit(lambda g, e: ps.strip_tables(
+            g, e, I2, i_align=ps.strip_i_align(I2)))(
+                jnp.asarray(gl_big.astype(np.float32)),
+                jnp.asarray(eg_big.astype(np.float32)))
+        hi2 = np.full(S2, S2, np.int32)          # all-pairs band
+        lo2 = np.arange(S2, dtype=np.int32) + 1
+        ok2 = np.ones(S2, np.float32)
+        tiles2 = [(k, j) for k in range(S2 // ps.TA)
+                  for j in range(k, S2 // ps.TB)]
+        ta2 = jnp.asarray([t[0] for t in tiles2], jnp.int32)
+        tb2 = jnp.asarray([t[1] for t in tiles2], jnp.int32)
+        m2 = jnp.asarray(maf2)
+
+        @jax.jit
+        def fn(m):
+            f, r2p, nit, nu = ps.strip_em(
+                *tabs, m, m, jnp.asarray(lo2), jnp.asarray(hi2),
+                jnp.asarray(ok2), jnp.asarray(ok2), ta2, tb2, n_ind=I2)
+            return jnp.sum(jnp.where(nit < 100, nit + 1, 0)), nit
+
+        t0 = time.perf_counter()
+        out = fn(m2)
+        total = int(out[0])
+        tc = time.perf_counter() - t0
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(m2)
+            total = int(out[0])
+            dt = min(dt, time.perf_counter() - t0)
+        # counted LIVE evals: converged pairs' iters (unconverged add cap)
+        nit = np.asarray(out[1])
+        live = nit < 100
+        iters = nit[live].astype(np.int64) + 1
+        P3 = int(live.sum())
+        ev = (iters.sum()) * I2 / dt
+        print(f"streamed-strip n_ind=20k: {ev:.3e} evals/s ms={dt*1e3:.0f}"
+              f" live_pairs={P3} mean_iters={iters.mean():.1f}"
+              f" compile={tc:.1f}s", flush=True)
+    except Exception as e:
+        print(f"streamed-strip: FAIL {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
+
+
+streamed_leg()
+print("done3", flush=True)
