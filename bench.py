@@ -195,6 +195,67 @@ def large_cohort_kernel_bench():
     }
 
 
+def streamed_strip_kernel_bench():
+    """The STREAMED strip kernel (tile EM state resident, individuals
+    DMA-chunked — pallas_strip._strip_ichunk_kernel) at n_ind = 20,000 on
+    an all-pairs 1024-site rectangle sweep: the unbounded-cohort DENSE
+    path (the resident strip kernel tops out near ~3.2k individuals).
+    Same tiled-panel construction as large_cohort_kernel_bench."""
+    import jax
+    import jax.numpy as jnp
+    from ngsld_tpu.kernels import pallas_strip as ps
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": "no TPU"}
+    S, I_base, I = 1024, 512, 20000
+    gl, eg, maf = _sim_tables(S, I_base, seed=7)
+    reps = -(-I // I_base)
+    gl_big = np.tile(gl, (1, reps, 1))[:, :I].astype(np.float32)
+    eg_big = (gl_big[..., 1] + 2 * gl_big[..., 2]).astype(np.float32)
+    maf_big = (eg_big.mean(axis=1) / 2).astype(np.float32)
+    assert ps.strip_streamed(I)
+    tabs = jax.jit(lambda g, e: ps.strip_tables(
+        g, e, I, i_align=ps.strip_i_align(I)))(jnp.asarray(gl_big),
+                                               jnp.asarray(eg_big))
+    hi = np.full(S, S, np.int32)
+    lo = np.arange(S, dtype=np.int32) + 1
+    ok = np.ones(S, np.float32)
+    tiles = [(k, j) for k in range(S // ps.TA)
+             for j in range(k, S // ps.TB)]
+    ta = jnp.asarray([t[0] for t in tiles], jnp.int32)
+    tb = jnp.asarray([t[1] for t in tiles], jnp.int32)
+    m = jnp.asarray(maf_big)
+
+    @jax.jit
+    def fn(mx):
+        f, r2p, nit, nu = ps.strip_em(
+            *tabs, mx, mx, jnp.asarray(lo), jnp.asarray(hi),
+            jnp.asarray(ok), jnp.asarray(ok), ta, tb, n_ind=I)
+        return nit
+
+    try:
+        nit = np.asarray(fn(m))
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+    reps_t, dt = 3, float("inf")
+    for _ in range(reps_t):
+        t0 = time.perf_counter()
+        nit = np.asarray(fn(m))
+        dt = min(dt, time.perf_counter() - t0)
+    live = nit < 100   # converged live pairs (dead/unconverged hold the cap)
+    iters = nit[live].astype(np.int64) + 1
+    evals_per_sec = float(iters.sum()) * I / dt
+    return {
+        "evals_per_sec": evals_per_sec,
+        "n_pairs": int(live.sum()), "n_ind": I,
+        "mean_iters": float(iters.mean()) if live.any() else 0.0,
+        "kernel": "pallas-strip-streamed",
+        "ms_per_sweep": dt * 1e3,
+        "achieved_tflops": evals_per_sec * FLOPS_PER_EVAL / 1e12,
+        "frac_of_exec_ceiling": evals_per_sec / EXEC_CEILING,
+    }
+
+
 def gather_kernel_bench():
     import jax
     import jax.numpy as jnp
@@ -437,6 +498,7 @@ def main():
         detail["headline_from"] = "gather_kernel"
     detail["e2e"] = e2e_bench()
     for key, fn in (("large_cohort_kernel", large_cohort_kernel_bench),
+                    ("streamed_strip_kernel", streamed_strip_kernel_bench),
                     ("e2e_ring", e2e_ring_bench),
                     ("e2e_sampled", e2e_sampled_bench),
                     ("e2e_allpairs", e2e_allpairs_bench)):
