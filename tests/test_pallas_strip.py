@@ -440,6 +440,9 @@ def test_block_strip_fuzz_configs(tmp_path, monkeypatch, seed):
     monkeypatch.setenv("NGSLD_BLOCK_STRIP", "1")
     monkeypatch.setenv("NGSLD_STRIP_GROUP",
                        str(rng.choice([1, 2, 8, 16])))
+    if rng.random() < 0.3:   # streamed kernel: same output contract
+        monkeypatch.setenv("NGSLD_STRIP_STREAM", "1")
+        monkeypatch.setenv("NGSLD_STRIP_IC", "16")
     n_sites = int(rng.integers(300, 700))
     n_ind = int(rng.integers(6, 14))
     files = write_all(simulate(n_ind=n_ind, n_sites=n_sites, seed=seed,

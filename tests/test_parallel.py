@@ -530,6 +530,9 @@ def test_ring_fuzz_configs(tmp_path, monkeypatch, seed):
         ring += ["--shard", "0"]
         if rng.random() < 0.4:
             monkeypatch.setenv("NGSLD_FORCE_STRIP", "1")
+            if rng.random() < 0.5:   # streamed strip stepper
+                monkeypatch.setenv("NGSLD_STRIP_STREAM", "1")
+                monkeypatch.setenv("NGSLD_STRIP_IC", "16")
     s_out, r_out = tmp_path / "s.ld", tmp_path / "r.ld"
     strict.run(params_from_args(argv + ["--engine", "strict",
                                         "--out", str(s_out)]))
