@@ -8,12 +8,12 @@ done
 cd /root/repo
 FIX=/tmp/ngsld_bench_fix_100k
 echo "=== block e2e (100k x 100 kb100, strip default) ==="
-/usr/bin/time -v timeout 2400 python -m ngsld_tpu.cli \
+timeout 2400 python -m ngsld_tpu.cli \
   --geno $FIX/sim.glf --log_scale --n_ind 100 --n_sites 100000 \
   --pos $FIX/sim.pos --max_kb_dist 100 --extend_out --engine jax \
   --verbose 2 --out /tmp/e2e_block.ld 2>&1 | tail -40
 echo "=== ring e2e (same config, 1-device ring) ==="
-/usr/bin/time -v timeout 2400 python -m ngsld_tpu.cli \
+timeout 2400 python -m ngsld_tpu.cli \
   --geno $FIX/sim.glf --log_scale --n_ind 100 --n_sites 100000 \
   --pos $FIX/sim.pos --max_kb_dist 100 --extend_out --engine jax \
   --ring --verbose 2 --out /tmp/e2e_ring.ld 2>&1 | tail -40
