@@ -2,7 +2,7 @@
 # Post-kernel-sweep TPU e2e validation (session experiment).
 # Chained behind exp_strip.py: waits for it to exit, then runs the
 # 100k block e2e and the 100k ring e2e with verbose stage timers.
-while pgrep -f "python /root/repo/exp_strip.py" > /dev/null; do
+while pgrep -f "python /root/repo/dev/exp_strip.py" > /dev/null; do
   sleep 60
 done
 cd /root/repo

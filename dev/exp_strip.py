@@ -17,7 +17,7 @@ from ngsld_tpu.kernels.pallas_strip import (TA, TB, strip_em_compact,
                                             strip_tables)  # noqa: E402
 
 from bench import _wait_device  # noqa: E402
-err = _wait_device(21600.0)
+err = _wait_device(28800.0)
 if err is not None:
     print("device init failed:", err, flush=True)
     sys.exit(1)
