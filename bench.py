@@ -29,11 +29,53 @@ Prints ONE JSON line.
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
 
 import numpy as np
+
+# ---- kill-proof result emission -------------------------------------
+# The driver runs bench.py under a wall-clock `timeout`; round 3 lost its
+# entire BENCH artifact because the single JSON line printed only at the
+# very end (VERDICT r3 item 1). The result object now updates after every
+# leg and SIGTERM/SIGALRM/SIGINT print the partial JSON before dying, so
+# killing the bench at ANY point after the first leg still yields a
+# parseable line with whatever landed.
+RESULT = {
+    "metric": "pair_em_evals_per_sec", "value": 0.0,
+    "unit": "pair*ind*iter/s", "vs_baseline": 0.0,
+    "detail": {"note": "partial: killed before the first kernel leg"},
+}
+_EMITTED = False
+_CHILD = [None]   # live e2e subprocess (killed by the signal handler)
+
+
+def _emit():
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    print(json.dumps(RESULT), flush=True)
+
+
+def _on_signal(signum, frame):
+    d = RESULT.setdefault("detail", {})
+    d["partial"] = f"killed by signal {signum}"
+    _emit()
+    child = _CHILD[0]
+    if child is not None:   # don't orphan a device-holding e2e child
+        try:
+            os.killpg(child.pid, signal.SIGKILL)
+        except OSError:
+            pass
+    os._exit(0 if RESULT["value"] > 0 else 1)
+
+
+for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM,
+             signal.SIGHUP):
+    signal.signal(_sig, _on_signal)
 
 # flops per (pair, individual, iteration) of the EM update: Q(12) + D(12)
 # + s(7) + masked newton reciprocal(5) + D*r(4) + sum(4); the per-pair
@@ -325,14 +367,33 @@ def _fixture_100k():
     return glf, pos
 
 
-def _run_cli(cmd, out, reps=1):
+def _run_cli(cmd, out, reps=1, timeout=900.0):
+    """Run an e2e CLI leg with a HARD per-attempt timeout: one tunnel
+    stall must cost one leg, never the whole bench (VERDICT r3)."""
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        r = subprocess.run(cmd, capture_output=True)
+        p = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                             stderr=subprocess.PIPE,
+                             start_new_session=True)
+        _CHILD[0] = p
+        try:
+            _, errb = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except OSError:
+                pass
+            p.wait()
+            _CHILD[0] = None
+            if best == float("inf"):
+                return None, {"error": f"timeout after {timeout:.0f}s"}
+            continue   # keep the faster completed rep
+        finally:
+            _CHILD[0] = None
         dt = time.perf_counter() - t0
-        if r.returncode != 0:
-            return None, {"error": r.stderr.decode()[-300:]}
+        if p.returncode != 0:
+            return None, {"error": errb.decode()[-300:]}
         best = min(best, dt)
     with open(out, "rb") as fh:
         rows = sum(chunk.count(b"\n")
@@ -353,7 +414,7 @@ def e2e_bench():
            "--log_scale", "--n_ind", "100", "--n_sites", "100000",
            "--pos", pos, "--max_kb_dist", "100", "--extend_out",
            "--engine", "jax", "--out", out, "--verbose", "0"]
-    best, res = _run_cli(cmd, out, reps=2)
+    best, res = _run_cli(cmd, out, reps=2, timeout=700.0)
     if best is None:
         return res
     res.update({
@@ -379,7 +440,7 @@ def e2e_ring_bench():
            "--log_scale", "--n_ind", "100", "--n_sites", "100000",
            "--pos", pos, "--max_kb_dist", "100", "--extend_out",
            "--engine", "jax", "--ring", "--out", out, "--verbose", "0"]
-    best, res = _run_cli(cmd, out)
+    best, res = _run_cli(cmd, out, timeout=900.0)
     if best is None:
         return res
     res["config"] = "100k x 100 kb100 --ring (1-device ring + spill merge)"
@@ -408,7 +469,7 @@ def e2e_sampled_bench():
            "--pos", pos, "--max_kb_dist", "0", "--max_snp_dist", "64",
            "--rnd_sample", "0.05", "--seed", "12345", "--extend_out",
            "--engine", "jax", "--out", out, "--verbose", "0"]
-    best, res = _run_cli(cmd, out)
+    best, res = _run_cli(cmd, out, timeout=700.0)
     if best is None:
         return res
     res.update({
@@ -438,7 +499,7 @@ def e2e_allpairs_bench():
            "--log_scale", "--n_ind", "100", "--n_sites", "4096",
            "--max_kb_dist", "0", "--extend_out",
            "--engine", "jax", "--out", out, "--verbose", "0"]
-    best, res = _run_cli(cmd, out)
+    best, res = _run_cli(cmd, out, timeout=700.0)
     if best is None:
         return res
     res["config"] = "4096 sites all-pairs (--max_kb_dist 0), 8.4M rows"
@@ -466,53 +527,64 @@ def _wait_device(budget_s):
 
 
 def main():
-    # Wall budget: the driver runs this at end-of-round; the kernel
-    # headline + primary e2e must always land, the secondary per-engine
-    # e2e configs are skipped once the budget is spent (tunnel stall
-    # lottery makes per-run wall unpredictable; see PERF.md).
-    budget = float(os.environ.get("NGSLD_BENCH_BUDGET", "2400"))
+    # Wall budget: the driver runs this at end-of-round under its own
+    # `timeout`. Every leg updates RESULT as it lands and the signal
+    # handlers print the partial JSON, so a kill at any point after the
+    # first kernel leg still records a round artifact (VERDICT r3 item 1).
+    # Legs run cheapest-evidence-first; the secondary e2e configs are
+    # skipped once the budget is spent.
+    budget = float(os.environ.get("NGSLD_BENCH_BUDGET", "1500"))
+    # self-watchdog: print whatever landed BEFORE any external timeout
+    # (the driver's exact wall is unknown; r03's bench died silently)
+    signal.alarm(int(os.environ.get("NGSLD_BENCH_HARD_WALL", "2700")))
     err = _wait_device(float(os.environ.get("NGSLD_BENCH_INIT_BUDGET",
-                                            "2400")))
+                                            "1500")))
     if err is not None:
         # still print ONE parseable JSON line so the round records the
         # failure mode instead of a stack trace
-        print(json.dumps({
-            "metric": "pair_em_evals_per_sec", "value": 0.0,
-            "unit": "pair*ind*iter/s", "vs_baseline": 0.0,
-            "detail": {"error": f"device init failed: {err}"},
-        }))
+        RESULT["detail"] = {"error": f"device init failed: {err}"}
+        _emit()
         return 1
     # the config budget starts AFTER device init lands: a long init stall
     # (tunnel outage lottery) must not starve the secondary e2e configs
     t_start = time.perf_counter()
-    detail = {}
-    strip = strip_kernel_bench()
-    gather = gather_kernel_bench()
-    detail["gather_kernel"] = gather
-    if strip is not None:
-        detail["strip_kernel"] = strip
-        headline = strip["evals_per_sec"]
-        detail["headline_from"] = "strip_kernel"
-    else:
-        headline = gather["evals_per_sec"]
-        detail["headline_from"] = "gather_kernel"
-    detail["e2e"] = e2e_bench()
-    for key, fn in (("large_cohort_kernel", large_cohort_kernel_bench),
-                    ("streamed_strip_kernel", streamed_strip_kernel_bench),
-                    ("e2e_ring", e2e_ring_bench),
-                    ("e2e_sampled", e2e_sampled_bench),
-                    ("e2e_allpairs", e2e_allpairs_bench)):
-        if time.perf_counter() - t_start > budget:
+    detail = RESULT["detail"] = {}
+
+    def leg(key, fn, always=False):
+        spent = time.perf_counter() - t_start
+        if not always and spent > budget:
             detail[key] = {"skipped": "bench time budget spent"}
-            continue
-        detail[key] = fn()
-    print(json.dumps({
-        "metric": "pair_em_evals_per_sec",
-        "value": headline,
-        "unit": "pair*ind*iter/s",
-        "vs_baseline": headline / 1e9,
-        "detail": detail,
-    }))
+            return None
+        t0 = time.perf_counter()
+        try:
+            res = fn()
+        except Exception as e:   # a failed leg must not zero the round
+            res = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+        if isinstance(res, dict):
+            res.setdefault("leg_wall_s", round(time.perf_counter() - t0, 2))
+        detail[key] = res
+        return res
+
+    # 1) kernel legs (minutes of evidence, cheapest first)
+    strip = leg("strip_kernel", strip_kernel_bench, always=True)
+    if strip is not None and "evals_per_sec" in strip:
+        RESULT["value"] = strip["evals_per_sec"]
+        RESULT["vs_baseline"] = RESULT["value"] / 1e9
+        detail["headline_from"] = "strip_kernel"
+    gather = leg("gather_kernel", gather_kernel_bench, always=True)
+    if RESULT["value"] == 0.0 and gather and "evals_per_sec" in gather:
+        RESULT["value"] = gather["evals_per_sec"]
+        RESULT["vs_baseline"] = RESULT["value"] / 1e9
+        detail["headline_from"] = "gather_kernel"
+    leg("large_cohort_kernel", large_cohort_kernel_bench)
+    leg("streamed_strip_kernel", streamed_strip_kernel_bench)
+    # 2) e2e legs (subprocesses with hard per-attempt timeouts)
+    leg("e2e", e2e_bench, always=True)
+    leg("e2e_sampled", e2e_sampled_bench)
+    leg("e2e_allpairs", e2e_allpairs_bench)
+    leg("e2e_ring", e2e_ring_bench)
+    _emit()
+    return 0 if RESULT["value"] > 0 else 1
 
 
 if __name__ == "__main__":

@@ -14,11 +14,15 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+from typing import TYPE_CHECKING
 
 import numpy as np
 
 from . import strict
 from .config import Params
+
+if TYPE_CHECKING:   # annotation-only (from __future__ import annotations)
+    from .utils.logging import RunLog
 
 
 def _config_fingerprint(pars: Params, extra: dict = None) -> str:
@@ -128,8 +132,15 @@ class _RingSpill:
         Any tile files already present for this (si, t) are stale — left
         by a crashed, uncommitted attempt (or a multi-host recompute below
         the collective resume point) — and are removed first, so the merge
-        glob never mixes them in even if a recompute diverges."""
+        glob never mixes them in even if a recompute diverges. A stale
+        .done marker (multi-host recompute below the collective minimum)
+        is WITHDRAWN before the rewrite touches any tile: a crash
+        mid-rewrite must leave the step uncommitted, never a live marker
+        over missing/partial tiles."""
         import glob as _g
+        marker = self._stem(si, t) + ".done"
+        if os.path.exists(marker):
+            os.unlink(marker)
         for stale in _g.glob(self._stem(si, t) + "_b*.npy"):
             os.unlink(stale)
         for i, cols in blocks.items():
@@ -139,7 +150,6 @@ class _RingSpill:
             with open(p + ".tmp", "wb") as fh:
                 np.save(fh, self.pack(cols))
             os.replace(p + ".tmp", p)
-        marker = self._stem(si, t) + ".done"
         with open(marker + ".tmp", "w"):
             pass
         os.replace(marker + ".tmp", marker)

@@ -22,6 +22,11 @@ from .compute import (_compute_block_fn, _compute_block_ind_fn,
 from .loaders import _StreamedGLLoader, _StreamedTextLoader
 
 
+# pipeline-stage return sentinel: "nothing to forward downstream yet"
+# (the fmt stage is accumulating chunks of a split anchor-tile group)
+_PENDING = object()
+
+
 class StripCompileError(RuntimeError):
     """The strip-tile Pallas kernel failed before producing any output
     (compile/legalization). run_jax catches this and retries the whole
@@ -365,8 +370,12 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
             # that changes either would mix shards from different
             # decompositions
             if strip_mode:
+                # "order": split groups now merge to anchor-major rows
+                # under their final bi — shards from the window-major
+                # layout must not be resumed
                 extra = {"mode": "strip", "ta": int(_TA), "tb": int(_TB),
-                         "gmaxt": GMAXT, "ctarget": CTARGET}
+                         "gmaxt": GMAXT, "ctarget": CTARGET,
+                         "order": "anchor"}
             else:
                 extra = {"chunk": -(-int(pars.chunk_pairs) // n_shards)
                          * n_shards}
@@ -387,7 +396,7 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
         fmt_rw = writer if writer is not None \
             else RowWriter(None, labels, pars.extend_out)
 
-        def pull(bi, blk, dev_out):
+        def pull(bi, blk, dev_out, meta=None):
             """Stage 1 (tunnel IO): device results -> host numpy. Outputs
             are sliced to the live row count BEFORE the transfer (strip
             outputs are device-compacted into a fixed capacity; gather
@@ -400,15 +409,42 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                 im = np.asarray(dev_out[1][:P])
             touch()
             log.count_time("sweep: result pull", time.perf_counter() - t0)
-            return bi, blk, fm, im
+            return bi, blk, fm, im, meta
 
-        def fmt(bi, blk, fm, im):
+        pending = []   # pulled chunks of an in-flight split anchor group
+
+        def fmt(bi, blk, fm, im, meta=None):
             """Stage 2 (CPU): derive stats, format rows to bytes.
+
+            A split anchor-tile group's chunks (strip sweep, partner span
+            > GMAXT*TB sites) arrive window-major; they accumulate here
+            (meta="cont") and merge back into global (s1, s2) row order
+            when the final chunk lands (meta=("final", run_first)) —
+            host memory for the merge is O(the group's rows).
 
             Degenerate pairs (Dp/r2/chi2 denominators ~0 — refine.py) are
             recomputed with the strict pipeline and emit the reference's
             exact values; everything else takes the native derive+format
             fast path."""
+            span0 = None
+            if meta == "cont":
+                pending.append((blk, fm, im))
+                return _PENDING
+            if meta is not None:
+                span0 = meta[1]
+                if pending:
+                    blks = [p[0] for p in pending] + [blk]
+                    blk = PairBlock(
+                        s1=np.concatenate([b.s1 for b in blks]),
+                        s2=np.concatenate([b.s2 for b in blks]),
+                        dist=np.concatenate([b.dist for b in blks]))
+                    fm = np.concatenate([p[1] for p in pending] + [fm])
+                    im = np.concatenate([p[2] for p in pending] + [im])
+                    pending.clear()
+                    order = np.lexsort((blk.s2, blk.s1))
+                    blk = PairBlock(s1=blk.s1[order], s2=blk.s2[order],
+                                    dist=blk.dist[order])
+                    fm, im = fm[order], im[order]
             t0 = time.perf_counter()
             n_iter = im[:, 0].astype(np.int32)
             if im.shape[1] > 1:
@@ -524,15 +560,25 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                     maf2=maf[blk.s2], hap=f, hmaf1=hmaf0, hmaf2=hmaf1,
                     chi2=chi2, n_iter=n_iter64.astype(np.int32))
             log.count_time("sweep: format", time.perf_counter() - t0)
-            return bi, data
+            return bi, data, span0
 
-        def write(bi, data):
-            """Stage 3 (disk IO): write rows (or a checkpoint shard)."""
+        def write(bi, data, span0=None):
+            """Stage 3 (disk IO): write rows (or a checkpoint shard).
+
+            A merged split-group writes all its rows under its FINAL bi,
+            then commits empty placeholder shards for the run's earlier
+            bis (concatenate needs a dense block range; resume treats
+            done(final_bi) as group-done and re-ensures placeholders)."""
             t0 = time.perf_counter()
             if ckpt is not None:
                 with ckpt.open_block(bi) as bfh:
                     bfh.write(data)
                 ckpt.commit_block(bi)
+                if span0 is not None:
+                    for j in range(span0, bi):
+                        with ckpt.open_block(j):
+                            pass
+                        ckpt.commit_block(j)
             else:
                 try:
                     out_fh.write(data)
@@ -573,6 +619,8 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                         if out_q is not None:
                             out_q.put(None)
                         return
+                    if res is _PENDING:
+                        continue   # fmt is accumulating a split group
                     if out_q is not None:
                         out_q.put(res)
             t = threading.Thread(target=run, daemon=True, name=name)
@@ -601,14 +649,19 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                     chunks of <=GMAXT tiles / ~CTARGET pairs — one
                     device round-trip per chunk, not per group (dispatch
                     latency dominates tunneled links). Yields
-                    (ta_slots, tb_slots, sel, PairBlock) with sel's flat
-                    cell indices in global (s1, s2) order."""
+                    (ta_slots, tb_slots, sel, PairBlock, rem): rem>0
+                    marks a chunk whose anchor-tile group continues for
+                    `rem` more chunks — its rows are window-major, and
+                    the emit pipeline merges the whole run back into
+                    global (s1, s2) order before formatting (a split
+                    group's non-final pieces span exactly GMAXT tiles,
+                    so they never share a chunk with anything else)."""
                     pend = []      # stream pieces of the CURRENT group
                     cur = -1
                     acc = []       # whole group-pieces of the open chunk
                     acc_tiles = acc_pairs = 0
 
-                    def flush():
+                    def flush(rem=0):
                         nonlocal acc, acc_tiles, acc_pairs
                         ta_l, tb_l, sels, cols = [], [], [], []
                         off = 0
@@ -629,21 +682,29 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                                     s1=np.concatenate([c[0] for c in cols]),
                                     s2=np.concatenate([c[1] for c in cols]),
                                     dist=np.concatenate(
-                                        [c[2] for c in cols])))
+                                        [c[2] for c in cols])),
+                                rem)
 
                     def add_group(k, a, b, d):
-                        """Split the group at GMAXT-tile boundaries (row
-                        order stays valid: pieces of one group never
-                        share a chunk — the first piece fills it), then
-                        pack pieces into chunks."""
+                        """Split the group at GMAXT-tile partner windows
+                        (window-major: each tile computes once), then
+                        pack pieces into chunks. Every non-final piece
+                        spans exactly GMAXT tiles, fills its own chunk
+                        and is flushed immediately with rem = pieces of
+                        this group still to come; the final piece batches
+                        with following groups as usual (rem=0)."""
                         nonlocal acc_tiles, acc_pairs
                         j_end = max(k + 1, -(-int(b.max() + 1) // _TB))
+                        pieces = []
                         for c0 in range(k, j_end, GMAXT):
                             c1 = min(c0 + GMAXT, j_end)
                             m = (b >= c0 * _TB) & (b < c1 * _TB)
                             if not m.any():
                                 continue
-                            piece = (k, c0, c1 - c0, a[m], b[m], d[m])
+                            pieces.append((k, c0, c1 - c0,
+                                           a[m], b[m], d[m]))
+                        for pi, piece in enumerate(pieces):
+                            rem = len(pieces) - 1 - pi
                             if acc and (acc_tiles + piece[2] > GMAXT
                                         or acc_pairs + len(piece[3])
                                         > CTARGET):
@@ -651,6 +712,8 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                             acc.append(piece)
                             acc_tiles += piece[2]
                             acc_pairs += len(piece[3])
+                            if rem:
+                                yield flush(rem)
 
                     for blk0 in iter_pair_blocks(pars, maf, pos_dist,
                                                  block_pairs=chunk):
@@ -676,17 +739,45 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
 
                 bi = -1
                 strip_ran = False
+                skip_until = -1   # resumed split-group fast-forward
+                run_first = run_last = -1  # in-flight split-group span
                 try:
                     for item in _prefetch_blocks(strip_chunks(), depth=2):
-                        ta_slots, tb_slots, sel, blk = item
+                        ta_slots, tb_slots, sel, blk, rem = item
                         bi += 1
                         n_blocks = bi + 1
                         if gs.stopped or emit_err:
                             interrupted = not emit_err
                             break
-                        if ckpt is not None and ckpt.done(bi):
+                        if bi <= skip_until:
                             log.count("blocks_resumed")
                             continue
+                        if ckpt is not None and bi > run_last:
+                            if rem and ckpt.done(bi + rem):
+                                # the whole split group was committed as
+                                # one merged shard at its final bi; the
+                                # earlier bis are empty placeholders —
+                                # (re)commit any the writer didn't reach
+                                for j in range(bi, bi + rem):
+                                    if not ckpt.done(j):
+                                        with ckpt.open_block(j):
+                                            pass
+                                        ckpt.commit_block(j)
+                                skip_until = bi + rem
+                                log.count("blocks_resumed")
+                                continue
+                            if not rem and ckpt.done(bi):
+                                log.count("blocks_resumed")
+                                continue
+                        if rem and bi > run_last:
+                            run_first, run_last = bi, bi + rem
+                        if run_last >= 0 and bi == run_last:
+                            meta = ("final", run_first)
+                            run_first = run_last = -1
+                        elif bi < run_last:
+                            meta = "cont"
+                        else:
+                            meta = None
                         P = len(sel)
                         gc = len(ta_slots)
                         log.count("pairs_emitted", P)
@@ -731,7 +822,7 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                         touch()
                         log.count_time("sweep: dispatch",
                                        time.perf_counter() - t0)
-                        emit_q.put((bi, blk, dev_out))
+                        emit_q.put((bi, blk, dev_out, meta))
                 finally:
                     emit_q.put(None)
                     for t in stages:
@@ -785,7 +876,7 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                         touch()
                         log.count_time("sweep: dispatch",
                                        time.perf_counter() - t0)
-                        emit_q.put((bi, blk, dev_out))
+                        emit_q.put((bi, blk, dev_out, None))
                 finally:
                     # always shut the pipeline down, even when the loop raises
                     # (device OOM, plan error): daemon stages blocked on get()

@@ -184,6 +184,11 @@ def _prep(gn1, gn2, maf1, maf2, ignore_miss_data, PT):
     g1 = _layout(gn1, Ip, Pp)
     g2 = _layout(gn2, Ip, Pp)
     incf = jnp.pad(include.astype(dt).T, ((0, Ip - I), (0, Pp - P)))
+    # pad pairs get ONE live uniform-GL lane: all-zero inclusion makes
+    # the update 0/0 -> nan and the pad lanes spin to iter_cap, gating
+    # their whole tile; with one uniform lane the EM is a fixed point and
+    # they converge at iteration 0 (survives any later pair permutation)
+    incf = incf.at[0, P:].set(1.0)
     m1 = jnp.pad(maf1.astype(dt), (0, Pp - P), constant_values=0.5)
     m2 = jnp.pad(maf2.astype(dt), (0, Pp - P), constant_values=0.5)
     f0 = jnp.stack([(1 - m1) * (1 - m2), (1 - m1) * m2,
@@ -265,6 +270,7 @@ def _phase2(gn1, gn2, f_warm, idx, ignore_miss_data, pair_tile, interpret, cap):
     g2 = _layout(g2s, Ip, Pp)
     incf = jnp.pad(include.astype(jnp.float32).T, ((0, Ip - g1s.shape[1]),
                                                    (0, Pp - P)))
+    incf = incf.at[0, P:].set(1.0)   # pad pairs: one live uniform lane
     f0 = jnp.pad(jnp.take(f_warm, idx, axis=0).T.astype(jnp.float32),
                  ((0, 0), (0, Pp - P)), constant_values=0.25)
     invx = (1.0 / jnp.pad(n_used, (0, Pp - P), constant_values=1)
@@ -509,6 +515,9 @@ def pair_em_rows(g1rows: jnp.ndarray, g2rows: jnp.ndarray,
     g1 = jnp.pad(g1rows, pad, constant_values=1.0 / 3.0)
     g2 = jnp.pad(g2rows, pad, constant_values=1.0 / 3.0)
     incp = jnp.pad(incf, pad)
+    # pad pairs: one live uniform-GL lane so they converge at iteration 0
+    # instead of spinning the tail tile to iter_cap (see _prep)
+    incp = incp.at[P:, 0].set(1.0)
     m1 = jnp.pad(maf1.astype(dt), (0, Pp - P), constant_values=0.5)
     m2 = jnp.pad(maf2.astype(dt), (0, Pp - P), constant_values=0.5)
     f0 = jnp.stack([(1 - m1) * (1 - m2), (1 - m1) * m2,
@@ -549,7 +558,7 @@ def pair_em_rows(g1rows: jnp.ndarray, g2rows: jnp.ndarray,
 def _em_kernel_ichunk(g1_hbm, g2_hbm, inc_hbm, f0_ref, invx_ref,
                       f_out, niter_out, active_ref, gbuf, incbuf, sems,
                       *, iter_cap: int, IC: int, n_chunks: int, PT: int,
-                      unroll: int = _UNROLL):
+                      P: int, unroll: int = _UNROLL):
     """One grid step = PT pairs x the WHOLE cohort (streamed).
 
     g{1,2}_hbm: (Pp, NC*3*IC) chunk-major row tables (ANY memory space);
@@ -575,7 +584,11 @@ def _em_kernel_ichunk(g1_hbm, g2_hbm, inc_hbm, f0_ref, invx_ref,
     for k in range(4):
         f_out[:, k:k + 1] = f0_ref[:, k:k + 1]
     niter_out[:] = jnp.full(niter_out.shape, iter_cap, jnp.int32)
-    active_ref[:] = jnp.ones(active_ref.shape, jnp.float32)
+    # pad rows (>= P) have all-zero inclusion -> nan frequencies that
+    # never satisfy eps < EPSILON; seed them dead so the tail tile
+    # converges like any other instead of spinning to iter_cap
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, active_ref.shape, 0)
+    active_ref[:] = (rows < P).astype(jnp.float32)
 
     def cond(carry):
         it, done = carry
@@ -709,7 +722,7 @@ def pair_em_ichunk(gn1: jnp.ndarray, gn2: jnp.ndarray, maf1: jnp.ndarray,
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     f, n_iter = pl.pallas_call(
         functools.partial(_em_kernel_ichunk, iter_cap=iter_cap, IC=IC,
-                          n_chunks=n_chunks, PT=PT),
+                          n_chunks=n_chunks, PT=PT, P=P),
         grid=grid,
         in_specs=[anyspec, anyspec, anyspec, vblk(4), vblk(1)],
         out_specs=[vblk(4), vblk(1)],

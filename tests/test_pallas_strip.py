@@ -422,6 +422,85 @@ def test_block_strip_sharded_matches_unsharded(tmp_path, monkeypatch):
     assert len(out1.read_bytes().splitlines()) > 1000
 
 
+def test_block_strip_wide_band_row_order(tmp_path, monkeypatch):
+    """A split anchor-tile group (partner span > GMAXT*TB sites) must
+    still emit rows in global (s1, s2) order (ADVICE r3: window-major
+    pieces used to interleave). NGSLD_STRIP_TILES=2 caps the dispatch
+    window at 2*TB=256 sites, so the 640-site all-pairs run splits
+    several groups; output must be byte-identical to the single-window
+    run AND explicitly (s1, s2)-sorted."""
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    monkeypatch.setenv("NGSLD_BLOCK_STRIP", "1")
+    files = write_all(simulate(n_ind=6, n_sites=640, seed=61,
+                               contig_kb=500.0), str(tmp_path / "fx"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "6",
+            "--n_sites", "640", "--pos", files["pos"], "--max_kb_dist",
+            "0", "--extend_out", "--precision", "f32", "--verbose", "0"]
+    big, small = tmp_path / "big.ld", tmp_path / "small.ld"
+    run_jax(params_from_args(argv + ["--out", str(big)]))
+    monkeypatch.setenv("NGSLD_STRIP_TILES", "2")
+    run_jax(params_from_args(argv + ["--out", str(small)]))
+    assert small.read_bytes() == big.read_bytes()
+    idx = {}
+    for i, line in enumerate(open(files["pos"])):
+        c, p = line.split()[:2]
+        idx[f"{c}:{p}"] = i
+    keys = [(idx[r.split("\t")[0]], idx[r.split("\t")[1]])
+            for r in small.read_text().splitlines()[1:]]
+    assert len(keys) == 640 * 639 // 2
+    assert keys == sorted(keys)
+
+
+def test_block_strip_wide_band_checkpoint_resume(tmp_path, monkeypatch):
+    """Split groups under --checkpoint: the merged rows live in the
+    run's FINAL shard with empty placeholders before it. A full resume
+    skips the whole group; a resume after the placeholders were lost
+    (crash between the final commit and the placeholder commits)
+    re-ensures them; both reproduce the straight run byte-for-byte."""
+    import os as _os
+
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    monkeypatch.setenv("NGSLD_BLOCK_STRIP", "1")
+    monkeypatch.setenv("NGSLD_STRIP_TILES", "2")
+    files = write_all(simulate(n_ind=6, n_sites=512, seed=62,
+                               contig_kb=500.0), str(tmp_path / "fx"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "6",
+            "--n_sites", "512", "--pos", files["pos"], "--max_kb_dist",
+            "0", "--extend_out", "--precision", "f32", "--verbose", "0"]
+    straight = tmp_path / "straight.ld"
+    run_jax(params_from_args(argv + ["--out", str(straight)]))
+
+    ckpt = str(tmp_path / "ckpt")
+    out1 = tmp_path / "ck.ld"
+    run_jax(params_from_args(argv + ["--checkpoint", ckpt,
+                                     "--out", str(out1)]))
+    assert out1.read_bytes() == straight.read_bytes()
+    parts = sorted(p for p in _os.listdir(ckpt) if p.endswith(".tsv"))
+    empties = [p for p in parts
+               if _os.path.getsize(_os.path.join(ckpt, p)) == 0]
+    assert empties, "expected placeholder shards for split groups"
+
+    out2 = tmp_path / "resumed.ld"
+    run_jax(params_from_args(argv + ["--checkpoint", ckpt,
+                                     "--out", str(out2)]))
+    assert out2.read_bytes() == straight.read_bytes()
+
+    # crash between final commit and placeholder commits: placeholders
+    # missing, final shard present — resume must re-ensure them
+    for p in empties:
+        _os.unlink(_os.path.join(ckpt, p))
+    out3 = tmp_path / "resumed2.ld"
+    run_jax(params_from_args(argv + ["--checkpoint", ckpt,
+                                     "--out", str(out3)]))
+    assert out3.read_bytes() == straight.read_bytes()
+
+
 @pytest.mark.parametrize("seed", [101, 102, 103, 104])
 def test_block_strip_fuzz_configs(tmp_path, monkeypatch, seed):
     """Randomized flag-combination fuzz: forced strip sweep vs the strict
