@@ -133,13 +133,26 @@ def run_jax(pars: Params, out_fh=None) -> None:
     from .utils.keepalive import DeviceKeepalive
 
     def _body():
+        from .engine_ring import RingNarrowBand
         with DeviceKeepalive() as ka:
             if getattr(pars, "ring", False):
                 # ring mode owns its own step-granular checkpoint
                 # (_RingSpill, built inside _run_jax_ring once the block
                 # decomposition is known)
-                _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
-                              touch=ka.touch, hold=ka.hold)
+                try:
+                    _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
+                                  touch=ka.touch, hold=ka.hold)
+                except RingNarrowBand as e:
+                    # raised before any IO/output: the band fits inside
+                    # one ring step's sub-block, so the rectangle sweep
+                    # would be mostly dead lanes — run the replicated-
+                    # table block engine instead (same output contract)
+                    log.log(1, f"==> --ring auto-route: {e}; using the "
+                               "block engine (NGSLD_RING_AUTOROUTE=0 or "
+                               "--ring_sub N to force the ring)")
+                    _run_jax_body(pars, out_fh, log, prec, dt,
+                                  profile_dir, touch=ka.touch,
+                                  hold=ka.hold)
             else:
                 # block mode builds its _Checkpoint inside the driver too:
                 # the fingerprint depends on which sweep (gather vs strip)

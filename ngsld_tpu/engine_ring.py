@@ -15,6 +15,20 @@ from .engine_block import StripCompileError, _chi2_host, _stats_host
 from .loaders import _ring_sharded_tables
 
 
+class RingNarrowBand(RuntimeError):
+    """Raised by _run_jax_ring (before any IO/output) when the banded plan
+    is too narrow for the ring's rectangle steps: the band fits inside ONE
+    step's partner sub-block, so most rectangle lanes would be dead and
+    the replicated-table block engine is strictly better. run_jax catches
+    this and reruns on the block engine (VERDICT r3 item 6)."""
+
+    def __init__(self, mean_w: float, b_sub: int):
+        super().__init__(
+            f"banded plan (mean live width {mean_w:.0f} sites) fits inside "
+            f"one ring step's {b_sub}-site partner sub-block")
+        self.mean_w, self.b_sub = mean_w, b_sub
+
+
 def _local_blocks(arr, B: int):
     """{block index -> host ndarray} for this process's ADDRESSABLE shards
     of a 'sites'-sharded array (multi-host: each host only ever touches the
@@ -134,6 +148,37 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
         else:
             B = -(-B // n_sub) * n_sub   # sub-blocks must divide the block
         B_sub = B // n_sub
+
+        # narrow-band auto-route: a band that fits inside ONE ring step's
+        # partner sub-block leaves most rectangle lanes dead (the step EM
+        # computes every lane of a live batch) — the block engine wins
+        # outright there (PERF.md round 3: 137.5 s ring vs block parity on
+        # a narrow-band CPU mesh). Exempt: multi-host (the block engine is
+        # single-host), an explicit --ring_sub (the user is hand-tuning
+        # the ring), a resumed ring checkpoint, tables too big to
+        # replicate per device, NGSLD_RING_AUTOROUTE=0.
+        if (jax.process_count() == 1
+                and not getattr(pars, "ring_sub", 0)
+                and os.environ.get("NGSLD_RING_AUTOROUTE") != "0"):
+            ck = getattr(pars, "checkpoint", None)
+            ring_ckpt = False   # resumed RING checkpoint pins the engine
+            if ck and os.path.exists(os.path.join(ck, "MANIFEST.json")):
+                import json as _json
+                try:
+                    with open(os.path.join(ck, "MANIFEST.json")) as fh:
+                        ring_ckpt = _json.load(fh).get("mode") == "ring"
+                except Exception:
+                    ring_ckpt = True   # unreadable: don't reroute blindly
+            tbl_bytes = float(pars.n_sites) * pars.n_ind * 16.0
+            mem_cap = float(os.environ.get("NGSLD_AUTOROUTE_MEM", "4e9"))
+            if not ring_ckpt and tbl_bytes <= mem_cap:
+                hi_r = band_limits(pos_dist, pars.max_kb_dist,
+                                   pars.max_snp_dist)
+                live_w = np.maximum(
+                    np.minimum(hi_r, n) - np.arange(n) - 1, 0)
+                mean_w = float(live_w.mean()) if n else 0.0
+                if mean_w <= B_sub:
+                    raise RingNarrowBand(mean_w, B_sub)
         Sp = B * n_dev
         from .ops.preprocess import preprocess
         np_dt = np.float64 if prec == "f64" else np.float32

@@ -43,8 +43,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import EPSILON, ITER_MAX
 
 _KBITS = ((0, 0), (0, 1), (1, 0), (1, 1))
-_UNROLL = 4
-_GROUP = 4         # anchors sharing one convergence loop (see _strip_kernel)
+_UNROLL = 10       # r4 chip sweep: unroll 10 edges 4 at group=2 (1.35 vs
+                   # 1.30e10 evals/s); must divide ITER_MAX
+_GROUP = 2         # anchors sharing one convergence loop (see
+                   # _strip_kernel). r4 chip sweep at I=100, 256-tile
+                   # chunk: group 2 = 1.30-1.35e10 evals/s vs 4 = 9.2e9,
+                   # 8 = 7.5e9, 16 = 6.8e9 — smaller em_step temporaries
+                   # win; groups only shrink further as Ip grows
 TA = 128           # anchors per tile (sublane-major axis of outputs)
 TB = 128           # partners per tile (lane axis)
 
@@ -350,11 +355,17 @@ def _strip_ichunk_kernel(ta_ref, tb_ref,           # scalar prefetch
                 d.wait()
             g2 = [gbufb[slot, k] for k in range(3)]     # (IC, TB)
             incf = inc_of(slot, c).astype(jnp.float32)  # (TA|1, IC, TB)
-            S_new = list(S)
+            # per-subgroup sums collect into `pieces` and concatenate
+            # once per chunk: a mid-index None (fs[k][g0:g0+GA, None, :])
+            # lowers to lax.gather and .at[g0:g0+GA].add to lax.scatter,
+            # neither of which Mosaic legalizes — plain slices +
+            # expand_dims + concatenate keep the kernel compilable on
+            # real TPUs (round-4 chip run caught this)
+            pieces = []
             for g0 in range(0, TA, ga_sub):             # static subgroups
                 g1 = [gbufa[slot, k, g0:g0 + ga_sub, :]
                       for k in range(3)]                # (GA, IC)
-                fsg = [fs[k][g0:g0 + ga_sub, None, :]
+                fsg = [fs[k][g0:g0 + ga_sub][:, None, :]
                        for k in range(4)]               # (GA, 1, TB)
                 incg = (incf[g0:g0 + ga_sub] if ignore_miss
                         else incf)                      # (GA|1, IC, TB)
@@ -368,10 +379,13 @@ def _strip_ichunk_kernel(ta_ref, tb_ref,           # scalar prefetch
                     s = s + fsg[k] * D[k]
                 r0 = pl.reciprocal(s, approx=True)
                 r = incg * (r0 * (2.0 - s * r0))
-                S_new = [S_new[k].at[g0:g0 + ga_sub].add(
-                            jnp.sum(D[k] * r, axis=1))
-                         for k in range(4)]
-            return tuple(S_new)
+                pieces.append([jnp.sum(D[k] * r, axis=1)
+                               for k in range(4)])      # (GA, TB)
+            if len(pieces) == 1:
+                return tuple(S[k] + pieces[0][k] for k in range(4))
+            return tuple(
+                S[k] + jnp.concatenate([p[k] for p in pieces], axis=0)
+                for k in range(4))
 
         S0 = tuple(jnp.zeros((TA, TB), jnp.float32) for _ in range(4))
         S = jax.lax.fori_loop(0, n_chunks, chunk_body, S0)

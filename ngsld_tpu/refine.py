@@ -229,8 +229,14 @@ def degenerate_tiers(f: np.ndarray, prec: str,
             nonfin |= ~np.isfinite(np.asarray(col, np.float64))
         if prec == "f32":
             # f32-garbage band: the f64 polish restores f64-engine grade
-            # (the shared 1e-5 EM stop tolerance remains the floor)
-            tier[(np.abs(den_dp) < 1e-4) | (np.abs(den_r2) < 1e-8)
+            # (the shared 1e-5 EM stop tolerance remains the floor). The
+            # band extends to 1e-3 — the f32 EM's ~5e-5 wobble still
+            # moves Dp by ~5e-2 at den = 1e-3, and the fuzz comparator's
+            # fragile cutoff sits there, so every denominator range is
+            # either repaired or asserted (VERDICT r3 item 5; bound
+            # pinned by tests/test_refine.py::
+            # test_polished_band_bound_vs_strict).
+            tier[(np.abs(den_dp) < 1e-3) | (np.abs(den_r2) < 1e-6)
                  | (np.abs(D) < 2e-6)] = 2
         # exact-zero class, BOTH precisions: strict's value is inf/nan or
         # branch-dependent — only the bit-exact recompute matches it.

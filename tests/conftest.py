@@ -10,6 +10,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# ring tests exercise ring internals deliberately — don't let narrow-band
+# fixtures silently reroute them to the block engine (the autoroute has
+# its own dedicated tests that re-enable it)
+os.environ.setdefault("NGSLD_RING_AUTOROUTE", "0")
 
 import jax  # noqa: E402
 

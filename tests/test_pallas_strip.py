@@ -159,8 +159,10 @@ def test_grouped_anchors_match_solo(group, ignore_miss):
 
 
 def test_default_group_scales_down_with_cohort():
+    # r4 chip sweep pinned group=2 as the small-cohort default
+    # (1.30-1.35e10 evals/s vs 9.2e9 at group=4, PERF.md round 4)
     from ngsld_tpu.kernels.pallas_strip import _default_group
-    assert _default_group(104) == 4
+    assert _default_group(104) == 2
     assert _default_group(512) == 2
     assert _default_group(1104) == 1
 

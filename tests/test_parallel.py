@@ -544,3 +544,61 @@ def test_ring_fuzz_configs(tmp_path, monkeypatch, seed):
     from test_pallas_strip import _cmp_vs_strict
     _cmp_vs_strict(s_out.read_text().splitlines(),
                    r_out.read_text().splitlines(), 30)
+
+
+def test_ring_narrow_band_autoroutes_to_block(tmp_path, monkeypatch,
+                                              capfd):
+    """--ring on a band that fits inside one ring step's partner
+    sub-block auto-routes to the block engine (VERDICT r3 item 6): the
+    output must be byte-identical to a plain block-engine run, and the
+    log must say so. An explicit --ring_sub disables the reroute."""
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    monkeypatch.setenv("NGSLD_RING_AUTOROUTE", "1")   # conftest sets 0
+    files = write_all(simulate(n_ind=8, n_sites=256, seed=88,
+                               contig_kb=10.0), str(tmp_path / "fx"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "8",
+            "--n_sites", "256", "--pos", files["pos"], "--max_kb_dist",
+            "1", "--extend_out"]
+    b_out = tmp_path / "block.ld"
+    run_jax(params_from_args(argv + ["--verbose", "0",
+                                     "--out", str(b_out)]))
+    r_out = tmp_path / "ring.ld"
+    run_jax(params_from_args(argv + ["--ring", "--shard", "0",
+                                     "--verbose", "1",
+                                     "--out", str(r_out)]))
+    err = capfd.readouterr().err
+    assert "auto-route" in err
+    assert r_out.read_bytes() == b_out.read_bytes()
+
+    # explicit --ring_sub pins the ring (user hand-tuning)
+    r2_out = tmp_path / "ring2.ld"
+    run_jax(params_from_args(argv + ["--ring", "--shard", "0",
+                                     "--ring_sub", "2", "--verbose", "1",
+                                     "--out", str(r2_out)]))
+    assert "auto-route" not in capfd.readouterr().err
+    rows_b = b_out.read_text().splitlines()
+    rows_r2 = r2_out.read_text().splitlines()
+    assert [r.split("\t")[:2] for r in rows_b] \
+        == [r.split("\t")[:2] for r in rows_r2]
+
+
+def test_ring_wide_band_stays_on_ring(tmp_path, monkeypatch, capfd):
+    """All-pairs --ring (band wider than one step's sub-block) must NOT
+    auto-route: the ring is the pod-scale engine for dense sweeps."""
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    monkeypatch.setenv("NGSLD_RING_AUTOROUTE", "1")
+    files = write_all(simulate(n_ind=6, n_sites=64, seed=89,
+                               contig_kb=2.0), str(tmp_path / "fx"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "6",
+            "--n_sites", "64", "--pos", files["pos"], "--max_kb_dist",
+            "0", "--verbose", "1", "--ring", "--shard", "0"]
+    out = tmp_path / "r.ld"
+    run_jax(params_from_args(argv + ["--out", str(out)]))
+    assert "auto-route" not in capfd.readouterr().err
+    assert len(out.read_text().splitlines()) == 1 + 64 * 63 // 2
