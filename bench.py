@@ -135,16 +135,18 @@ def strip_kernel_bench():
     sel_pad[:P] = sel
 
     def make_fn(group):
+        # tables as ARGUMENTS (not closure constants): tunneled
+        # remote-compile endpoints cap the request body (HTTP 413)
         @jax.jit
-        def fn(sel_d):
+        def fn_args(ga_, gb_, ea_, eb_, sel_d):
             fm, im = strip_em_compact(
-                ga, gb, ea, eb, jnp.asarray(maf), jnp.asarray(maf),
+                ga_, gb_, ea_, eb_, jnp.asarray(maf), jnp.asarray(maf),
                 jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(ok),
                 jnp.asarray(ok), jnp.asarray(ta), jnp.asarray(tb), sel_d,
                 n_ind=I, group=group)
             # counted LIVE evals: sum (nIter+1) over selected in-band pairs
             return jnp.sum(im[:P, 0].astype(jnp.int32) + 1), fm, im
-        return fn
+        return lambda sel_d: fn_args(ga, gb, ea, eb, sel_d)
 
     sel_d = jnp.asarray(sel_pad)
     # compile-failure ladder: default grouped -> solo anchors -> give up
@@ -268,12 +270,18 @@ def streamed_strip_kernel_bench():
     tb = jnp.asarray([t[1] for t in tiles], jnp.int32)
     m = jnp.asarray(maf_big)
 
+    # tables ride as ARGUMENTS: closed-over device arrays can be baked
+    # into the compile payload, which tunneled remote-compile endpoints
+    # reject outright at streamed-cohort sizes (HTTP 413, r4 chip run)
     @jax.jit
-    def fn(mx):
+    def fn_args(t0_, t1_, t2_, t3_, mx):
         f, r2p, nit, nu = ps.strip_em(
-            *tabs, mx, mx, jnp.asarray(lo), jnp.asarray(hi),
+            t0_, t1_, t2_, t3_, mx, mx, jnp.asarray(lo), jnp.asarray(hi),
             jnp.asarray(ok), jnp.asarray(ok), ta, tb, n_ind=I)
         return nit
+
+    def fn(mx):
+        return fn_args(*tabs, mx)
 
     try:
         nit = np.asarray(fn(m))
@@ -537,6 +545,17 @@ def main():
     # self-watchdog: print whatever landed BEFORE any external timeout
     # (the driver's exact wall is unknown; r03's bench died silently)
     signal.alarm(int(os.environ.get("NGSLD_BENCH_HARD_WALL", "2700")))
+    # persistent compile cache: the strip kernels cost 40-260 s of Mosaic
+    # compile each through the tunnel; reruns on this box must not repay it
+    import jax
+    cache_dir = os.environ.get("NGSLD_JAX_CACHE", "/tmp/ngsld_jax_cache")
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.2)
+        except Exception:
+            pass
     err = _wait_device(float(os.environ.get("NGSLD_BENCH_INIT_BUDGET",
                                             "1500")))
     if err is not None:

@@ -467,14 +467,15 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
             data = None
             if tiers.any():
                 # Tier 1 (exact-zero class) rows take the bit-exact strict
-                # recompute; tier 2 (f32-garbage class) takes the fast
-                # warm-started f64 polish of the f-derived columns. The
+                # recompute; tier 2 (f32-garbage class) re-derives its
+                # stat columns in f64 from the engine's raw frequencies
+                # (refine.derive_columns_f64 — no EM re-run). The
                 # NON-tiered bulk still formats through the native
                 # derive+format fast path; the corrected rows splice in
                 # afterwards (a chunk is ~1M rows — refining 5% of them
                 # must not drag the other 95% onto the Python path).
                 log.count("pairs_refined", int(t1.sum()))
-                log.count("pairs_polished", int(t2.sum()))
+                log.count("pairs_rederived", int(t2.sum()))
                 bulk = None
                 if fmt_rw.native:
                     from .native import format_rows_derive
@@ -518,11 +519,11 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                                time.perf_counter() - tu)
                 if t2s.any():
                     tp = time.perf_counter()
-                    pol = get_refiner().polish_columns(
-                        s1s[t2s], s2s[t2s], cols["f"][t2s])
+                    from .refine import derive_columns_f64
+                    pol = derive_columns_f64(cols["f"][t2s])
                     for k in pol:
                         cols[k][t2s] = pol[k]
-                    log.count_time("sweep: fmt/polish",
+                    log.count_time("sweep: fmt/rederive",
                                    time.perf_counter() - tp)
                 if t1s.any():
                     tr = time.perf_counter()

@@ -585,19 +585,16 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                     # ALL of this block's fragile sites in ONE streaming
                     # parse — per-chunk priming would re-decompress the
                     # file once per merge chunk (O(chunks x file))
-                    t1s, t2s = set(), set()
+                    t1s = set()
                     for x in mms:
                         tt = degenerate_tiers(np.asarray(x["f"]),
                                               tier_prec)
-                        for which, bag in ((tt == 1, t1s), (tt == 2, t2s)):
-                            if which.any():
-                                bag.update(np.asarray(x["a"])[which])
-                                bag.update(np.asarray(x["pj"])[which])
+                        which = tt == 1   # tier 2 reads no files now
+                        if which.any():
+                            t1s.update(np.asarray(x["a"])[which])
+                            t1s.update(np.asarray(x["pj"])[which])
                     if t1s:
                         get_refiner()._ensure(np.fromiter(t1s, np.int64))
-                    if t2s:
-                        get_refiner()._ensure_rows_fast(
-                            np.fromiter(t2s, np.int64))
                 a_lo, a_hi = i * B, min(i * B + B, n)
                 step = max(1, int(budget // max(1, total // max(1, B))))
                 cursors = [0] * len(mms)
@@ -643,20 +640,21 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                                  extra_nonfinite=(Dp, r2)))
                     t1, t2 = tiers == 1, tiers == 2
                     if tiers.any():
-                        # tier 1: bit-exact strict recompute; tier 2: fast
-                        # f64 polish of the f-derived columns (refine.py);
-                        # widen the chunk to f64 so one formatter call
-                        # emits all populations
+                        # tier 1: bit-exact strict recompute; tier 2: f64
+                        # re-derive of the stat columns from the raw
+                        # frequencies (refine.derive_columns_f64); widen
+                        # the chunk to f64 so one formatter call emits
+                        # all populations
                         log.count("pairs_refined", int(t1.sum()))
-                        log.count("pairs_polished", int(t2.sum()))
+                        log.count("pairs_rederived", int(t2.sum()))
                         for k in ("r2p", "D", "Dp", "r2", "f",
                                   "hmaf1", "hmaf2"):
                             cols[k] = np.array(cols[k], np.float64)
                         cols["maf1"] = cols["maf1"].copy()
                         cols["maf2"] = cols["maf2"].copy()
                         if t2.any():
-                            pol = get_refiner().polish_columns(
-                                af[t2], pf[t2], cols["f"][t2])
+                            from .refine import derive_columns_f64
+                            pol = derive_columns_f64(cols["f"][t2])
                             for k in pol:
                                 cols[k][t2] = pol[k]
                         if t1.any():

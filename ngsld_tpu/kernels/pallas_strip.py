@@ -223,6 +223,7 @@ def _strip_ichunk_kernel(ta_ref, tb_ref,           # scalar prefetch
                          fs_scr,    # VMEM (4, TA, TB) f32   EM state
                          act_scr,   # VMEM (TA, TB) f32
                          invx_scr,  # VMEM (TA, TB) f32
+                         S_scr,     # VMEM (4, TA, TB) f32   chunk sums
                          gbufa,     # VMEM (2, 3, TA, IC) f32  dbuf
                          gbufb,     # VMEM (2, 3, IC, TB) f32  dbuf
                          ebufa,     # VMEM (2, TA, IC) f32
@@ -282,12 +283,18 @@ def _strip_ichunk_kernel(ta_ref, tb_ref,           # scalar prefetch
     act_scr[...] = live.astype(jnp.float32)
     nit_out[0] = jnp.full((TA, TB), iter_cap, jnp.int32)
 
-    def inc_of(slot, c):
-        """Inclusion plane for chunk c: real individuals, minus the
-        per-pair missing test when --ignore_miss_data (both sides'
-        normalized records uniform within EPSILON, preprocess contract)."""
+    def side_masks(slot, c):
+        """Per-side inclusion for chunk c: inca (TA, IC) anchor-side and
+        incb (IC, TB) partner-side f32 masks. incb carries the real-row
+        test (rows < I); with --ignore_miss_data both sides subtract the
+        missing test (record uniform within EPSILON, preprocess
+        contract). The (TA, IC, TB) product is never materialized whole:
+        n_used comes from an MXU matmul of the two sides and the EM
+        applies them per anchor subgroup (a full 3-D plane is 16 MB at
+        IC=256 — past the scoped-VMEM budget)."""
         rows = c * IC + jax.lax.broadcasted_iota(jnp.int32, (IC, TB), 0)
-        inc = rows < I                                  # (IC, TB)
+        incb = rows < I                                 # (IC, TB)
+        inca = None
         if ignore_miss:
             g1 = [gbufa[slot, k] for k in range(3)]     # (TA, IC)
             g2 = [gbufb[slot, k] for k in range(3)]     # (IC, TB)
@@ -295,10 +302,9 @@ def _strip_ichunk_kernel(ta_ref, tb_ref,           # scalar prefetch
                     (jnp.abs(g2[1] - g2[2]) < EPSILON)
             missa = (jnp.abs(g1[0] - g1[1]) < EPSILON) & \
                     (jnp.abs(g1[1] - g1[2]) < EPSILON)  # (TA, IC)
-            # (TA, IC, TB) inclusion: both sides present AND a real row
-            return (jnp.logical_not(missa)[:, :, None]
-                    & (inc & jnp.logical_not(missb))[None])
-        return jnp.broadcast_to(inc[None], (1, IC, TB))
+            incb = incb & jnp.logical_not(missb)
+            inca = jnp.logical_not(missa).astype(jnp.float32)
+        return inca, incb.astype(jnp.float32)
 
     # ---- pre-pass: Pearson corr (+ n_used when ignore_miss) ----
     for d in dmas(0, 0, True):
@@ -318,7 +324,11 @@ def _strip_ichunk_kernel(ta_ref, tb_ref,           # scalar prefetch
         corr = corr + jnp.dot(ebufa[slot], ebufb[slot],
                               preferred_element_type=jnp.float32)
         if ignore_miss:
-            nu = nu + jnp.sum(inc_of(slot, c).astype(jnp.float32), axis=1)
+            # n_used[a, b] = sum_i inca[a, i] * incb[i, b]: one MXU
+            # matmul (0/1 sums in f32 are exact)
+            inca, incb = side_masks(slot, c)
+            nu = nu + jnp.dot(inca, incb,
+                              preferred_element_type=jnp.float32)
         return corr, nu
 
     corr0 = jnp.zeros((TA, TB), jnp.float32)
@@ -343,7 +353,9 @@ def _strip_ichunk_kernel(ta_ref, tb_ref,           # scalar prefetch
         for d in dmas(0, 0, False):
             d.start()
 
-        def chunk_body(c, S):
+        S_scr[...] = jnp.zeros((4, TA, TB), jnp.float32)
+
+        def chunk_body(c, _):
             slot = jax.lax.rem(c, 2)
             nxt = jax.lax.rem(c + 1, 2)
 
@@ -354,21 +366,37 @@ def _strip_ichunk_kernel(ta_ref, tb_ref,           # scalar prefetch
             for d in dmas(slot, c, False):
                 d.wait()
             g2 = [gbufb[slot, k] for k in range(3)]     # (IC, TB)
-            incf = inc_of(slot, c).astype(jnp.float32)  # (TA|1, IC, TB)
-            # per-subgroup sums collect into `pieces` and concatenate
-            # once per chunk: a mid-index None (fs[k][g0:g0+GA, None, :])
-            # lowers to lax.gather and .at[g0:g0+GA].add to lax.scatter,
-            # neither of which Mosaic legalizes — plain slices +
-            # expand_dims + concatenate keep the kernel compilable on
-            # real TPUs (round-4 chip run caught this)
-            pieces = []
-            for g0 in range(0, TA, ga_sub):             # static subgroups
-                g1 = [gbufa[slot, k, g0:g0 + ga_sub, :]
+            rows = c * IC + jax.lax.broadcasted_iota(jnp.int32,
+                                                     (IC, TB), 0)
+            incb = rows < I                              # (IC, TB)
+            if ignore_miss:
+                missb = (jnp.abs(g2[0] - g2[1]) < EPSILON) & \
+                        (jnp.abs(g2[1] - g2[2]) < EPSILON)
+                incb = incb & jnp.logical_not(missb)
+            incb_f = incb.astype(jnp.float32)[None]      # (1, IC, TB)
+
+            # Subgroups run under a fori_loop with every slice through a
+            # REF (dynamic pl.ds loads, disjoint S_scr stores). Lessons
+            # from the round-4 chip runs, in order: a mid-index None
+            # (fs[k][g0:g0+GA, None, :]) lowers to lax.gather and
+            # .at[g0:g0+GA].add to lax.scatter, neither Mosaic-legal;
+            # and with the subgroup loop UNROLLED the scheduler overlaps
+            # many subgroups' ~3 MB of em-step temporaries (27 MB scoped
+            # VMEM against the 16 MB budget). The loop bounds live
+            # temporaries to one subgroup structurally.
+            def sub_body(g, _):
+                a0 = g * ga_sub
+                g1 = [gbufa[slot, k, pl.ds(a0, ga_sub), :]
                       for k in range(3)]                # (GA, IC)
-                fsg = [fs[k][g0:g0 + ga_sub][:, None, :]
+                fsg = [fs_scr[k, pl.ds(a0, ga_sub), :][:, None, :]
                        for k in range(4)]               # (GA, 1, TB)
-                incg = (incf[g0:g0 + ga_sub] if ignore_miss
-                        else incf)                      # (GA|1, IC, TB)
+                if ignore_miss:
+                    missa = (jnp.abs(g1[0] - g1[1]) < EPSILON) & \
+                            (jnp.abs(g1[1] - g1[2]) < EPSILON)
+                    incg = (jnp.logical_not(missa)
+                            .astype(jnp.float32)[:, :, None] * incb_f)
+                else:
+                    incg = incb_f                        # (1, IC, TB)
                 Q = [[fsg[2 * x] * g2[cc] + fsg[2 * x + 1] * g2[cc + 1]
                       for cc in range(2)] for x in range(2)]
                 D = [g1[a1k][:, :, None] * Q[0][a2k]
@@ -379,16 +407,17 @@ def _strip_ichunk_kernel(ta_ref, tb_ref,           # scalar prefetch
                     s = s + fsg[k] * D[k]
                 r0 = pl.reciprocal(s, approx=True)
                 r = incg * (r0 * (2.0 - s * r0))
-                pieces.append([jnp.sum(D[k] * r, axis=1)
-                               for k in range(4)])      # (GA, TB)
-            if len(pieces) == 1:
-                return tuple(S[k] + pieces[0][k] for k in range(4))
-            return tuple(
-                S[k] + jnp.concatenate([p[k] for p in pieces], axis=0)
-                for k in range(4))
+                for k in range(4):
+                    S_scr[k, pl.ds(a0, ga_sub), :] = \
+                        S_scr[k, pl.ds(a0, ga_sub), :] \
+                        + jnp.sum(D[k] * r, axis=1)
+                return 0
 
-        S0 = tuple(jnp.zeros((TA, TB), jnp.float32) for _ in range(4))
-        S = jax.lax.fori_loop(0, n_chunks, chunk_body, S0)
+            jax.lax.fori_loop(0, TA // ga_sub, sub_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        S = [S_scr[k] for k in range(4)]
         act = act_scr[...] > 0.0
         invx = invx_scr[...]
         f_new = [fs[k] * S[k] * invx for k in range(4)]
@@ -472,7 +501,10 @@ def _default_group(Ip: int) -> int:
 
 
 IC_STREAM = 256    # I-chunk for the streamed kernel (lane-width multiple)
-_GA_SUB = 2        # anchors per elementwise temporary in the streamed EM
+_GA_SUB = 4        # anchors per streamed-EM subgroup: (GA, IC, TB) f32
+                   # temporaries (~6 MB at 4x256x128) must fit scoped
+                   # VMEM alongside the double buffers; the subgroup
+                   # fori_loop bounds them structurally
 
 
 def _ic_stream() -> int:
@@ -573,6 +605,7 @@ def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
                     pltpu.VMEM((4, TA, TB), jnp.float32),     # fs
                     pltpu.VMEM((TA, TB), jnp.float32),        # act
                     pltpu.VMEM((TA, TB), jnp.float32),        # invx
+                    pltpu.VMEM((4, TA, TB), jnp.float32),     # S sums
                     pltpu.VMEM((2, 3, TA, IC), jnp.float32),  # ga dbuf
                     pltpu.VMEM((2, 3, IC, TB), jnp.float32),  # gb dbuf
                     pltpu.VMEM((2, TA, IC), jnp.float32),     # ea dbuf

@@ -127,11 +127,6 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int, i64, i64, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
-        lib.ngsld_polish_em.restype = None
-        lib.ngsld_polish_em.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
-            i64, i64, ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
         lib.ngsld_plan_slab.restype = i64
         lib.ngsld_plan_slab.argtypes = [
             i64, i64, ctypes.POINTER(i64), ctypes.POINTER(ctypes.c_double),
@@ -485,25 +480,3 @@ def strict_pair_em_native(gn1, gn2, maf1, maf2, ignore_miss: bool):
         n_iter.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         n_used.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return f, n_iter.astype(np.int64), n_used.astype(np.int64)
-
-
-def polish_em_native(gn1, gn2, f_warm, include, n_threads: int = 0):
-    """Native tier-2 polish (warm-started f64 EM, threaded over pairs;
-    mirrors refine._fast_em_f64's update to tolerance grade). Returns
-    f (k, 4) f64 or None when the lib is unavailable."""
-    lib = get_lib()
-    if lib is None:
-        return None
-    gn1 = np.ascontiguousarray(gn1, np.float64)
-    gn2 = np.ascontiguousarray(gn2, np.float64)
-    fw = np.ascontiguousarray(f_warm, np.float64)
-    inc = np.ascontiguousarray(include, np.uint8)
-    k, I, _ = gn1.shape
-    f = np.empty((k, 4), np.float64)
-    if n_threads <= 0:
-        n_threads = min(8, os.cpu_count() or 1)
-    lib.ngsld_polish_em(
-        _dp(gn1), _dp(gn2), _dp(fw),
-        inc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        k, I, int(n_threads), _dp(f))
-    return f

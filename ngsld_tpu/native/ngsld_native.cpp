@@ -1171,76 +1171,4 @@ void ngsld_strict_pair_em(const double* gn1, const double* gn2,
     }
 }
 
-// Tier-2 POLISH: warm-started f64 EM for the f32-garbage band
-// (refine.polish_columns). Same factorized update as the engine kernels /
-// refine._fast_em_f64 (Q-form, gen_func.cpp:1076-1119 math) — tolerance-
-// grade (~1e-12 of a cold f64 run), NOT the strict 16-term order; the
-// exact-zero tier keeps ngsld_strict_pair_em above. Per-pair early exit
-// at the reference's EPSILON; threaded over pairs (the polish used to be
-// a batched NumPy loop costing ~190 us/pair — the dominant emit cost on
-// dense LD panels).
-void ngsld_polish_em(const double* gn1, const double* gn2,
-                     const double* f_warm, const uint8_t* include,
-                     int64_t k, int64_t I, int n_threads, double* f_out) {
-    if (n_threads < 1) n_threads = 1;
-    if ((int64_t)n_threads > k) n_threads = (int)(k ? k : 1);
-    auto work = [&](int t) {
-        int64_t lo = k * t / n_threads, hi = k * (t + 1) / n_threads;
-        for (int64_t p = lo; p < hi; p++) {
-            const double* s1 = gn1 + p * I * 3;
-            const double* s2 = gn2 + p * I * 3;
-            const uint8_t* inc = include + p * I;
-            double f[4] = {f_warm[p * 4 + 0], f_warm[p * 4 + 1],
-                           f_warm[p * 4 + 2], f_warm[p * 4 + 3]};
-            int64_t x = 0;
-            for (int64_t i = 0; i < I; i++) x += inc[i] ? 1 : 0;
-            // x == 0: invx = inf -> NaN frequencies, matching
-            // _fast_em_f64 (and the reference's 0-individual pairs)
-            double invx = x > 0 ? 1.0 / (double)x
-                                : std::numeric_limits<double>::infinity();
-            for (int it = 0; it < K_ITER_MAX; it++) {
-                double S0 = 0, S1 = 0, S2 = 0, S3 = 0;
-                for (int64_t i = 0; i < I; i++) {
-                    if (!inc[i]) continue;
-                    const double* a = s1 + i * 3;
-                    const double* b = s2 + i * 3;
-                    double Q00 = f[0] * b[0] + f[1] * b[1];
-                    double Q01 = f[0] * b[1] + f[1] * b[2];
-                    double Q10 = f[2] * b[0] + f[3] * b[1];
-                    double Q11 = f[2] * b[1] + f[3] * b[2];
-                    double D0 = a[0] * Q00 + a[1] * Q10;
-                    double D1 = a[0] * Q01 + a[1] * Q11;
-                    double D2 = a[1] * Q00 + a[2] * Q10;
-                    double D3 = a[1] * Q01 + a[2] * Q11;
-                    double s = f[0] * D0 + f[1] * D1 + f[2] * D2
-                             + f[3] * D3;
-                    double r = 1.0 / s;
-                    S0 += D0 * r; S1 += D1 * r;
-                    S2 += D2 * r; S3 += D3 * r;
-                }
-                double fn[4] = {f[0] * S0 * invx, f[1] * S1 * invx,
-                                f[2] * S2 * invx, f[3] * S3 * invx};
-                double norm = fn[0] + fn[1] + fn[2] + fn[3];
-                fn[0] /= norm; fn[1] /= norm; fn[2] /= norm;
-                fn[3] /= norm;
-                double eps = 0.0;
-                for (int kk = 0; kk < 4; kk++) {
-                    double d = fabs(fn[kk] - f[kk]);
-                    if (d > eps) eps = d;
-                }
-                f[0] = fn[0]; f[1] = fn[1]; f[2] = fn[2]; f[3] = fn[3];
-                if (eps < K_EPSILON) break;
-            }
-            f_out[p * 4 + 0] = f[0];
-            f_out[p * 4 + 1] = f[1];
-            f_out[p * 4 + 2] = f[2];
-            f_out[p * 4 + 3] = f[3];
-        }
-    };
-    std::vector<std::thread> ths;
-    for (int t = 1; t < n_threads; t++) ths.emplace_back(work, t);
-    work(0);
-    for (auto& th : ths) th.join();
-}
-
 }  // extern "C"

@@ -140,26 +140,6 @@ def read_binary_raw_rows(pars, sites: np.ndarray) -> np.ndarray:
     return raw
 
 
-def load_gl_rows_fast(pars, sites: np.ndarray) -> np.ndarray:
-    """Vectorized f64 variant of load_gl_rows for the POLISH path: same
-    record semantics (optional log with the -INF clamp, log-softmax
-    normalize) via numpy ufuncs instead of the strict reader's per-element
-    libm pinning — values agree with strict to ~1e-16, which is all the
-    f64 polish needs. Binary input only (sorted seeks); text falls back
-    to the bit-exact loader."""
-    if not pars.in_bin:
-        return load_gl_rows(pars, sites)
-    raw = read_binary_raw_rows(pars, np.asarray(sites, np.int64))
-    with np.errstate(all="ignore"):
-        if not pars.in_logscale:
-            lg = np.log(raw)
-            raw = np.where(np.isneginf(lg), strict._NEG_INF_SENTINEL, lg)
-        mx = np.max(raw, axis=-1, keepdims=True)
-        mx = np.where(np.isfinite(mx), mx, 0.0)
-        norm = np.log(np.sum(np.exp(raw - mx), axis=-1, keepdims=True)) + mx
-        return raw - norm
-
-
 def knife_edge_sites(maf: np.ndarray, min_maf: float, prec: str) -> np.ndarray:
     """Site indices whose device MAF is too close to min_maf to trust the
     `maf < min_maf` plan decision at the engine's precision.
@@ -206,10 +186,11 @@ def degenerate_tiers(f: np.ndarray, prec: str,
         output. Strict's value is inf/nan or branch-dependent, so these
         get the full bit-exact strict recompute in BOTH precisions.
     2 — f32-garbage class (flagged only when prec == 'f32'): the
-        denominator is small enough (< ~1e-4) that the f32 EM's ~1e-5
-        wobble moves Dp/r2 by O(0.1+). A fast f64 polish (warm-started
-        from the f32 frequencies) repairs the VALUE columns; f64 math
-        is accurate here, so no strict recompute is needed.
+        denominator is small enough (< ~1e-3) that the f32 DERIVE's
+        rounding (D = f0*f3 - f1*f2 at ~1e-8 absolute) moves Dp/r2
+        visibly. Re-deriving the VALUE columns in f64 from the raw f32
+        frequencies (derive_columns_f64) repairs it; no EM re-run, no
+        file reads, no strict recompute.
 
     f: (P, 4) haplotype frequencies (any float dtype); extra_nonfinite:
     already-derived stat columns — nonfinite values there force tier 1.
@@ -228,14 +209,19 @@ def degenerate_tiers(f: np.ndarray, prec: str,
         for col in extra_nonfinite:
             nonfin |= ~np.isfinite(np.asarray(col, np.float64))
         if prec == "f32":
-            # f32-garbage band: the f64 polish restores f64-engine grade
-            # (the shared 1e-5 EM stop tolerance remains the floor). The
-            # band extends to 1e-3 — the f32 EM's ~5e-5 wobble still
-            # moves Dp by ~5e-2 at den = 1e-3, and the fuzz comparator's
-            # fragile cutoff sits there, so every denominator range is
-            # either repaired or asserted (VERDICT r3 item 5; bound
-            # pinned by tests/test_refine.py::
-            # test_polished_band_bound_vs_strict).
+            # f32-garbage band: Dp/r2/chi2 re-derive in f64 from the
+            # engine's RAW converged f32 frequencies (derive_columns_f64)
+            # — the f32 DERIVE's catastrophic cancellation (D rounds at
+            # ~1e-8 absolute; /den amplifies) is the repairable error,
+            # while the frequencies themselves park at the same shared
+            # 1e-5 stop point as any f64 run. Measured vs strict
+            # (tests/test_refine.py::test_derive_only_band_bound):
+            # |dDp| ~ 6e-7/den — orders under the old warm-started f64
+            # polish re-RUN, which marched past the stop point on slow
+            # trajectories (|dDp| up to 0.5; removed round 4). The band
+            # extends to 1e-3 where the fuzz comparator's fragile cutoff
+            # sits, so every denominator range is either repaired or
+            # asserted (VERDICT r3 item 5).
             tier[(np.abs(den_dp) < 1e-3) | (np.abs(den_r2) < 1e-6)
                  | (np.abs(D) < 2e-6)] = 2
         # exact-zero class, BOTH precisions: strict's value is inf/nan or
@@ -253,51 +239,25 @@ def degenerate_mask(f: np.ndarray, prec: str = "f64",
     return degenerate_tiers(f, prec, extra_nonfinite) > 0
 
 
-def _fast_em_f64(gn1, gn2, f0, include):
-    """Vectorized f64 EM polish: same update as the reference EM
-    (gen_func.cpp:1076-1119) with batched per-pair freeze, warm-started
-    from the engine's f32 frequencies and stopped at the reference's own
-    EPSILON — i.e. exactly the f64 engine's quality. On near-degenerate
-    pairs the printed Dp/r2 depend on WHERE the EM trajectory stops
-    (Dp -> 1 as pinned coordinates decay; the shared 1e-5 stop rule puts
-    any two implementations within ~1e-5/den of each other, PERF.md), so
-    this is the best any non-bit-exact method can do; the exact-zero
-    tier goes through the strict recompute instead. gn (k, I, 3) f64
-    normal GLs; f0 (k, 4); include (k, I) bool. Returns f (k, 4)."""
-    from .constants import EPSILON, ITER_MAX
-    k, I, _ = gn1.shape
-    incf = include.astype(np.float64)
-    x = incf.sum(axis=1)
-    invx = np.where(x > 0, 1.0 / np.maximum(x, 1), np.inf)
-    f = np.array(f0, np.float64)
-    active = np.ones(k, bool)
-    with np.errstate(all="ignore"):
-        for _ in range(ITER_MAX):
-            fa = f[active]
-            g1, g2 = gn1[active], gn2[active]
-            # D_k[i] = sum_{da,db} f[2da+db] g1[da+a1k] g2[db+a2k]
-            Q0 = fa[:, 0:1, None] * g2[:, :, 0:2] \
-                + fa[:, 1:2, None] * g2[:, :, 1:3]      # (k, I, 2)
-            Q1 = fa[:, 2:3, None] * g2[:, :, 0:2] \
-                + fa[:, 3:4, None] * g2[:, :, 1:3]
-            D = np.empty((len(fa), I, 4))
-            D[..., 0] = g1[:, :, 0] * Q0[..., 0] + g1[:, :, 1] * Q1[..., 0]
-            D[..., 1] = g1[:, :, 0] * Q0[..., 1] + g1[:, :, 1] * Q1[..., 1]
-            D[..., 2] = g1[:, :, 1] * Q0[..., 0] + g1[:, :, 2] * Q1[..., 0]
-            D[..., 3] = g1[:, :, 1] * Q0[..., 1] + g1[:, :, 2] * Q1[..., 1]
-            s = np.einsum("kic,kc->ki", D, fa)
-            r = incf[active] / s
-            fn = fa * np.einsum("kic,ki->kc", D, r) \
-                * invx[active][:, None]
-            fn /= fn.sum(axis=1, keepdims=True)
-            eps = np.abs(fn - fa).max(axis=1)
-            f[active] = fn
-            sub = eps >= EPSILON        # still-active within the subset
-            if not sub.any():
-                break
-            idx = np.flatnonzero(active)
-            active[idx[~sub]] = False
-    return f
+def derive_columns_f64(f_raw) -> dict:
+    """f64 VALUE repair for tier-2 pairs: re-derive the f-dependent
+    columns (D/D'/r2/hap-MAFs/chi2, ngsLD.cpp:295-349) in f64 from the
+    engine's RAW converged f32 frequencies. No EM re-run: the f32
+    trajectory parks at the same shared 1e-5 stop point as a cold f64
+    run, so the frequencies are already within f32 quantization (~6e-8
+    relative) of strict's — the repairable error is the f32 DERIVE's
+    catastrophic cancellation (D = f0*f3 - f1*f2 rounds at ~1e-8
+    absolute, then divides by a ~0 denominator). Measured vs strict:
+    |dDp| ~ 6e-7/den across the whole tier-2 band, where the previous
+    warm-started f64 EM polish reached 0.5 (it marched past the stop
+    point on slowly-decaying trajectories — an EM *re-run*, not a
+    repair; removed round 4, tests/test_refine.py::
+    test_derive_only_band_bound pins the comparison)."""
+    f = np.asarray(f_raw, np.float64)
+    hmaf0, hmaf1, D, Dp, r2 = strict.ld_stats_batch(f)
+    chi2 = strict.chi2_batch(f)
+    return dict(f=f, hmaf1=hmaf0, hmaf2=hmaf1, D=D, Dp=Dp, r2=r2,
+                chi2=chi2)
 
 
 class StrictRefiner:
@@ -310,19 +270,6 @@ class StrictRefiner:
         self._gn = {}    # site -> (n_ind, 3) f64 NORMAL-space (post-call)
         self._eg = {}    # site -> (n_ind,) expected genotypes
         self._maf = {}   # site -> f64 strict MAF
-        self._gnf = {}   # site -> fast-loaded rows (polish path)
-
-    def _ensure_rows_fast(self, sites) -> None:
-        missing = sorted({int(s) for s in sites} - self._gnf.keys())
-        if not missing:
-            return
-        rows = load_gl_rows_fast(self.pars, np.asarray(missing, np.int64))
-        if self.pars.call_geno:
-            strict.call_geno_inplace(rows, self.pars.N_thresh,
-                                     self.pars.call_thresh)
-        gn = np.exp(rows)
-        for j, s in enumerate(missing):
-            self._gnf[s] = gn[j]
 
     def _ensure(self, sites) -> None:
         missing = sorted({int(s) for s in sites} - self._maf.keys())
@@ -414,41 +361,3 @@ class StrictRefiner:
                     maf1=maf1, maf2=maf2, hmaf1=hmaf0, hmaf2=hmaf1,
                     D=D, Dp=Dp, r2=r2, chi2=chi2)
 
-    def polish_columns(self, s1, s2, f_warm) -> dict:
-        """f64 VALUE repair for tier-2 pairs: rerun the EM in f64 from
-        the engine's converged f32 frequencies (a handful of iterations)
-        and re-derive the f-dependent columns. Unlike refine_columns this
-        is tolerance-grade (~1e-12 of a cold f64 run), not bit-exact —
-        exactly the accuracy the fast engine's f64 mode already has —
-        and an order of magnitude cheaper than the strict recompute.
-        Returns only the f-derived columns: f, hmaf1/2, D, Dp, r2, chi2
-        (r2p/maf/nIter/n_used keep the engine's values)."""
-        s1 = np.asarray(s1, np.int64)
-        s2 = np.asarray(s2, np.int64)
-        self._ensure_rows_fast(np.concatenate([s1, s2]))
-        gn1 = np.stack([self._gnf[int(s)] for s in s1])
-        gn2 = np.stack([self._gnf[int(s)] for s in s2])
-        if self.pars.ignore_miss_data:
-            include = ~(strict.miss_data_rows(gn1)
-                        | strict.miss_data_rows(gn2))
-        else:
-            include = np.ones(gn1.shape[:2], bool)
-        f = None
-        if os.environ.get("NGSLD_NO_NATIVE") != "1":
-            try:
-                # native threaded per-pair EM: the NumPy batch loop below
-                # costs ~190 us/pair (per-iteration temporaries + active-
-                # set fancy indexing) and dominated dense-panel emission
-                from .native import polish_em_native
-                f = polish_em_native(gn1, gn2,
-                                     np.asarray(f_warm, np.float64),
-                                     include)
-            except ImportError:
-                f = None
-        if f is None:
-            f = _fast_em_f64(gn1, gn2, np.asarray(f_warm, np.float64),
-                             include)
-        hmaf0, hmaf1, D, Dp, r2 = strict.ld_stats_batch(f)
-        chi2 = strict.chi2_batch(f)
-        return dict(f=f, hmaf1=hmaf0, hmaf2=hmaf1, D=D, Dp=Dp, r2=r2,
-                    chi2=chi2)

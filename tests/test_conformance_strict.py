@@ -161,12 +161,10 @@ def test_deep_verbose_traces_match_reference(fixtures, ref_binary, tmp_path):
     assert r == m
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("fmt,extra", MATRIX[:8])
-def test_matrix_testsh_scale(ref_binary, tmp_path_factory, fmt, extra):
-    """The reference's own regression scale (examples/test.sh:9-34: 24
-    individuals x 10,000 sites, 8 configs, sort + compare): byte-identical.
-    Opt-in (slow): `pytest -m slow tests/test_conformance_strict.py`."""
+def _testsh_scale_config(ref_binary, tmp_path_factory, fmt, extra):
+    """One examples/test.sh-scale config (24 individuals x 10,000 sites,
+    test.sh:9-34): run reference binary + strict engine, sort + compare
+    byte-for-byte."""
     global _BIG
     try:
         fixtures = _BIG
@@ -205,3 +203,19 @@ def test_matrix_testsh_scale(ref_binary, tmp_path_factory, fmt, extra):
     h1, a = sorted_rows(ref_out)
     h2, b = sorted_rows(my_out)
     assert h1 == h2 and len(a) == len(b) and a == b and len(a) > 10000
+
+
+def test_testsh_scale_default_config(ref_binary, tmp_path_factory):
+    """ONE full-scale (24 x 10,000) byte-exact config runs in the DEFAULT
+    suite (VERDICT r3 item 7) — binary log-GL input, the kb-10 band, the
+    min_maf filter. The full 8-config matrix stays under `-m slow`."""
+    _testsh_scale_config(ref_binary, tmp_path_factory, *MATRIX[2])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fmt,extra", MATRIX[:8])
+def test_matrix_testsh_scale(ref_binary, tmp_path_factory, fmt, extra):
+    """The reference's own regression scale (examples/test.sh:9-34: 24
+    individuals x 10,000 sites, 8 configs, sort + compare): byte-identical.
+    Opt-in (slow): `pytest -m slow tests/test_conformance_strict.py`."""
+    _testsh_scale_config(ref_binary, tmp_path_factory, fmt, extra)

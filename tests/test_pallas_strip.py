@@ -189,33 +189,8 @@ def test_ring_strip_stepper_matches_strict(tmp_path, monkeypatch):
                                      "f32", "--out", str(r_out)]))
     strict.run(params_from_args(argv + ["--engine", "strict", "--out",
                                         str(s_out)]))
-    s = s_out.read_text().splitlines()
-    r = r_out.read_text().splitlines()
-    assert len(s) == len(r) > 2000
-    for a, b in zip(s[1:], r[1:]):
-        fa, fb = a.split("\t"), b.split("\t")
-        assert fa[:3] == fb[:3]
-        # near-degenerate denominators amplify the EM's SHARED 1e-5
-        # stopping tolerance: Dp/r2/chi2 there depend on where each
-        # implementation's trajectory stops (PERF.md), so the fragile
-        # band is excluded here — the exact-zero tier's byte equality
-        # is pinned by test_refine / test_multihost instead
-        hap = [float(v) for v in fa[10:14]]
-        m0, m1 = 1 - (hap[0] + hap[1]), 1 - (hap[0] + hap[2])
-        den = min(abs(m0 * m1), abs((1 - m0) * (1 - m1)),
-                  abs(m0 * (1 - m1)), abs((1 - m0) * m1))
-        fragile = den < 1e-3
-        for c in range(3, len(fa)):
-            if fragile and c in (5, 6, 16):
-                continue
-            x, y = float(fa[c]), float(fb[c])
-            if c == 18:                      # nIter: +/-1 contract
-                assert abs(x - y) <= 2, (a, b)
-                continue
-            if not (np.isfinite(x) and np.isfinite(y)):
-                assert x == y or (np.isnan(x) and np.isnan(y)), (c, a, b)
-                continue
-            assert abs(x - y) <= 2e-3, (c, a, b)
+    _cmp_vs_strict(s_out.read_text().splitlines(),
+                   r_out.read_text().splitlines(), 2000)
 
 
 def test_block_engine_strip_sweep_matches_strict(tmp_path, monkeypatch):
@@ -239,33 +214,22 @@ def test_block_engine_strip_sweep_matches_strict(tmp_path, monkeypatch):
                                      "--out", str(r_out)]))
     strict.run(params_from_args(argv + ["--engine", "strict", "--out",
                                         str(s_out)]))
-    s = s_out.read_text().splitlines()
-    r = r_out.read_text().splitlines()
-    assert len(s) == len(r) > 1000
-    for a, b in zip(s[1:], r[1:]):
-        fa, fb = a.split("\t"), b.split("\t")
-        assert fa[:3] == fb[:3]
-        hap = [float(v) for v in fa[10:14]]
-        m0, m1 = 1 - (hap[0] + hap[1]), 1 - (hap[0] + hap[2])
-        den = min(abs(m0 * m1), abs((1 - m0) * (1 - m1)),
-                  abs(m0 * (1 - m1)), abs((1 - m0) * m1))
-        fragile = den < 1e-3
-        for c in range(3, len(fa)):
-            if fragile and c in (5, 6, 16):
-                continue
-            x, y = float(fa[c]), float(fb[c])
-            if c == 18:
-                assert abs(x - y) <= 2, (a, b)
-                continue
-            if not (np.isfinite(x) and np.isfinite(y)):
-                assert x == y or (np.isnan(x) and np.isnan(y)), (c, a, b)
-                continue
-            assert abs(x - y) <= 2e-3, (c, a, b)
+    _cmp_vs_strict(s_out.read_text().splitlines(),
+                   r_out.read_text().splitlines(), 1000)
 
 
 def _cmp_vs_strict(s_lines, r_lines, min_rows):
-    """Shared column comparison: pair set byte-exact, values f32-grade,
-    fragile band excluded (same contract as the tests above)."""
+    """Shared column comparison: pair set byte-exact, values f32-grade.
+
+    Near-degenerate hap-MAF denominators amplify both the engines'
+    SHARED 1e-5 EM stop tolerance and the derive rounding, so Dp/r2
+    (cols 5, 6) carry a denominator-scaled tolerance below 1e-3 —
+    2e-3 + 6e-6/den, the tier-2 derive-only repair's measured bound at
+    ~10x margin (test_refine.test_derive_only_band_bound) — so no
+    denominator range is unasserted (VERDICT r3 item 5). chi2 (col 16)
+    stays excluded below 1e-3: its expected-count denominators make it
+    stop-point-dependent across ANY two implementations; the exact-zero
+    tier's byte equality is pinned by test_refine / conformance."""
     assert len(s_lines) == len(r_lines) > min_rows
     for a, b in zip(s_lines[1:], r_lines[1:]):
         fa, fb = a.split("\t"), b.split("\t")
@@ -276,8 +240,11 @@ def _cmp_vs_strict(s_lines, r_lines, min_rows):
                   abs(m0 * (1 - m1)), abs((1 - m0) * m1))
         fragile = den < 1e-3
         for c in range(3, len(fa)):
-            if fragile and c in (5, 6, 16):
+            if fragile and c == 16:
                 continue
+            tol = 2e-3
+            if fragile and c in (5, 6):
+                tol = 2e-3 + 6e-6 / max(den, 1e-12)
             x, y = float(fa[c]), float(fb[c])
             if c == 18:
                 assert abs(x - y) <= 2, (a, b)
@@ -285,7 +252,7 @@ def _cmp_vs_strict(s_lines, r_lines, min_rows):
             if not (np.isfinite(x) and np.isfinite(y)):
                 assert x == y or (np.isnan(x) and np.isnan(y)), (c, a, b)
                 continue
-            assert abs(x - y) <= 2e-3, (c, a, b)
+            assert abs(x - y) <= tol, (c, den, a, b)
 
 
 def test_block_strip_rnd_sample_matches_strict(tmp_path, monkeypatch):

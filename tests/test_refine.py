@@ -167,36 +167,58 @@ def test_refine_opt_out_env(fixdir, monkeypatch):
     assert a != b   # the exact-zero tier rows differ without repair
 
 
-def test_native_polish_matches_numpy_polish():
-    """ngsld_polish_em (threaded C) must agree with refine._fast_em_f64
-    (the NumPy batch implementation) — same update, same stop rule."""
+def test_derive_only_band_bound():
+    """Grounds the tier-2 derive-only repair (refine.derive_columns_f64)
+    in a measurement vs strict: across the whole repairable band
+    (denominator in [1e-5, 1e-3)), the f64 re-derive of the raw f32
+    frequencies must track strict's printed Dp within ~2e-6/den and r2
+    within 1e-4 — i.e. the raw f32 EM parks at the same shared 1e-5 stop
+    point as strict, and only DERIVE rounding needed repair. (The
+    removed warm-started f64 EM polish re-RUN measured |dDp| up to 0.5
+    here: it marched past the stop point on slowly-decaying
+    trajectories; round 4.)"""
+    import jax.numpy as jnp
     import numpy as np
 
-    from ngsld_tpu.native import get_lib, polish_em_native
-    from ngsld_tpu.refine import _fast_em_f64
+    from ngsld_tpu import strict
+    from ngsld_tpu.ops.em import pair_em
+    from ngsld_tpu.refine import derive_columns_f64
     from ngsld_tpu.utils.simulate import simulate
 
-    if get_lib() is None:
-        import pytest as _pytest
-        _pytest.skip("native lib unavailable")
-    sim = simulate(n_ind=30, n_sites=400, seed=61)
-    gl = sim.gl / sim.gl.sum(axis=2, keepdims=True)
-    gn1 = gl[:200].astype(np.float64)
-    gn2 = gl[200:400].astype(np.float64)
+    sim = simulate(n_ind=80, n_sites=600, seed=29, mono_rate=0.5,
+                   mean_depth=1.0)
+    gl = (sim.gl / sim.gl.sum(axis=2, keepdims=True)).astype(np.float64)
     eg = gl[..., 1] + 2 * gl[..., 2]
     maf = eg.mean(axis=1) / 2
-    m1, m2 = maf[:200], maf[200:400]
-    f0 = np.stack([(1 - m1) * (1 - m2), (1 - m1) * m2,
-                   m1 * (1 - m2), m1 * m2], axis=1)
-    include = np.ones((200, 30), bool)
-    include[17, 5:] = False          # a mostly-missing pair
-    include[42, :] = False           # an all-missing pair (x == 0)
-    f_np = _fast_em_f64(gn1, gn2, f0, include)
-    f_c = polish_em_native(gn1, gn2, f0, include)
-    both_nan = np.isnan(f_np) & np.isnan(f_c)
-    np.testing.assert_allclose(np.where(both_nan, 0, f_np),
-                               np.where(both_nan, 0, f_c),
-                               atol=1e-9)
+    rng = np.random.default_rng(2)
+    i1 = rng.integers(0, 600, 4000)
+    i2 = rng.integers(0, 600, 4000)
+    keep = i1 != i2
+    i1, i2 = i1[keep], i2[keep]
+    f_s, _, _ = strict.pair_em_batch(gl[i1], gl[i2], maf[i1], maf[i2],
+                                     False)
+    m0 = 1 - (f_s[:, 0] + f_s[:, 1])
+    m1 = 1 - (f_s[:, 0] + f_s[:, 2])
+    den = np.minimum.reduce(
+        [np.abs(m0 * m1), np.abs((1 - m0) * (1 - m1)),
+         np.abs(m0 * (1 - m1)), np.abs((1 - m0) * m1)])
+    band = (den >= 1e-5) & (den < 1e-3) & np.isfinite(den)
+    assert band.sum() > 100   # the fixture must actually cover the band
+    bi1, bi2 = i1[band], i2[band]
+    f32, _, _ = pair_em(jnp.asarray(gl[bi1], jnp.float32),
+                        jnp.asarray(gl[bi2], jnp.float32),
+                        jnp.asarray(maf[bi1], jnp.float32),
+                        jnp.asarray(maf[bi2], jnp.float32), False)
+    cols = derive_columns_f64(np.asarray(f32))
+    _, _, _, Dp_s, r2_s = strict.ld_stats_batch(f_s[band])
+    dDp = np.abs(cols["Dp"] - Dp_s)
+    dr2 = np.abs(cols["r2"] - r2_s)
+    fin = np.isfinite(dDp)
+    assert fin.mean() > 0.95
+    # scaled bound: f32 quantization + one-stop trajectory wobble in D,
+    # /den amplified; measured max ~6.1e-7/den — asserted at 3x margin
+    assert np.max((dDp * den[band])[fin]) <= 2e-6
+    assert np.nanmax(dr2[np.isfinite(dr2)]) <= 1e-4
 
 
 def test_knife_edge_tolerance_bounds_measured_f32_error():
