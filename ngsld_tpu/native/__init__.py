@@ -323,6 +323,9 @@ def _f32p(a):
         ctypes.POINTER(ctypes.c_float))
 
 
+_fmt_tls = threading.local()
+
+
 def _format_with_retry(call, n, labels_blob, label_off, extend):
     """Shared grow-and-retry protocol for the bulk formatters.
 
@@ -337,14 +340,21 @@ def _format_with_retry(call, n, labels_blob, label_off, extend):
     cap = max(4096, n * per_row + 1024)
     n_threads = min(os.cpu_count() or 1, 8)
     while True:
-        buf = np.empty(cap, np.uint8)
-        w = call(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)), cap,
-                 n_threads)
+        # per-thread persistent buffer: the emit pipeline formats ~1M-row
+        # chunks every step — a fresh np.empty each call re-faults ~500 MB
+        # of pages per chunk, which rivals the formatting itself. Reuse is
+        # safe: the result is copied out via tobytes() before return.
+        buf = getattr(_fmt_tls, "buf", None)
+        if buf is None or len(buf) < cap:
+            buf = np.empty(cap, np.uint8)
+            _fmt_tls.buf = buf
+        w = call(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+                 len(buf), n_threads)
         if w >= 0:
             return buf[:w].tobytes()
         if w == -2:
             raise MemoryError("native row formatter: allocation failed")
-        cap *= 2
+        cap = len(buf) * 2
 
 
 def format_rows_native(labels_blob: bytes, label_off: np.ndarray,

@@ -89,6 +89,12 @@ inline bool strtod_full(const char* tok, size_t len, double* out) {
 // ties-to-even on (n, frac) reproduces IEEE-correct decimal rounding --
 // which is what glibc %f (FE_TONEAREST) and CPython's dtoa implement.
 
+static const char kDigitPairs[201] =
+    "00010203040506070809101112131415161718192021222324"
+    "25262728293031323334353637383940414243444546474849"
+    "50515253545556575859606162636465666768697071727374"
+    "75767778798081828384858687888990919293949596979899";
+
 static inline char* fmt_int(char* p, long long x) {
   if (x < 0) {
     *p++ = '-';
@@ -96,31 +102,53 @@ static inline char* fmt_int(char* p, long long x) {
   }
   char tmp[24];
   int k = 0;
-  do {
-    tmp[k++] = (char)('0' + (x % 10));
-    x /= 10;
-  } while (x);
-  while (k) *p++ = tmp[--k];
+  while (x >= 100) {  // two digits per divide (div-by-100 is a multiply)
+    std::memcpy(tmp + k, kDigitPairs + 2 * (unsigned)(x % 100), 2);
+    k += 2;
+    x /= 100;
+  }
+  if (x >= 10) {  // leading 1-2 digits straight to the output
+    std::memcpy(p, kDigitPairs + 2 * (unsigned)x, 2);
+    p += 2;
+  } else {
+    *p++ = (char)('0' + x);
+  }
+  while (k) {  // then the buffered pairs, most-significant first
+    k -= 2;
+    std::memcpy(p, tmp + k, 2);
+    p += 2;
+  }
   return p;
 }
 
-static const char kDigitPairs[201] =
-    "00010203040506070809101112131415161718192021222324"
-    "25262728293031323334353637383940414243444546474849"
-    "50515253545556575859606162636465666768697071727374"
-    "75767778798081828384858687888990919293949596979899";
+static inline unsigned pair16(unsigned d) {  // little-endian 2-digit chunk
+  unsigned short v;
+  std::memcpy(&v, kDigitPairs + 2 * d, 2);
+  return v;
+}
 
 static inline char* emit_f6(char* p, unsigned long long n) {
-  p = fmt_int(p, (long long)(n / 1000000ULL));
-  *p++ = '.';
-  // six fraction digits as three digit-pair table copies (the divides
-  // by constants compile to multiplies; this is every %f field's tail)
+  // LD stats print single-digit integer parts almost always (probabilities,
+  // r2, chi2<512 band): fuse "d.dddddd" into ONE unaligned 8-byte store —
+  // the divides by constants compile to multiplies, and there is no
+  // data-dependent branch left for the predictor to miss.
   unsigned fp = (unsigned)(n % 1000000ULL);
   unsigned d01 = fp / 10000, rem = fp % 10000;
   unsigned d23 = rem / 100, d45 = rem % 100;
-  std::memcpy(p, kDigitPairs + 2 * d01, 2);
-  std::memcpy(p + 2, kDigitPairs + 2 * d23, 2);
-  std::memcpy(p + 4, kDigitPairs + 2 * d45, 2);
+  unsigned long long ip = n / 1000000ULL;
+  if (__builtin_expect(ip < 10, 1)) {
+    uint64_t w = (uint64_t)('0' + ip) | ((uint64_t)'.' << 8) |
+                 ((uint64_t)pair16(d01) << 16) |
+                 ((uint64_t)pair16(d23) << 32) |
+                 ((uint64_t)pair16(d45) << 48);
+    std::memcpy(p, &w, 8);
+    return p + 8;
+  }
+  p = fmt_int(p, (long long)ip);
+  *p++ = '.';
+  uint64_t w = (uint64_t)pair16(d01) | ((uint64_t)pair16(d23) << 16) |
+               ((uint64_t)pair16(d45) << 32);
+  std::memcpy(p, &w, 6);
   return p + 6;
 }
 
@@ -167,8 +195,12 @@ static inline char* fmt_f6(char* p, double v) {
     double w = v * 1e6;
     unsigned long long n = (unsigned long long)w;
     double r = w - (double)n;
-    if (r <= 0.5 - 1e-7) return emit_f6(p, n);
-    if (r >= 0.5 + 1e-7) return emit_f6(p, n + 1);
+    // Branchless round-half decision (r >= 0.5 is a 50/50 coin on real
+    // stat columns — as a branch it was the formatter's dominant
+    // mispredict); only the rare |r-0.5| < 1e-7 band (incl. exact ties)
+    // falls through to the correctly-rounded __float128 path.
+    if (__builtin_expect(std::fabs(r - 0.5) >= 1e-7, 1))
+      return emit_f6(p, n + (r >= 0.5));
   }
   __float128 w = (__float128)v * 1000000;  // exact
   unsigned long long n = (unsigned long long)w;
@@ -705,6 +737,28 @@ static int64_t mt_rows_driver(int64_t n_rows, const char* labels,
                               int n_threads, Fill fill) {
   if (n_threads < 1) n_threads = 1;
   if ((int64_t)n_threads > n_rows) n_threads = (int)(n_rows ? n_rows : 1);
+  if (n_threads == 1) {
+    // Single worker (the 1-core box case): format straight into `out` —
+    // no private chunk buffer, no grow-realloc, no concat memcpy. -1 on
+    // would-overflow keeps the caller's grow-and-retry contract.
+    char* p = out;
+    char* const end = out + out_cap;
+    for (int64_t j = 0; j < n_rows; j++) {
+      const char* l1 = labels + label_off[s1[j]];
+      const char* l2 = labels + label_off[s2[j]];
+      size_t n1 = std::strlen(l1), n2 = std::strlen(l2);
+      if ((size_t)(end - p) < n1 + n2 + 1024) return -1;
+      std::memcpy(p, l1, n1);
+      p += n1;
+      *p++ = '\t';
+      std::memcpy(p, l2, n2);
+      p += n2;
+      *p++ = '\t';
+      p = fill(p, j);
+      *p++ = '\n';
+    }
+    return p - out;
+  }
   std::vector<FmtChunk> chunks((size_t)n_threads);
   auto work = [&](int t) {
     int64_t lo = n_rows * t / n_threads;
