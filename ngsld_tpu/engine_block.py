@@ -115,33 +115,6 @@ def _chi2_host(f):
     return chi2
 
 
-def _splice_rows(bulk: bytes, idx, sub: bytes) -> bytes:
-    """Replace rows `idx` (0-based, ascending) of the newline-terminated
-    `bulk` row blob with the rows of `sub` (same count, same order).
-
-    Lets the emit path format EVERY chunk through the fast native bulk
-    formatter and correct only the tiered (degenerate) rows afterwards —
-    without this, one fragile pair used to drag its whole chunk onto the
-    Python slow path."""
-    nl = np.flatnonzero(np.frombuffer(bulk, np.uint8) == 10)
-    starts = np.empty(len(nl), np.int64)
-    if len(nl):
-        starts[0] = 0
-        starts[1:] = nl[:-1] + 1
-    ends = nl + 1
-    sub_lines = sub.splitlines(keepends=True)
-    assert len(sub_lines) == len(idx), (len(sub_lines), len(idx))
-    mv = memoryview(bulk)
-    parts = []
-    prev = 0
-    for j, r in enumerate(idx):
-        parts.append(mv[prev:int(starts[r])])
-        parts.append(sub_lines[j])
-        prev = int(ends[r])
-    parts.append(mv[prev:])
-    return b"".join(parts)
-
-
 def _unpack(fmat, imat, extend_out=True):
     r2p, f = fmat[:, 0], fmat[:, 1:5]
     hmaf0, hmaf1, D, Dp, r2 = _stats_host(f)
@@ -469,25 +442,18 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                 # Tier 1 (exact-zero class) rows take the bit-exact strict
                 # recompute; tier 2 (f32-garbage class) re-derives its
                 # stat columns in f64 from the engine's raw frequencies
-                # (refine.derive_columns_f64 — no EM re-run). The
-                # NON-tiered bulk still formats through the native
-                # derive+format fast path; the corrected rows splice in
-                # afterwards (a chunk is ~1M rows — refining 5% of them
-                # must not drag the other 95% onto the Python path).
+                # (refine.derive_columns_f64 — no EM re-run). The corrected
+                # rows ride the native derive+format call as OVERRIDE
+                # columns, so one pass emits the whole chunk (a chunk is
+                # ~1M rows — refining 5% of them must not drag the other
+                # 95% onto a slow path, nor pay a byte-level splice).
                 log.count("pairs_refined", int(t1.sum()))
                 log.count("pairs_rederived", int(t2.sum()))
-                bulk = None
-                if fmt_rw.native:
-                    from .native import format_rows_derive
-                    tb = time.perf_counter()
-                    bulk = format_rows_derive(
-                        fmt_rw.blob, fmt_rw.off, blk.s1, blk.s2, blk.dist,
-                        fm[:, 0], fm[:, 1:5], maf[blk.s1], maf[blk.s2],
-                        n_used, n_iter, pars.extend_out)
-                    if bulk is not None:
-                        log.count_time("sweep: fmt/bulk",
-                                       time.perf_counter() - tb)
-                if bulk is not None:
+                use_native = bool(fmt_rw.native)
+                if use_native:
+                    # refined rows ride the SAME native call as override
+                    # columns (derive-with-overrides) — no separate bulk
+                    # format, no Python byte splice
                     idx = np.flatnonzero(tiers)
                     s1s, s2s, dists = (blk.s1[idx], blk.s2[idx],
                                        blk.dist[idx])
@@ -534,16 +500,30 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                     log.count_time("sweep: fmt/refine",
                                    time.perf_counter() - tr)
                 tf = time.perf_counter()
-                sub = fmt_rw.format_block(
-                    s1s, s2s, dists, cols["r2p"], cols["D"],
-                    cols["Dp"], cols["r2"], n_used=cols["n_used"],
-                    maf1=cols["maf1"], maf2=cols["maf2"], hap=cols["f"],
-                    hmaf1=cols["hmaf1"], hmaf2=cols["hmaf2"],
-                    chi2=cols["chi2"], n_iter=cols["n_iter"])
-                data = (sub if bulk is None
-                        else _splice_rows(bulk, idx, sub))
-                log.count_time("sweep: fmt/rows",
-                               time.perf_counter() - tf)
+                if use_native:
+                    from .native import format_rows_derive
+                    data = format_rows_derive(
+                        fmt_rw.blob, fmt_rw.off, blk.s1, blk.s2,
+                        blk.dist, fm[:, 0], fm[:, 1:5], maf[blk.s1],
+                        maf[blk.s2], n_used, n_iter, pars.extend_out,
+                        overrides=(idx, cols))
+                    if data is None:
+                        # only reachable on an fm dtype mismatch — a code
+                        # bug; falling back would format the subset alone
+                        raise RuntimeError(
+                            "native derive formatter rejected the chunk")
+                    log.count_time("sweep: fmt/bulk",
+                                   time.perf_counter() - tf)
+                else:
+                    data = fmt_rw.format_block(
+                        s1s, s2s, dists, cols["r2p"], cols["D"],
+                        cols["Dp"], cols["r2"], n_used=cols["n_used"],
+                        maf1=cols["maf1"], maf2=cols["maf2"],
+                        hap=cols["f"], hmaf1=cols["hmaf1"],
+                        hmaf2=cols["hmaf2"], chi2=cols["chi2"],
+                        n_iter=cols["n_iter"])
+                    log.count_time("sweep: fmt/rows",
+                                   time.perf_counter() - tf)
             elif fmt_rw.native:
                 # single native pass: D/D'/r2/hap-MAFs/chi2 derive inside
                 # the formatter's worker threads from (r2p, f) directly

@@ -92,7 +92,16 @@ def get_lib():
                 i64, ctypes.c_char_p, ctypes.POINTER(i64),
                 ctypes.POINTER(i64), ctypes.POINTER(i64), dp_t, vt, vt,
                 ctypes.c_int, i32p_t, dp_t, dp_t, i32p_t,
+                i32p_t, dp_t, f32p, i32p_t, i32p_t,   # override columns
                 ctypes.POINTER(ctypes.c_char), i64, ctypes.c_int]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        for name, vt in (("ngsld_tier_scan32", f32p),
+                         ("ngsld_tier_scan64", dp_t)):
+            fn = getattr(lib, name)
+            fn.restype = i64
+            fn.argtypes = [i64, vt, i64, ctypes.c_int, u8p]
+        lib.ngsld_pearson_r2.restype = None
+        lib.ngsld_pearson_r2.argtypes = [dp_t, dp_t, i64, i64, dp_t]
         lib.ngsld_format_rows_mt32.restype = i64
         lib.ngsld_format_rows_mt32.argtypes = [
             i64, ctypes.c_char_p, ctypes.POINTER(i64), ctypes.POINTER(i64),
@@ -397,11 +406,17 @@ def format_rows_native(labels_blob: bytes, label_off: np.ndarray,
 
 def format_rows_derive(labels_blob: bytes, label_off: np.ndarray,
                        s1, s2, dist, r2p, f, maf1, maf2, n_used, n_iter,
-                       extend: bool):
+                       extend: bool, overrides=None):
     """Derive D/D'/r2/hap-MAFs/chi2 from the hap freqs AND format, all in
     the native worker threads. r2p and f must share a float32/float64
     dtype; bytes are identical to deriving via engine._stats_host/_chi2_host
-    first. Returns None if the native library is unavailable."""
+    first. Returns None if the native library is unavailable.
+
+    overrides: optional (idx, cols) for refined degenerate rows — idx are
+    ascending row indices whose columns are NOT derived but taken from
+    cols (the engine's refine/rederive output): a dict with f64 arrays
+    r2p, D, Dp, r2, maf1, maf2, f (n,4), hmaf1, hmaf2, plus chi2 (f32)
+    and n_used/n_iter (i32). Replaces the bulk-format + splice path."""
     lib = get_lib()
     if lib is None:
         return None
@@ -416,6 +431,21 @@ def format_rows_derive(labels_blob: bytes, label_off: np.ndarray,
     null_i32 = _i32p(np.zeros(1))
     null_d = _f64p(np.zeros(1))
     f_flat = f.reshape(-1)
+    if overrides is not None:
+        idx, oc = overrides
+        over_rank = np.full(n, -1, np.int32)
+        over_rank[idx] = np.arange(len(idx), dtype=np.int32)
+        o_cols = np.empty((len(idx), 12), np.float64)
+        for k, key in enumerate(("r2p", "D", "Dp", "r2", "maf1", "maf2")):
+            o_cols[:, k] = oc[key]
+        o_cols[:, 6:10] = oc["f"]
+        o_cols[:, 10] = oc["hmaf1"]
+        o_cols[:, 11] = oc["hmaf2"]
+        over_args = (_i32p(over_rank), _f64p(o_cols), _f32p(oc["chi2"]),
+                     _i32p(oc["n_used"]), _i32p(oc["n_iter"]))
+    else:
+        over_args = (None, null_d, _f32p(np.zeros(1, np.float32)),
+                     null_i32, null_i32)
 
     def call(bufp, cap, n_threads):
         return fn(n, labels_blob, _i64p(label_off), _i64p(s1), _i64p(s2),
@@ -425,9 +455,54 @@ def format_rows_derive(labels_blob: bytes, label_off: np.ndarray,
                   _f64p(maf1) if extend else null_d,
                   _f64p(maf2) if extend else null_d,
                   _i32p(n_iter) if extend else null_i32,
+                  *over_args,
                   bufp, cap, n_threads)
 
     return _format_with_retry(call, n, labels_blob, label_off, extend)
+
+
+def tier_scan_native(f: np.ndarray, f32_prec: bool):
+    """Native degenerate_tiers hot path: (P, >=4) float array whose first
+    4 row elements are the hap freqs (inner stride must be 1 element —
+    column-sliced views like fm[:, 1:5] qualify without a copy). Returns
+    (tiers uint8, n_nonzero) or None if unavailable."""
+    if os.environ.get("NGSLD_NO_NATIVE") == "1":
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    if f.ndim != 2 or f.shape[1] < 4 or f.dtype not in (np.float32,
+                                                        np.float64):
+        return None
+    it = f.dtype.itemsize
+    if f.strides[1] != it or f.strides[0] % it != 0 or f.strides[0] < 0:
+        return None
+    stride = f.strides[0] // it
+    tiers = np.empty(len(f), np.uint8)
+    ct = ctypes.c_float if f.dtype == np.float32 else ctypes.c_double
+    fn = (lib.ngsld_tier_scan32 if f.dtype == np.float32
+          else lib.ngsld_tier_scan64)
+    nz = fn(len(f), f.ctypes.data_as(ctypes.POINTER(ct)), stride,
+            int(bool(f32_prec)),
+            tiers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return tiers, int(nz)
+
+
+def pearson_r2_native(x: np.ndarray, y: np.ndarray):
+    """Batch squared gsl_stats_correlation with long double accumulators,
+    bit-identical to strict.pearson_r2_batch. x, y: (P, n) float64
+    C-contiguous. Returns (P,) f64 or None if unavailable."""
+    if os.environ.get("NGSLD_NO_NATIVE") == "1":
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float64)
+    y = np.ascontiguousarray(y, np.float64)
+    P, n = x.shape
+    out = np.empty(P, np.float64)
+    lib.ngsld_pearson_r2(_f64p(x), _f64p(y), P, n, _f64p(out))
+    return out
 
 
 def make_labels_blob(labels):

@@ -908,12 +908,34 @@ static int64_t format_rows_derive_impl(
     int64_t n_rows, const char* labels, const int64_t* label_off,
     const int64_t* s1, const int64_t* s2, const double* dist, const TF* r2p,
     const TF* f, int extend, const int32_t* n_used, const double* maf1,
-    const double* maf2, const int32_t* n_iter, char* out, int64_t out_cap,
-    int n_threads) {
+    const double* maf2, const int32_t* n_iter,
+    const int32_t* over_rank,  // per-row rank into the override columns,
+                               // -1 = derive normally; NULL = no overrides
+    const double* o_cols,      // (n_over, 12): r2p D Dp r2 maf1 maf2
+                               //               f0 f1 f2 f3 hm1 hm2
+    const float* o_chi2, const int32_t* o_nused, const int32_t* o_niter,
+    char* out, int64_t out_cap, int n_threads) {
   auto cmin = [](TF a, TF b) { return a <= b ? a : b; };  // C min() NaN rule
   return mt_rows_driver(
       n_rows, labels, label_off, s1, s2, out, out_cap, n_threads,
       [&](char* p, int64_t j) {
+        if (over_rank) {
+          // Refined (degenerate-tier) rows ship their corrected columns
+          // as f64 pass-through values — one formatter pass emits both
+          // populations, replacing the old bulk-format + Python splice
+          // (bytes identical: the splice emitted these same doubles
+          // through the same emit_cols<double>).
+          int32_t r = over_rank[j];
+          if (r >= 0) {
+            const double* oc = o_cols + 12 * (int64_t)r;
+            return emit_cols<double>(p, dist[j], oc[0], oc[1], oc[2],
+                                     oc[3], extend,
+                                     (long long)o_nused[r], oc[4], oc[5],
+                                     oc[6], oc[7], oc[8], oc[9], oc[10],
+                                     oc[11], (double)o_chi2[r],
+                                     (long long)o_niter[r]);
+          }
+        }
         const TF f0 = f[4 * j], f1 = f[4 * j + 1], f2 = f[4 * j + 2],
                  f3 = f[4 * j + 3];
         const TF one = (TF)1;
@@ -949,17 +971,96 @@ static int64_t format_rows_derive_impl(
       });
 }
 
+// Degenerate-pair tier classification (mirror of refine.degenerate_tiers,
+// same f64 ops in the same order -> bit-identical classification; numpy
+// spent ~13 s on a 17.9M-row chunk set, this pass ~0.3 s). NaN-propagating
+// min matches np.minimum. `stride` is the row stride in ELEMENTS (the
+// engine passes a (P, 5) fm matrix's columns 1:5 without copying).
+template <typename TF>
+static int64_t tier_scan_impl(int64_t n, const TF* f, int64_t stride,
+                              int f32_prec, uint8_t* tier) {
+  auto nmin = [](double a, double b) {
+    if (std::isnan(a) || std::isnan(b)) return std::nan("");
+    return a < b ? a : b;
+  };
+  int64_t count = 0;
+  for (int64_t j = 0; j < n; j++) {
+    const TF* r = f + j * stride;
+    const double f0 = r[0], f1 = r[1], f2 = r[2], f3 = r[3];
+    const double m0 = 1.0 - (f0 + f1);
+    const double m1 = 1.0 - (f0 + f2);
+    const double D = f0 * f3 - f1 * f2;
+    const double neg = -nmin(m0 * m1, (1.0 - m0) * (1.0 - m1));
+    const double pos = nmin(m0 * (1.0 - m1), (1.0 - m0) * m1);
+    const double den_dp = D < 0.0 ? neg : pos;
+    const double den_r2 = m0 * m1 * (1.0 - m0) * (1.0 - m1);
+    const bool nonfin = !(std::isfinite(f0) && std::isfinite(f1) &&
+                          std::isfinite(f2) && std::isfinite(f3));
+    uint8_t t = 0;
+    if (f32_prec && (std::fabs(den_dp) < 1e-3 ||
+                     std::fabs(den_r2) < 1e-6 || std::fabs(D) < 2e-6))
+      t = 2;
+    if (std::fabs(den_dp) < 1e-7 || std::fabs(den_r2) < 1e-13 || nonfin)
+      t = 1;
+    tier[j] = t;
+    count += (t != 0);
+  }
+  return count;
+}
+
 extern "C" {
+
+int64_t ngsld_tier_scan32(int64_t n, const float* f, int64_t stride,
+                          int f32_prec, uint8_t* tier) {
+  return tier_scan_impl<float>(n, f, stride, f32_prec, tier);
+}
+
+int64_t ngsld_tier_scan64(int64_t n, const double* f, int64_t stride,
+                          int f32_prec, uint8_t* tier) {
+  return tier_scan_impl<double>(n, f, stride, f32_prec, tier);
+}
+
+// gsl_stats_correlation's stable one-pass update with LONG DOUBLE
+// accumulators (x86: 80-bit x87, exactly np.longdouble), squared --
+// bit-identical to strict.pearson_r2_batch, which spends ~45 us/pair in
+// numpy's scalar longdouble loops. ratio and the final sqrt/product are
+// computed in double exactly as GSL does (ngsLD.cpp:365-367).
+void ngsld_pearson_r2(const double* x, const double* y, int64_t P,
+                      int64_t n, double* out) {
+  for (int64_t p = 0; p < P; p++) {
+    const double* xr = x + p * n;
+    const double* yr = y + p * n;
+    long double mean_x = xr[0], mean_y = yr[0];
+    long double sxx = 0, syy = 0, sxy = 0;
+    for (int64_t i = 1; i < n; i++) {
+      const long double ratio = (double)i / ((double)i + 1.0);
+      const long double dx = (long double)xr[i] - mean_x;
+      const long double dy = (long double)yr[i] - mean_y;
+      sxx += dx * dx * ratio;
+      syy += dy * dy * ratio;
+      sxy += dx * dy * ratio;
+      mean_x += dx / (long double)((double)i + 1.0);
+      mean_y += dy / (long double)((double)i + 1.0);
+    }
+    const double denom =
+        std::sqrt((double)sxx) * std::sqrt((double)syy);
+    const double r = (double)(sxy / (long double)denom);
+    out[p] = r * r;
+  }
+}
 
 int64_t ngsld_format_rows_derive32(
     int64_t n_rows, const char* labels, const int64_t* label_off,
     const int64_t* s1, const int64_t* s2, const double* dist,
     const float* r2p, const float* f, int extend, const int32_t* n_used,
     const double* maf1, const double* maf2, const int32_t* n_iter,
+    const int32_t* over_rank, const double* o_cols, const float* o_chi2,
+    const int32_t* o_nused, const int32_t* o_niter,
     char* out, int64_t out_cap, int n_threads) {
   return format_rows_derive_impl<float>(
       n_rows, labels, label_off, s1, s2, dist, r2p, f, extend, n_used, maf1,
-      maf2, n_iter, out, out_cap, n_threads);
+      maf2, n_iter, over_rank, o_cols, o_chi2, o_nused, o_niter, out,
+      out_cap, n_threads);
 }
 
 int64_t ngsld_format_rows_derive64(
@@ -967,10 +1068,13 @@ int64_t ngsld_format_rows_derive64(
     const int64_t* s1, const int64_t* s2, const double* dist,
     const double* r2p, const double* f, int extend, const int32_t* n_used,
     const double* maf1, const double* maf2, const int32_t* n_iter,
+    const int32_t* over_rank, const double* o_cols, const float* o_chi2,
+    const int32_t* o_nused, const int32_t* o_niter,
     char* out, int64_t out_cap, int n_threads) {
   return format_rows_derive_impl<double>(
       n_rows, labels, label_off, s1, s2, dist, r2p, f, extend, n_used, maf1,
-      maf2, n_iter, out, out_cap, n_threads);
+      maf2, n_iter, over_rank, o_cols, o_chi2, o_nused, o_niter, out,
+      out_cap, n_threads);
 }
 
 int64_t ngsld_format_rows_mt(int64_t n_rows, const char* labels,

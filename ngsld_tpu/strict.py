@@ -398,6 +398,13 @@ def pearson_r2_batch(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     final sqrt is double (C sqrt on an implicitly-converted argument).
     x, y: (P, n_ind) float64. Returns (P,) float64 r^2.
     """
+    try:  # native mirror: same long double op order, ~45 us -> ~0.2 us/pair
+        from .native import pearson_r2_native
+        out = pearson_r2_native(x, y)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
     P, n = x.shape
     ld = np.longdouble
     mean_x = x[:, 0].astype(ld)

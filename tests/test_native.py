@@ -247,3 +247,120 @@ def test_native_strict_refine_bit_identical():
                                       np.where(nan, 0, f_c))
         np.testing.assert_array_equal(it_py, it_c)
         np.testing.assert_array_equal(nu_py, nu_c)
+
+
+def test_derive_formatter_overrides_match_splice():
+    """Override rows (refined degenerate pairs) must emit their f64
+    pass-through columns byte-identically to formatting them separately,
+    with every other row still f32-derived in place."""
+    from ngsld_tpu.engine import _chi2_host, _stats_host
+    from ngsld_tpu.native import (format_rows_derive, format_rows_native,
+                                  get_lib, make_labels_blob)
+    if get_lib() is None:
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(5)
+    n = 4000
+    labels = [f"chr{i}:{i * 11 + 1}" for i in range(500)]
+    blob, off = make_labels_blob(labels)
+    s1 = rng.integers(0, 499, n)
+    s2 = rng.integers(0, 499, n)
+    dist = rng.integers(1, 10**6, n).astype(np.float64)
+    f = rng.dirichlet([1.0, 0.8, 0.8, 0.5], n).astype(np.float32)
+    r2p = rng.uniform(0, 1, n).astype(np.float32)
+    maf1 = rng.uniform(0, 0.5, n)
+    maf2 = rng.uniform(0, 0.5, n)
+    nu = rng.integers(1, 100, n).astype(np.int32)
+    ni = rng.integers(1, 100, n).astype(np.int32)
+    idx = np.unique(rng.integers(0, n, 200))
+    k = len(idx)
+    oc = dict(r2p=rng.uniform(0, 1, k), D=rng.normal(size=k),
+              Dp=rng.normal(size=k), r2=rng.uniform(0, 1, k),
+              maf1=rng.uniform(0, 0.5, k), maf2=rng.uniform(0, 0.5, k),
+              f=rng.dirichlet([1.0] * 4, k),
+              hmaf1=rng.uniform(0, 1, k), hmaf2=rng.uniform(0, 1, k),
+              chi2=rng.uniform(0, 50, k).astype(np.float32),
+              n_used=rng.integers(1, 100, k).astype(np.int32),
+              n_iter=rng.integers(1, 100, k).astype(np.int32))
+    oc["Dp"][0] = np.nan
+    oc["r2"][1 % k] = np.inf
+    for extend in (True, False):
+        got = format_rows_derive(blob, off, s1, s2, dist, r2p, f,
+                                 maf1, maf2, nu, ni, extend,
+                                 overrides=(idx, oc))
+        # expected: derive-format all rows, then splice the override rows
+        # formatted as f64 pass-through
+        plain = format_rows_derive(blob, off, s1, s2, dist, r2p, f,
+                                   maf1, maf2, nu, ni, extend)
+        sub = format_rows_native(
+            blob, off, s1[idx], s2[idx], dist[idx], oc["r2p"], oc["D"],
+            oc["Dp"], oc["r2"], extend, oc["n_used"], oc["maf1"],
+            oc["maf2"], oc["f"], oc["hmaf1"], oc["hmaf2"], oc["chi2"],
+            oc["n_iter"])
+        lines = plain.splitlines(keepends=True)
+        sub_lines = sub.splitlines(keepends=True)
+        for j, r in enumerate(idx):
+            lines[r] = sub_lines[j]
+        assert got == b"".join(lines), f"extend={extend}"
+
+
+def test_tier_scan_native_matches_numpy():
+    """ngsld_tier_scan vs the numpy classification: identical tiers on
+    random, corner, and strided (fm[:, 1:5]-style) inputs."""
+    from ngsld_tpu import refine
+    from ngsld_tpu.native import get_lib, tier_scan_native
+    if get_lib() is None:
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(3)
+    n = 20000
+    for dtype in (np.float32, np.float64):
+        f = rng.dirichlet([0.4, 0.4, 0.4, 0.4], n).astype(dtype)
+        # plant corners and junk
+        f[0] = [1, 0, 0, 0]
+        f[1] = [0.5, 0.5, 0, 0]
+        f[2] = [0.25, 0.25, 0.25, 0.25]
+        f[3, 0] = np.nan
+        f[4, 2] = np.inf
+        for prec in ("f32", "f64"):
+            got, nz = tier_scan_native(f, prec == "f32")
+            os.environ["NGSLD_NO_NATIVE"] = "1"
+            try:
+                want = refine.degenerate_tiers(f, prec)
+            finally:
+                del os.environ["NGSLD_NO_NATIVE"]
+            np.testing.assert_array_equal(got, want)
+            assert nz == int((want != 0).sum())
+        # strided view: freqs in cols 1:5 of a (n, 5) fm matrix
+        fm = np.concatenate([rng.uniform(size=(n, 1)).astype(dtype), f],
+                            axis=1)
+        got2, _ = tier_scan_native(fm[:, 1:5], True)
+        os.environ["NGSLD_NO_NATIVE"] = "1"
+        try:
+            want2 = refine.degenerate_tiers(fm[:, 1:5], "f32")
+        finally:
+            del os.environ["NGSLD_NO_NATIVE"]
+        np.testing.assert_array_equal(got2, want2)
+
+
+def test_pearson_r2_native_matches_longdouble():
+    """ngsld_pearson_r2 vs the numpy longdouble one-pass update:
+    bit-identical r^2 (both are 80-bit x87 long double in the same
+    op order)."""
+    from ngsld_tpu.native import get_lib, pearson_r2_native
+    if get_lib() is None:
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(9)
+    for P, n in ((300, 7), (100, 100), (64, 1), (32, 513)):
+        x = rng.normal(size=(P, n))
+        y = rng.normal(size=(P, n))
+        # constant rows -> zero variance -> nan path
+        x[0] = 1.0
+        y[1] = -2.0
+        got = pearson_r2_native(x, y)
+        os.environ["NGSLD_NO_NATIVE"] = "1"
+        try:
+            want = strict.pearson_r2_batch(x, y)
+        finally:
+            del os.environ["NGSLD_NO_NATIVE"]
+        nan = np.isnan(want) & np.isnan(got)
+        np.testing.assert_array_equal(np.where(nan, 0, got),
+                                      np.where(nan, 0, want))
