@@ -83,8 +83,11 @@ for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM,
 FLOPS_PER_EVAL = 44
 # measured structural ceiling of the same kernel with fixed iteration
 # count and register-carried state (no convergence/early-exit machinery):
-# 2.5e10 evals/s on this v5e (PERF.md, round 2). The gap to it is the
-# price of exact per-pair nIter/freeze semantics + pipeline overheads.
+# 2.5e10 evals/s on this v5e (PERF.md, round 2). The r4 gap
+# decomposition (PERF.md) shows the bookkept kernel's per-lane-iter rate
+# is AT the VPU roofline; the distance to this number is counted-vs-
+# executed granularity (a row runs to its slowest lane) plus the XLA
+# sel-compaction gathers — not kernel inefficiency.
 EXEC_CEILING = 2.5e10
 
 
@@ -134,7 +137,7 @@ def strip_kernel_bench():
     sel_pad = np.zeros(Cq, np.int32)
     sel_pad[:P] = sel
 
-    def make_fn(group):
+    def make_fn(group, first_check=30):
         # tables as ARGUMENTS (not closure constants): tunneled
         # remote-compile endpoints cap the request body (HTTP 413)
         @jax.jit
@@ -143,24 +146,27 @@ def strip_kernel_bench():
                 ga_, gb_, ea_, eb_, jnp.asarray(maf), jnp.asarray(maf),
                 jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(ok),
                 jnp.asarray(ok), jnp.asarray(ta), jnp.asarray(tb), sel_d,
-                n_ind=I, group=group)
+                n_ind=I, group=group, first_check=first_check)
             # counted LIVE evals: sum (nIter+1) over selected in-band pairs
             return jnp.sum(im[:P, 0].astype(jnp.int32) + 1), fm, im
         return lambda sel_d: fn_args(ga, gb, ea, eb, sel_d)
 
     sel_d = jnp.asarray(sel_pad)
-    # compile-failure ladder: default grouped -> solo anchors -> give up
-    # (headline falls back to the gather kernel). A Mosaic legalization
-    # regression must degrade the headline, never zero the round.
+    # compile-failure ladder: engine default (first_check=30 schedule,
+    # engine_block NGSLD_STRIP_FC) -> plain single-while structure ->
+    # give up (headline falls back to the gather kernel). A Mosaic
+    # legalization regression must degrade the headline, never zero the
+    # round.
     group_used = None
-    for group in (None, 1):
+    for group, first_check in ((None, 30), (None, None), (1, None)):
         try:
-            fn = make_fn(group)
+            fn = make_fn(group, first_check)
             total = int(fn(sel_d)[0])   # warmup + compile + sync
-            group_used = group
+            group_used = (group, first_check)
             break
         except Exception as e:
-            print(f"[bench] strip kernel (group={group}) failed: "
+            print(f"[bench] strip kernel (group={group}, "
+                  f"fc={first_check}) failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr)
     else:
         return None
@@ -177,7 +183,8 @@ def strip_kernel_bench():
         "n_pairs": P, "n_ind": I, "n_tiles": len(tiles),
         "mean_iters": total / P,
         "kernel": "pallas-strip-compact",
-        "anchor_group": group_used if group_used is not None else "auto",
+        "anchor_group": "auto" if group_used[0] is None else group_used[0],
+        "first_check": group_used[1],
         "ms_per_chunk": dt * 1e3,
         "achieved_tflops": evals_per_sec * FLOPS_PER_EVAL / 1e12,
         "exec_ceiling_evals_per_sec": EXEC_CEILING,

@@ -132,8 +132,25 @@ def _compute_block_fn(ignore_miss_data: bool, use_pallas: bool,
 
 
 @functools.lru_cache(maxsize=None)
+def _strip_twophase_fn(n_ind: int, ignore_miss: bool, interpret: bool,
+                       use_i16: bool, cap1: int):
+    """Two-phase strip compute (single device): rectangle phase to cap1,
+    unconverged tail finishes per-pair in the warm-started column kernel
+    (pallas_strip.strip_em_twophase). Returns a callable taking the
+    strip_em_compact args + (n_live, surv_cap); its result carries an
+    extra n_surv scalar — n_surv > surv_cap means the caller must redo
+    the chunk with the single-phase fn."""
+    from .kernels.pallas_strip import strip_em_twophase
+    return functools.partial(
+        strip_em_twophase, n_ind=n_ind, ignore_miss=ignore_miss,
+        interpret=interpret, use_i16=use_i16, slim_im=not ignore_miss,
+        cap1=cap1)
+
+
+@functools.lru_cache(maxsize=None)
 def _strip_compute_fn(n_shards: int, n_ind: int, ignore_miss: bool,
-                      interpret: bool, use_i16: bool):
+                      interpret: bool, use_i16: bool,
+                      first_check: int | None = None):
     """Strip-chunk compute for the block engine: the per-tile Pallas
     kernel shard_map'ed over the 'pairs' mesh (each device runs its slice
     of the chunk's tile list; tables replicated — same topology as the
@@ -147,7 +164,7 @@ def _strip_compute_fn(n_shards: int, n_ind: int, ignore_miss: bool,
         return jax.jit(functools.partial(
             strip_em_compact, n_ind=n_ind, ignore_miss=ignore_miss,
             interpret=interpret, use_i16=use_i16,
-            slim_im=not ignore_miss))
+            slim_im=not ignore_miss, first_check=first_check))
 
     from jax import shard_map
     from jax.sharding import PartitionSpec as PS
@@ -159,7 +176,7 @@ def _strip_compute_fn(n_shards: int, n_ind: int, ignore_miss: bool,
     def tiles(ga, gb, ea, eb, mafa, mafb, lo, hi, oka, okb, ta, tb):
         return strip_em(ga, gb, ea, eb, mafa, mafb, lo, hi, oka, okb,
                         ta, tb, n_ind=n_ind, ignore_miss=ignore_miss,
-                        interpret=interpret)
+                        interpret=interpret, first_check=first_check)
 
     sharded = shard_map(
         tiles, mesh=mesh,

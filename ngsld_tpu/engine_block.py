@@ -18,13 +18,23 @@ import numpy as np
 from . import strict
 from .checkpoint import _Checkpoint
 from .compute import (_compute_block_fn, _compute_block_ind_fn,
-                      _strip_compute_fn)
+                      _strip_compute_fn, _strip_twophase_fn)
 from .loaders import _StreamedGLLoader, _StreamedTextLoader
 
 
 # pipeline-stage return sentinel: "nothing to forward downstream yet"
 # (the fmt stage is accumulating chunks of a split anchor-tile group)
 _PENDING = object()
+
+
+def _SURV_FRAC(cq: int) -> int:
+    """Static phase-B survivor budget for a two-phase strip chunk of
+    capacity cq (multiple of the 256 pair tile; cq is on a power-of-2
+    ladder >= 65536). An eighth covers the measured tail at cap1=30
+    (8.3% on the bench workload, dev/exp_sched.py) with ~1.9x headroom;
+    phase-B cost scales with the budget (pad tiles still gather + run
+    one unroll), and overflow falls back to the single-phase sweep."""
+    return cq // 8
 
 
 class StripCompileError(RuntimeError):
@@ -369,15 +379,25 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
         fmt_rw = writer if writer is not None \
             else RowWriter(None, labels, pars.extend_out)
 
-        def pull(bi, blk, dev_out, meta=None):
+        def pull(bi, blk, dev_out, meta=None, retry=None):
             """Stage 1 (tunnel IO): device results -> host numpy. Outputs
             are sliced to the live row count BEFORE the transfer (strip
             outputs are device-compacted into a fixed capacity; gather
             outputs carry tail padding), so link bytes scale with live
-            pairs."""
+            pairs.
+
+            Two-phase strip chunks carry an n_surv scalar: when the
+            unconverged tail overflowed the static survivor budget the
+            overflow rows still hold phase-A state, so the chunk redoes
+            single-phase via `retry` (rare: budget is ~25% of the chunk,
+            real tails measure ~10-15%)."""
             P = len(blk.s1)
             t0 = time.perf_counter()
             with hold():
+                if len(dev_out) == 3 and retry is not None:
+                    if int(dev_out[2]) > _SURV_FRAC(len(dev_out[0])):
+                        log.count("strip_twophase_overflow")
+                        dev_out = retry()
                 fm = np.asarray(dev_out[0][:P])
                 im = np.asarray(dev_out[1][:P])
             touch()
@@ -614,9 +634,35 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
         with log.phase("compute: banded pair sweep"), GracefulStop(log) as gs:
             if strip_mode:
                 interp = jax.default_backend() != "tpu"
+                # first-checkpoint schedule: run 30 iterations (≈ p92 of
+                # real nIter) before the first scalar convergence sync —
+                # fewer checks at unchanged executed work won the r4 chip
+                # sweep (dev/exp_strip3.py: G=1 fc=30 422 ms vs fc=10
+                # 434, old G=2 default 472). 0 = the bit-invariant
+                # single-while structure (tests pin grouping on it).
+                fc = int(os.environ.get("NGSLD_STRIP_FC", "30")) or None
+                from .kernels.pallas_strip import strip_streamed
+                if strip_streamed(pars.n_ind):
+                    fc = None   # streamed kernel has its own loop
                 strip_fn = _strip_compute_fn(
                     n_shards, pars.n_ind, pars.ignore_miss_data, interp,
-                    pars.n_ind <= 32767)
+                    pars.n_ind <= 32767, fc)
+                # two-phase (rectangle to cap1 + per-pair tail in the
+                # warm-started column kernel): opt-in — the per-pair
+                # tail removes the intra-row convergence waste but its
+                # XLA compaction overheads (gather/scatter at ~1 GB/s)
+                # currently cost more than the saved iterations on this
+                # chip (PERF.md r4 gap decomposition)
+                strip2_fn = None
+                if (n_shards == 1 and not strip_streamed(pars.n_ind)
+                        and os.environ.get("NGSLD_STRIP_TWO_PHASE",
+                                           "0") == "1"):
+                    cap1 = int(os.environ.get("NGSLD_STRIP_CAP1", "30"))
+                    strip2_fn = _strip_twophase_fn(
+                        pars.n_ind, pars.ignore_miss_data, interp,
+                        pars.n_ind <= 32767, cap1)
+                    log.log(2, f"==> strip sweep: two-phase (cap1="
+                               f"{cap1}, per-pair tail)")
                 if n_shards > 1:
                     log.log(2, f"==> strip sweep: {n_shards}-device "
                                "'pairs' mesh (tiles sharded per chunk)")
@@ -781,21 +827,32 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                             tb_slots, np.full(GMAXT - gc, jdead,
                                               np.int32)])
                         t0 = time.perf_counter()
+                        args = (s_ga, s_gb, s_ea, s_eb, s_maf, s_maf,
+                                s_lo, s_hi, s_ok, s_ok,
+                                jnp.asarray(ta_arr), jnp.asarray(tb_arr),
+                                jnp.asarray(sel_pad))
+                        retry = None
                         try:
                             with hold():
-                                dev_out = strip_fn(
-                                    s_ga, s_gb, s_ea, s_eb, s_maf, s_maf,
-                                    s_lo, s_hi, s_ok, s_ok,
-                                    jnp.asarray(ta_arr),
-                                    jnp.asarray(tb_arr),
-                                    jnp.asarray(sel_pad))
+                                if strip2_fn is not None:
+                                    dev_out = strip2_fn(
+                                        *args, jnp.int32(P),
+                                        surv_cap=_SURV_FRAC(Cq))
+                                    # overflow fallback, invoked from the
+                                    # pull stage if n_surv > budget
+                                    retry = functools.partial(strip_fn,
+                                                              *args)
+                                else:
+                                    dev_out = strip_fn(*args)
                         except Exception as e:
                             if not strip_ran:
                                 raise StripCompileError(
                                     "strip-tile kernel failed on the "
                                     "first chunk (compile/legalization?) "
                                     "— rerun with NGSLD_BLOCK_STRIP=0 to "
-                                    "force the gathered-pair sweep, or "
+                                    "force the gathered-pair sweep, "
+                                    "NGSLD_STRIP_TWO_PHASE=0 to disable "
+                                    "the per-pair tail, or "
                                     "NGSLD_STRIP_GROUP=1 to disable "
                                     "anchor grouping") from e
                             raise
@@ -803,7 +860,7 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                         touch()
                         log.count_time("sweep: dispatch",
                                        time.perf_counter() - t0)
-                        emit_q.put((bi, blk, dev_out, meta))
+                        emit_q.put((bi, blk, dev_out, meta, retry))
                 finally:
                     emit_q.put(None)
                     for t in stages:

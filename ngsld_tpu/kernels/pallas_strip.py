@@ -45,11 +45,12 @@ from ..constants import EPSILON, ITER_MAX
 _KBITS = ((0, 0), (0, 1), (1, 0), (1, 1))
 _UNROLL = 10       # r4 chip sweep: unroll 10 edges 4 at group=2 (1.35 vs
                    # 1.30e10 evals/s); must divide ITER_MAX
-_GROUP = 2         # anchors sharing one convergence loop (see
-                   # _strip_kernel). r4 chip sweep at I=100, 256-tile
-                   # chunk: group 2 = 1.30-1.35e10 evals/s vs 4 = 9.2e9,
-                   # 8 = 7.5e9, 16 = 6.8e9 — smaller em_step temporaries
-                   # win; groups only shrink further as Ip grows
+_GROUP = 1         # anchors sharing one convergence loop (see
+                   # _strip_kernel). r4 chip sweeps at I=100, 256-tile
+                   # chunk (dev/exp_strip3.py): group 1 = 434 ms vs
+                   # 2 = 472, 4 = 746+ — smaller em_step temporaries
+                   # win; convergence granularity is intra-ROW (the 128
+                   # partner lanes), so larger groups only add waste
 TA = 128           # anchors per tile (sublane-major axis of outputs)
 TB = 128           # partners per tile (lane axis)
 
@@ -69,16 +70,19 @@ def _strip_kernel(ta_ref, tb_ref,             # scalar prefetch: tile coords
                   r2p_out,   # (1, TA, TB) f32
                   nit_out,   # (1, TA, TB) i32
                   nu_out,    # (1, TA, TB) i32
-                  fs_scr,    # scratch (4, G, 1, TB) f32
-                  act_scr,   # scratch (G, 1, TB) f32
-                  nit_scr,   # scratch (G, 1, TB) i32
-                  *, I, Ip, iter_cap, ignore_miss, unroll=_UNROLL,
-                  group=_GROUP):
+                  *rest,     # [epsl_out, epsp_out (1, TA, TB) f32,] +
+                             # fs_scr (4, G, 1, TB) f32,
+                             # act_scr (G, 1, TB) f32,
+                             # nit_scr (G, 1, TB) i32
+                             # [, epsl_scr, epsp_scr (G, 1, TB) f32]
+                  I, Ip, iter_cap, ignore_miss, unroll=_UNROLL,
+                  group=_GROUP, want_eps=False, first_check=None):
     """Grouped-anchor EM: G anchors share one while loop over
     (G, Ip, TB)-shaped state, so each scalar-unit convergence check
-    covers G x Ip x TB evals instead of Ip x TB. The per-anchor version
-    (group=1) measured ~50% of the fixed-iteration ceiling with the
-    scalar syncs as the gap (PERF.md). State lives in VMEM scratch —
+    covers G x Ip x TB evals instead of Ip x TB (G = 1 measured fastest
+    on the r4 chip sweeps — the em_step temporaries shrink and the
+    convergence waste is intra-row anyway; see PERF.md gap
+    decomposition). State lives in VMEM scratch —
     Mosaic's while-loop lowering cannot legalize VECTOR loop carries
     (scf.yield), so only the (it, done) scalars ride the carry and the
     body loads/stores the group's fs/active/nIter once per `unroll`
@@ -87,6 +91,13 @@ def _strip_kernel(ta_ref, tb_ref,             # scalar prefetch: tile coords
     the group merely keeps iterating until its slowest anchor converges
     (executed-not-counted waste, small within a band where neighboring
     anchors have similar difficulty)."""
+    if want_eps:
+        (epsl_out, epsp_out, fs_scr, act_scr, nit_scr,
+         epsl_scr, epsp_scr) = rest
+    else:
+        fs_scr, act_scr, nit_scr = rest
+        epsl_out = epsp_out = epsl_scr = epsp_scr = None
+    fc0 = first_check if first_check is not None else unroll
     i = pl.program_id(0)
     b0 = tb_ref[i] * TB
     G = group
@@ -150,16 +161,11 @@ def _strip_kernel(ta_ref, tb_ref,             # scalar prefetch: tile coords
             n_usedw = jnp.broadcast_to(n_used_t[None], (G, 1, TB))
         invxw = 1.0 / n_usedw    # exact divide, once per group
 
-        for k in range(4):
-            fs_scr[k] = fsw[k]
-        act_scr[...] = livew.astype(jnp.float32)
-        nit_scr[...] = jnp.full((G, 1, TB), iter_cap, jnp.int32)
-
         def cond(c):
             it, done = c
             return jnp.logical_and(it < iter_cap, jnp.logical_not(done))
 
-        def em_step(it, fs, act, n_iter):
+        def em_step(it, fs, act, n_iter, eps_prev, eps_last):
             Q = [[fs[2 * x] * gb[c] + fs[2 * x + 1] * gb[c + 1]
                   for c in range(2)] for x in range(2)]   # (G, Ip, TB)
             D = [g1w[a1k] * Q[0][a2k] + g1w[a1k + 1] * Q[1][a2k]
@@ -180,30 +186,85 @@ def _strip_kernel(ta_ref, tb_ref,             # scalar prefetch: tile coords
             for k in range(4):
                 d = jnp.abs(f_next[k] - fs[k])
                 eps = jnp.where(d > eps, d, eps)
+            if want_eps:
+                eps_prev = jnp.where(act, eps_last, eps_prev)
+                eps_last = jnp.where(act, eps, eps_last)
             newly = jnp.logical_and(act, eps < EPSILON)
             still = jnp.logical_and(act, jnp.logical_not(newly))
             n_iter = jnp.where(newly, it, n_iter)
-            return f_next, still, n_iter
+            return f_next, still, n_iter, eps_prev, eps_last
 
         def body(c):
             it = c[0]
             fs = [fs_scr[k] for k in range(4)]
             act = act_scr[...] > 0.0
             n_iter = nit_scr[...]
+            ep = epsl_scr[...] if want_eps else None
+            epp = epsp_scr[...] if want_eps else None
             for u in range(unroll):
-                fs, act, n_iter = em_step(it + u, fs, act, n_iter)
+                fs, act, n_iter, epp, ep = em_step(it + u, fs, act,
+                                                   n_iter, epp, ep)
             for k in range(4):
                 fs_scr[k] = fs[k]
             act_scr[...] = act.astype(jnp.float32)
             nit_scr[...] = n_iter
+            if want_eps:
+                epsl_scr[...] = ep
+                epsp_scr[...] = epp
             return it + unroll, jnp.logical_not(jnp.any(act))
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+        for k in range(4):
+            fs_scr[k] = fsw[k]
+        act_scr[...] = livew.astype(jnp.float32)
+        nit_scr[...] = jnp.full((G, 1, TB), iter_cap, jnp.int32)
+        if want_eps:
+            # last two update magnitudes per lane (ones like the column
+            # kernel, pallas_em._em_kernel)
+            epsl_scr[...] = jnp.ones((G, 1, TB), jnp.float32)
+            epsp_scr[...] = jnp.ones((G, 1, TB), jnp.float32)
+        if first_check is None:
+            # default: one while loop from 0, checkpoints every `unroll`
+            # — this exact structure keeps the Ip-reduction lowering
+            # identical across group sizes (grouping stays bit-invisible,
+            # test_grouped_anchors_match_solo)
+            jax.lax.while_loop(cond, body,
+                               (jnp.int32(0), jnp.bool_(False)))
+        else:
+            # tuned schedule: a first trip of fc0 iterations with no
+            # convergence sync, then `unroll` strides. Checkpoints: fc0,
+            # fc0+unroll, ... — freeze/nIter semantics unchanged, but
+            # the split-loop structure lets XLA schedule the prefix
+            # differently per group size, so values may drift ~1 ulp
+            # from the default structure (inside the f32 contract).
+            def prefix_w(c):
+                fs = [fs_scr[k] for k in range(4)]
+                act = act_scr[...] > 0.0
+                n_iter = nit_scr[...]
+                ep = epsl_scr[...] if want_eps else None
+                epp = epsp_scr[...] if want_eps else None
+                for u in range(fc0):
+                    fs, act, n_iter, epp, ep = em_step(u, fs, act,
+                                                       n_iter, epp, ep)
+                for k in range(4):
+                    fs_scr[k] = fs[k]
+                act_scr[...] = act.astype(jnp.float32)
+                nit_scr[...] = n_iter
+                if want_eps:
+                    epsl_scr[...] = ep
+                    epsp_scr[...] = epp
+                return c + 1
+
+            jax.lax.while_loop(lambda c: c < 1, prefix_w, jnp.int32(0))
+            done0 = jnp.logical_not(jnp.any(act_scr[...] > 0.0))
+            jax.lax.while_loop(cond, body, (jnp.int32(fc0), done0))
         for j in range(G):
             a = a0 + j
             for k in range(4):
                 f_out[0, k, pl.ds(a, 1), :] = fs_scr[k, j]
             nit_out[0, pl.ds(a, 1), :] = nit_scr[j]
+            if want_eps:
+                epsl_out[0, pl.ds(a, 1), :] = epsl_scr[j]
+                epsp_out[0, pl.ds(a, 1), :] = epsp_scr[j]
         return 0
 
     jax.lax.fori_loop(0, TA // G, group_body, 0)
@@ -532,12 +593,14 @@ def strip_i_align(n_ind: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("n_ind", "iter_cap",
                                              "ignore_miss", "interpret",
-                                             "group", "unroll"))
+                                             "group", "unroll",
+                                             "want_eps", "first_check"))
 def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
              *, n_ind: int,
              iter_cap: int = ITER_MAX, ignore_miss: bool = False,
              interpret: bool = False, group: int | None = None,
-             unroll: int = _UNROLL):
+             unroll: int = _UNROLL, want_eps: bool = False,
+             first_check: int | None = None):
     """Run one batch of tiles.
 
     ga (3, Sa, Ip), gb (3, Ip, Sb), ea (Sa, Ip), eb (Ip, Sb): strip
@@ -557,8 +620,12 @@ def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
     built with strip_tables(..., i_align=strip_i_align(n_ind)).
     """
     # the while body runs `unroll` exact steps between scalar checks; a
-    # cap that is not a multiple would overshoot it (see pallas_em)
-    assert iter_cap % unroll == 0, (iter_cap, unroll)
+    # cap that is not a multiple would overshoot it (see pallas_em).
+    # first_check (default unroll) sets the FIRST checkpoint: the prefix
+    # runs inline without scratch round-trips or scalar syncs.
+    fc0 = first_check if first_check is not None else unroll
+    assert 0 < fc0 <= iter_cap and (iter_cap - fc0) % unroll == 0, \
+        (iter_cap, fc0, unroll)
     n = ta.shape[0]
     Ip = ga.shape[2]
     mafa = maf_a.reshape(-1, 1).astype(jnp.float32)
@@ -568,6 +635,7 @@ def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
     oka = ok_a.reshape(-1, 1).astype(jnp.float32)
     okb = ok_b.reshape(1, -1).astype(jnp.float32)
     if strip_streamed(n_ind):
+        assert not want_eps, "eps export: VMEM-resident strip kernel only"
         IC = _ic_stream()
         if Ip % IC:     # tables built without streaming alignment
             raise ValueError(
@@ -627,8 +695,19 @@ def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
     assert group >= 1 and TA % group == 0, group
     kernel = functools.partial(_strip_kernel, I=n_ind, Ip=Ip,
                                iter_cap=iter_cap, ignore_miss=ignore_miss,
-                               unroll=unroll, group=group)
-    f, r2p, nit, nu = pl.pallas_call(
+                               unroll=unroll, group=group,
+                               want_eps=want_eps, first_check=first_check)
+    eps_out_specs = [pl.BlockSpec((1, TA, TB), lambda i, ta, tb: (i, 0, 0)),
+                     pl.BlockSpec((1, TA, TB),
+                                  lambda i, ta, tb: (i, 0, 0))] \
+        if want_eps else []
+    eps_out_shape = [jax.ShapeDtypeStruct((n, TA, TB), jnp.float32),
+                     jax.ShapeDtypeStruct((n, TA, TB), jnp.float32)] \
+        if want_eps else []
+    eps_scratch = [pltpu.VMEM((group, 1, TB), jnp.float32),
+                   pltpu.VMEM((group, 1, TB), jnp.float32)] \
+        if want_eps else []
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -651,32 +730,35 @@ def strip_em(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
                 pl.BlockSpec((1, TA, TB), lambda i, ta, tb: (i, 0, 0)),
                 pl.BlockSpec((1, TA, TB), lambda i, ta, tb: (i, 0, 0)),
                 pl.BlockSpec((1, TA, TB), lambda i, ta, tb: (i, 0, 0)),
-            ],
+            ] + eps_out_specs,
             scratch_shapes=[pltpu.VMEM((4, group, 1, TB), jnp.float32),
                             pltpu.VMEM((group, 1, TB), jnp.float32),
-                            pltpu.VMEM((group, 1, TB), jnp.int32)],
+                            pltpu.VMEM((group, 1, TB), jnp.int32)]
+            + eps_scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((n, 4, TA, TB), jnp.float32),
             jax.ShapeDtypeStruct((n, TA, TB), jnp.float32),
             jax.ShapeDtypeStruct((n, TA, TB), jnp.int32),
             jax.ShapeDtypeStruct((n, TA, TB), jnp.int32),
-        ],
+        ] + eps_out_shape,
         interpret=interpret,
     )(ta, tb, ga, gb, ea, eb, mafa, mafb, loa, hia, oka, okb)
-    return f, r2p, nit, nu
+    return out  # (f, r2p, nit, nu[, epsl, epsp])
 
 
 @functools.partial(jax.jit, static_argnames=("n_ind", "iter_cap",
                                              "ignore_miss", "interpret",
                                              "use_i16", "slim_im",
-                                             "group", "unroll"))
+                                             "group", "unroll",
+                                             "first_check"))
 def strip_em_compact(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b,
                      ta, tb, sel, *, n_ind: int,
                      iter_cap: int = ITER_MAX, ignore_miss: bool = False,
                      interpret: bool = False, use_i16: bool = True,
                      slim_im: bool = False,
-                     group: int | None = None, unroll: int = _UNROLL):
+                     group: int | None = None, unroll: int = _UNROLL,
+                     first_check: int | None = None):
     """strip_em + ON-DEVICE row compaction.
 
     `sel` (C,) int32 holds flat indices into the (n_tiles, TA, TB) cell
@@ -701,7 +783,8 @@ def strip_em_compact(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b,
     f, r2p, nit, nu = strip_em(
         ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
         n_ind=n_ind, iter_cap=iter_cap, ignore_miss=ignore_miss,
-        interpret=interpret, group=group, unroll=unroll)
+        interpret=interpret, group=group, unroll=unroll,
+        first_check=first_check)
     n = ta.shape[0]
     ff = f.transpose(0, 2, 3, 1).reshape(n * TA * TB, 4)
     fm = jnp.concatenate([jnp.take(r2p.reshape(-1), sel)[:, None],
@@ -714,3 +797,132 @@ def strip_em_compact(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b,
         im = jnp.stack([jnp.take(nit.reshape(-1), sel).astype(idt),
                         jnp.take(nu.reshape(-1), sel).astype(idt)], axis=1)
     return fm, im
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_ind", "cap1", "surv_cap", "iter_cap", "ignore_miss", "interpret",
+    "use_i16", "slim_im", "group", "unroll", "phase2_tile",
+    "phase2_unroll"))
+def strip_em_twophase(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b,
+                      ta, tb, sel, n_live, *, n_ind: int, cap1: int = 30,
+                      surv_cap: int = 65536, iter_cap: int = ITER_MAX,
+                      ignore_miss: bool = False, interpret: bool = False,
+                      use_i16: bool = True, slim_im: bool = False,
+                      group: int | None = None, unroll: int = _UNROLL,
+                      phase2_tile: int = 256, phase2_unroll: int = 5):
+    """Two-phase strip sweep: rectangle phase A to cap1, survivors finish
+    per-PAIR in the warm-started column kernel.
+
+    The strip kernel's convergence loop is shared by an anchor group's
+    G x TB lanes, so a rectangle runs to its SLOWEST lane: on the bench
+    workload counted/executed is 0.22 at full cap (dev/exp_sched.py from
+    real nIter data) — the hot kernel wastes ~4.6x its useful work on
+    already-converged lanes. Phase A caps that waste at cap1 iterations
+    (covering ~p75-p90 of pairs at rectangle speed); the unconverged
+    tail top_k-compacts ON DEVICE (hardest-first via the eps contraction
+    estimate, exactly pair_em_sorted's predictor), continues in
+    pallas_em._run_kernel seeded with its phase-A frequencies (per-pair
+    freeze granularity), and scatter-merges back. Phase B sources its GL
+    columns from the SAME strip tables (ga rows / gb columns are the
+    per-site records, pad individuals already 1/3-uniform like
+    pallas_em._layout), so no extra device tables are needed.
+
+    The phase boundary is invisible to the EM state (f carries over
+    exactly; nIter = cap1 + phase-B iterations) but phase B reduces over
+    individuals in the column layout, whose sum order differs from the
+    strip kernel's — survivors land within the established cross-kernel
+    contract (f ~3e-5, nIter +/-1 on knife-edges) instead of
+    bit-matching the single-phase strip. Pairs converged in phase A are
+    bit-identical to single-phase (freeze semantics).
+
+    Returns (fm (C, 5) f32, im, n_surv i32). n_surv > surv_cap means the
+    tail overflowed the static budget and the caller must redo the chunk
+    single-phase (the overflow rows' results would be phase-A state).
+    Reference mapping: same hot loop as strip_em
+    (gen_func.cpp:1013-1178, calc_pair_LD ngsLD.cpp:229-306)."""
+    from .pallas_em import _run_kernel
+    assert cap1 % unroll == 0 and cap1 < iter_cap, (cap1, unroll)
+    assert (iter_cap - cap1) % phase2_unroll == 0, (iter_cap, cap1,
+                                                    phase2_unroll)
+    assert surv_cap % phase2_tile == 0, (surv_cap, phase2_tile)
+    f, r2p, nit, nu = strip_em(
+        ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
+        n_ind=n_ind, iter_cap=cap1, ignore_miss=ignore_miss,
+        interpret=interpret, group=group, unroll=unroll)
+    n = ta.shape[0]
+    C = sel.shape[0]
+    ff = f.transpose(0, 2, 3, 1).reshape(n * TA * TB, 4)
+    r2c = jnp.take(r2p.reshape(-1), sel)
+    fc = jnp.take(ff, sel, axis=0)                      # (C, 4)
+    nitc = jnp.take(nit.reshape(-1), sel)               # (C,) i32
+    nuc = jnp.take(nu.reshape(-1), sel)
+
+    live = jnp.arange(C, dtype=jnp.int32) < n_live
+    unconv = jnp.logical_and(nitc == cap1, live)
+    n_surv = jnp.sum(unconv.astype(jnp.int32))
+    # O(C) cumsum compaction in ORIGINAL (s1, s2) order — no sort: a
+    # top_k difficulty ordering costs a full 4M-row TPU sort (~200 ms,
+    # r4 chip sweep), while band neighbors already share difficulty, so
+    # consecutive survivors pack into reasonably homogeneous tiles.
+    # Unused slots (sidx == C) gather FILL problems: uniform GLs + f0 =
+    # 0.25 is an EM fixed point, converging at iteration 0 (the
+    # pallas_em._prep pad contract), so pad tiles exit after one unroll.
+    rank = jnp.cumsum(unconv.astype(jnp.int32)) - 1
+    slot = jnp.where(jnp.logical_and(unconv, rank < surv_cap),
+                     rank, surv_cap)
+    sidx = jnp.full(surv_cap, C, jnp.int32).at[slot].set(
+        jnp.arange(C, dtype=jnp.int32), mode="drop")
+
+    # ---- phase B inputs, gathered from the strip tables ----
+    oob = sidx >= C
+    sidx0 = jnp.where(oob, 0, sidx)
+    selB = jnp.take(sel, sidx0)
+    tile = selB // (TA * TB)
+    a_loc = (selB % (TA * TB)) // TB
+    b_loc = selB % TB
+    Sa, Sb = ga.shape[1], gb.shape[2]
+    s1 = jnp.where(oob, Sa, jnp.take(ta, tile) * TA + a_loc)
+    s2 = jnp.where(oob, Sb, jnp.take(tb, tile) * TB + b_loc)
+    g1 = jnp.take(ga, s1, axis=1, mode="fill",
+                  fill_value=1.0 / 3.0).transpose(0, 2, 1)  # (3, Ip, Pc)
+    g2 = jnp.take(gb, s2, axis=2, mode="fill", fill_value=1.0 / 3.0)
+    Ip = ga.shape[2]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (Ip, surv_cap), 0)
+    inc = iota < n_ind
+    if ignore_miss:
+        m1 = (jnp.abs(g1[0] - g1[1]) < EPSILON) \
+            & (jnp.abs(g1[1] - g1[2]) < EPSILON)
+        m2 = (jnp.abs(g2[0] - g2[1]) < EPSILON) \
+            & (jnp.abs(g2[1] - g2[2]) < EPSILON)
+        inc = jnp.logical_and(inc, jnp.logical_not(jnp.logical_or(m1,
+                                                                  m2)))
+        # fill problems are all-"missing" (uniform): give them one live
+        # lane so they converge at iteration 0 instead of NaN-spinning
+        inc = jnp.logical_or(inc, jnp.logical_and(oob[None, :],
+                                                  iota == 0))
+    incf = inc.astype(jnp.float32)
+    # x == 0 (all-missing under ignore_miss) -> inf -> NaN freqs frozen
+    # at entry, the reference's behavior (pallas_em._prep contract)
+    invx = jnp.where(oob, 1.0,
+                     1.0 / jnp.take(nuc, sidx0).astype(jnp.float32)
+                     )[None, :]
+    f0 = jnp.where(oob[None, :], 0.25,
+                   jnp.take(fc, sidx0, axis=0).T.astype(jnp.float32))
+    fB, itB, _, _ = _run_kernel(g1, g2, f0, incf, invx,
+                                pair_tile=phase2_tile,
+                                iter_cap=iter_cap - cap1,
+                                interpret=interpret,
+                                unroll=phase2_unroll)
+
+    # ---- scatter-merge (fill slots carry sidx == C and drop) ----
+    fc = fc.at[sidx].set(fB.T[:surv_cap], mode="drop")
+    nitc = nitc.at[sidx].set(cap1 + itB[0, :surv_cap], mode="drop")
+
+    fm = jnp.concatenate([r2c[:, None], fc], axis=1)
+    if slim_im:
+        assert not ignore_miss, "slim_im requires the constant-n_used mode"
+        im = nitc.astype(jnp.int8)[:, None]
+    else:
+        idt = jnp.int16 if use_i16 else jnp.int32
+        im = jnp.stack([nitc.astype(idt), nuc.astype(idt)], axis=1)
+    return fm, im, n_surv

@@ -1000,7 +1000,14 @@ static int64_t tier_scan_impl(int64_t n, const TF* f, int64_t stride,
     if (f32_prec && (std::fabs(den_dp) < 1e-3 ||
                      std::fabs(den_r2) < 1e-6 || std::fabs(D) < 2e-6))
       t = 2;
-    if (std::fabs(den_dp) < 1e-7 || std::fabs(den_r2) < 1e-13 || nonfin)
+    // hap-MAF within f32-EM wobble of a simplex boundary: the factor's
+    // sign (hence NaN-vs-finite of Dp/r2) is stop-point-dependent ->
+    // exact-zero class (mirrors refine.degenerate_tiers)
+    const double mn =
+        std::min(std::min(std::fabs(m0), std::fabs(m1)),
+                 std::min(std::fabs(1.0 - m0), std::fabs(1.0 - m1)));
+    if (std::fabs(den_dp) < 1e-7 || std::fabs(den_r2) < 1e-13 ||
+        mn < 1e-4 || nonfin)
       t = 1;
     tier[j] = t;
     count += (t != 0);

@@ -239,9 +239,17 @@ def degenerate_tiers(f: np.ndarray, prec: str,
         # exact-zero class, BOTH precisions: strict's value is inf/nan or
         # branch-dependent — only the bit-exact recompute matches it.
         # D == 0 with a healthy denominator is a STABLE 0.000000
-        # everywhere and stays fast.
+        # everywhere and stays fast. A hap-MAF factor within f32-EM
+        # wobble (~1e-4, test_tier2_band_bounds_measured_f32_em_wobble)
+        # of a simplex BOUNDARY is also exact-zero class: the factor's
+        # SIGN is stop-point-dependent, so den_r2 can land negative here
+        # and positive in strict (or vice versa) — sqrt flips between
+        # NaN and finite, which no value repair can reproduce (r4 fuzz
+        # seed 103: m1 = -1.2e-7 -> -nan r2 vs strict's 0.000000).
+        mn = np.minimum(np.minimum(np.abs(maf0), np.abs(maf1)),
+                        np.minimum(np.abs(1 - maf0), np.abs(1 - maf1)))
         tier[(np.abs(den_dp) < 1e-7) | (np.abs(den_r2) < 1e-13)
-             | nonfin] = 1
+             | (mn < 1e-4) | nonfin] = 1
     return tier
 
 
