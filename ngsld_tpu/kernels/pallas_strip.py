@@ -561,11 +561,16 @@ def _default_group(Ip: int) -> int:
     return g
 
 
-IC_STREAM = 256    # I-chunk for the streamed kernel (lane-width multiple)
-_GA_SUB = 4        # anchors per streamed-EM subgroup: (GA, IC, TB) f32
-                   # temporaries (~6 MB at 4x256x128) must fit scoped
-                   # VMEM alongside the double buffers; the subgroup
-                   # fori_loop bounds them structurally
+IC_STREAM = 128    # I-chunk for the streamed kernel (lane-width multiple)
+_GA_SUB = 8        # anchors per streamed-EM subgroup: the fori_loop's
+                   # anchor-axis slices (gbufa dim 2 = sublanes) must be
+                   # STATICALLY 8-aligned — the r4 Mosaic toolchain
+                   # rejects j*4 offsets ("cannot statically prove that
+                   # index in dimension 2 is a multiple of 8"); 8x128
+                   # keeps the (GA, IC, TB) f32 em-step temporaries at
+                   # the same bytes as the old 4x256 while proving
+                   # alignment, and the fori_loop bounds them
+                   # structurally alongside the (now halved) buffers
 
 
 def _ic_stream() -> int:

@@ -794,3 +794,49 @@ def test_strip_twophase_overflow_detected():
         ta, tb, jnp.asarray(sel), jnp.int32(P), n_ind=I, interpret=True,
         cap1=10, surv_cap=256, phase2_tile=256, phase2_unroll=5)
     assert int(n_surv) > 256
+
+
+def test_strip_eps_export_semantics():
+    """want_eps=True: epsl/epsp carry the last two update magnitudes
+    under freeze semantics — converged lanes stop below EPSILON, capped
+    lanes stop at or above it (the two-phase difficulty predictor's
+    input contract, mirroring pallas_em._em_kernel's epsl/epsp)."""
+    from ngsld_tpu.constants import EPSILON
+    from ngsld_tpu.kernels.pallas_strip import strip_em
+
+    S, I, W = 256, 6, 80
+    glp, maf, lo, hi, ok, tiles, tabs = _tables(S, I, seed=21, W=W)
+    Sp = len(lo)
+    mafp = np.pad(maf, (0, Sp - S), constant_values=0.5)
+    ta = jnp.asarray([t[0] for t in tiles], jnp.int32)
+    tb = jnp.asarray([t[1] for t in tiles], jnp.int32)
+    m = jnp.asarray(mafp)
+    okj = jnp.asarray(ok)
+    cap = 20
+    f, r2p, nit, nu, epsl, epsp = strip_em(
+        *tabs, m, m, jnp.asarray(lo), jnp.asarray(hi), okj, okj, ta, tb,
+        n_ind=I, iter_cap=cap, interpret=True, want_eps=True)
+    f4, r4, n4, u4 = strip_em(
+        *tabs, m, m, jnp.asarray(lo), jnp.asarray(hi), okj, okj, ta, tb,
+        n_ind=I, iter_cap=cap, interpret=True)
+    # the eps export must not perturb the EM outputs
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(f4))
+    np.testing.assert_array_equal(np.asarray(nit), np.asarray(n4))
+    nit, epsl, epsp = (np.asarray(nit), np.asarray(epsl),
+                       np.asarray(epsp))
+    # live cells only (dead cells keep the init ones)
+    lo_n, hi_n = np.asarray(lo), np.asarray(hi)
+    for t, (k, j) in enumerate(tiles[:8]):
+        A = (k * 128 + np.arange(128))[:, None]
+        PJ = (j * 128 + np.arange(128))[None, :]
+        live = (PJ >= lo_n[np.minimum(A, Sp - 1)]) \
+            & (PJ < hi_n[np.minimum(A, Sp - 1)]) & (A < S) & (PJ < S)
+        el, nt = epsl[t][live], nit[t][live]
+        conv = nt < cap
+        # converged at iteration >= 1: final update magnitude < EPSILON
+        # (iteration-0 converged lanes keep the init value 1.0)
+        which = conv & (nt >= 1) & (el != 1.0)
+        assert (el[which] < EPSILON).all()
+        if (~conv).any():
+            un = epsl[t][live][~conv]
+            assert (un[np.isfinite(un)] >= EPSILON).all()
