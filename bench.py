@@ -10,23 +10,27 @@ the engine's default dense sweep since round 3: contiguous-slice inputs,
 no gathers/transposes, in-kernel band bounds, on-device row compaction.
 Counted evals are LIVE pairs only ((nIter+1) x n_ind over in-band cells).
 
-`detail` additionally carries:
-  * gather_kernel — the round-1/2 gathered-pair kernel (pair_em_sorted)
-    on the same workload shape, for cross-round comparability
-  * large_cohort_kernel — the streamed I-chunked kernel at n_ind=20,000
-    (the unbounded-cohort path; budget-gated like the e2e configs)
-  * roofline accounting (achieved FLOP/s vs the measured fixed-iteration
-    structural ceiling; PERF.md measurement series)
-  * e2e — END-TO-END CLI runs (subprocess, as a user would run them):
-      - config #3 (100k x 100, banded kb100, --extend_out), best-of-2,
-        vs the reference's measured 870 s (10 threads)
-      - config #4 slice (1M sites, --rnd_sample 0.05 --max_snp_dist 64)
-        — the sparse-plan path (gather engine)
-      - config #5 slice (4k sites, --max_kb_dist 0 all-pairs, one chip)
-      - ring mode (config #3 with --ring) — the site-sharded engine
-Prints ONE JSON line.
+OUTPUT CONTRACT (VERDICT r4 item 1): the final stdout line is a COMPACT
+JSON object (< ~1.5 KB, headline fields first, floats at 4 significant
+digits) so the driver's tail window cannot clip the headline. The FULL
+per-leg detail (exact floats, configs, stage splits) is written to
+BENCH_DETAIL.json next to this file.
+
+Legs:
+  * link_canary — ~16 MB push + pull timed (tunnel weather, VERDICT item 5)
+  * strip_kernel (headline), gather_kernel, large_cohort_kernel,
+    streamed_strip_kernel — device kernel legs
+  * e2e — 100k x 100 kb100 --extend_out through the CLI (subprocess)
+  * e2e_small — 25k-site version of the same config, NGSLD_BENCH_REPS
+    reps (default 3) with min/median (variance bars, VERDICT item 8)
+  * e2e_sampled / e2e_allpairs / e2e_ring — secondary engine configs
+  * reference baselines — the SAME fixtures through a freshly compiled
+    reference binary (tests/refshim), measured IN-SESSION with a hard
+    timeout and a per-config /tmp cache (VERDICT item 4). Every
+    speedup_vs_reference records where its denominator came from.
 """
 
+import hashlib
 import json
 import os
 import signal
@@ -36,13 +40,16 @@ import time
 
 import numpy as np
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+DETAIL_PATH = os.path.join(HERE, "BENCH_DETAIL.json")
+REF_CACHE = "/tmp/ngsld_ref_times.json"
+
 # ---- kill-proof result emission -------------------------------------
-# The driver runs bench.py under a wall-clock `timeout`; round 3 lost its
-# entire BENCH artifact because the single JSON line printed only at the
-# very end (VERDICT r3 item 1). The result object now updates after every
-# leg and SIGTERM/SIGALRM/SIGINT print the partial JSON before dying, so
-# killing the bench at ANY point after the first leg still yields a
-# parseable line with whatever landed.
+# The driver runs bench.py under a wall-clock `timeout` and records only a
+# TAIL window of stdout. Round 3 lost its artifact to the timeout; round 4
+# printed one ~2.6 KB line whose HEAD (the headline fields) the tail window
+# clipped. The final line is now compact; RESULT updates after every leg and
+# SIGTERM/SIGALRM/SIGINT print the partial compact JSON before dying.
 RESULT = {
     "metric": "pair_em_evals_per_sec", "value": 0.0,
     "unit": "pair*ind*iter/s", "vs_baseline": 0.0,
@@ -52,12 +59,92 @@ _EMITTED = False
 _CHILD = [None]   # live e2e subprocess (killed by the signal handler)
 
 
+def _r4(x):
+    """4 significant digits — keeps the compact line small and stable."""
+    if isinstance(x, float):
+        return float(f"{x:.4g}")
+    return x
+
+
+def _leg_num(d, key, *fields):
+    v = d.get(key)
+    if not isinstance(v, dict):
+        return None
+    for f in fields:
+        if f in v:
+            return _r4(v[f])
+    if "error" in v:
+        return "err"
+    if "skipped" in v:
+        return "skip"
+    return None
+
+
+def _compact_detail(d):
+    """Shrink the full detail dict to headline numbers (< ~1.5 KB total)."""
+    c = {}
+    if "headline_from" in d:
+        c["from"] = d["headline_from"]
+    for leg, short in (("strip_kernel", "strip"),
+                       ("gather_kernel", "gather"),
+                       ("large_cohort_kernel", "ichunk20k"),
+                       ("streamed_strip_kernel", "sstrip20k")):
+        v = _leg_num(d, leg, "evals_per_sec")
+        if v is not None:
+            c[short] = v
+    link = d.get("link_canary")
+    if isinstance(link, dict) and "pull_mb_s" in link:
+        c["link_mb_s"] = {"push": _r4(link.get("push_mb_s")),
+                          "pull": _r4(link.get("pull_mb_s"))}
+    for leg, short in (("e2e", "e2e"), ("e2e_small", "e2e25k"),
+                       ("e2e_sampled", "samp"), ("e2e_allpairs", "ap"),
+                       ("e2e_ring", "ring")):
+        v = d.get(leg)
+        if not isinstance(v, dict):
+            continue
+        e = {}
+        if "wall_s" in v:
+            e["s"] = _r4(v["wall_s"])
+        if "median_s" in v:
+            e["med"] = _r4(v["median_s"])
+            e["n"] = v.get("n_reps")
+        if "speedup_vs_reference" in v:
+            e["x"] = _r4(v["speedup_vs_reference"])
+            e["rm"] = {"session": "sess", "cached-this-box": "cache",
+                       "session-timeout": "lb",
+                       "prior-session-constant": "prior"}.get(
+                           v.get("ref_measured"), v.get("ref_measured"))
+        if "error" in v:
+            e["err"] = 1
+        if "skipped" in v:
+            e["skip"] = 1
+        if e:
+            c[short] = e
+    if "error" in d:
+        c["error"] = str(d["error"])[:200]
+    if "partial" in d:
+        c["partial"] = d["partial"]
+    c["full"] = "BENCH_DETAIL.json"
+    return c
+
+
 def _emit():
     global _EMITTED
     if _EMITTED:
         return
     _EMITTED = True
-    print(json.dumps(RESULT), flush=True)
+    try:
+        with open(DETAIL_PATH, "w") as fh:
+            json.dump(RESULT, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    compact = {
+        "metric": RESULT["metric"], "value": _r4(RESULT["value"]),
+        "unit": RESULT["unit"], "vs_baseline": _r4(RESULT["vs_baseline"]),
+        "detail": _compact_detail(RESULT.get("detail", {})),
+    }
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 def _on_signal(signum, frame):
@@ -86,8 +173,8 @@ FLOPS_PER_EVAL = 44
 # 2.5e10 evals/s on this v5e (PERF.md, round 2). The r4 gap
 # decomposition (PERF.md) shows the bookkept kernel's per-lane-iter rate
 # is AT the VPU roofline; the distance to this number is counted-vs-
-# executed granularity (a row runs to its slowest lane) plus the XLA
-# sel-compaction gathers — not kernel inefficiency.
+# executed granularity (a row runs to its slowest lane) plus compaction
+# overheads — not kernel inefficiency.
 EXEC_CEILING = 2.5e10
 
 
@@ -98,6 +185,33 @@ def _sim_tables(S, I, seed=0):
     eg = gl[..., 1] + 2 * gl[..., 2]
     maf = (eg.mean(axis=1) / 2).astype(np.float32)
     return gl, eg.astype(np.float32), maf
+
+
+def link_canary():
+    """One ~16 MB push + pull, timed: records the tunnel's bandwidth at
+    bench time so e2e wall-clock variance across rounds is attributable
+    to link weather vs engine changes (VERDICT r4 item 5)."""
+    import jax
+    import jax.numpy as jnp
+    if jax.default_backend() != "tpu":
+        return {"skipped": "no TPU"}
+    nbytes = 16 << 20
+    host = np.random.default_rng(0).random(nbytes // 4, np.float32)
+    # tiny round-trip first: dispatch latency
+    t0 = time.perf_counter()
+    _ = np.asarray(jnp.zeros(8) + 1.0)
+    lat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dev = jax.device_put(host)
+    dev.block_until_ready()
+    push = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = np.asarray(dev)
+    pull = time.perf_counter() - t0
+    return {"bytes": nbytes,
+            "push_mb_s": nbytes / push / 1e6,
+            "pull_mb_s": nbytes / pull / 1e6,
+            "roundtrip_latency_s": lat}
 
 
 def strip_kernel_bench():
@@ -239,6 +353,13 @@ def large_cohort_kernel_bench():
         "evals_per_sec": evals_per_sec,
         "n_pairs": P, "n_ind": I,
         "mean_iters": float(iters.mean()),
+        # counted-evals rates are NOT comparable across workloads with
+        # different mean_iters: easy mixes (low nIter) pay the fixed
+        # per-dispatch cost over fewer counted evals. PERF.md r3's 2.04e10
+        # for this kernel was at mean_iters 88.6 (hard random pairs);
+        # this leg's panel converges in ~16 (VERDICT r4 weak item 6).
+        "workload": "tiled easy panel; rate not comparable across "
+                    "mean_iters (r3 note was mean_iters 88.6)",
         "kernel": "pallas-ichunk-streamed",
         "ms_per_batch": dt * 1e3,
         "achieved_tflops": evals_per_sec * FLOPS_PER_EVAL / 1e12,
@@ -368,28 +489,154 @@ def gather_kernel_bench():
     }
 
 
-def _fixture_100k():
-    fixdir = "/tmp/ngsld_bench_fix_100k"
+# ---- fixtures ---------------------------------------------------------
+
+def _fixture(n_sites, tag, contig_kb=None):
+    fixdir = f"/tmp/ngsld_bench_fix_{tag}"
     glf = os.path.join(fixdir, "sim.glf")
     pos = os.path.join(fixdir, "sim.pos")
     if not (os.path.exists(glf) and os.path.exists(pos)):
         from ngsld_tpu.utils.simulate import simulate, write_glf_bin, \
             write_pos
         os.makedirs(fixdir, exist_ok=True)
-        sim = simulate(n_ind=100, n_sites=100_000, seed=17, contig_kb=500.0)
+        kw = {"contig_kb": contig_kb} if contig_kb else {}
+        sim = simulate(n_ind=100, n_sites=n_sites, seed=17, **kw)
         write_glf_bin(sim, glf)
         write_pos(sim, pos)
     return glf, pos
 
 
+def _fixture_100k():
+    return _fixture(100_000, "100k", contig_kb=500.0)
+
+
+def _fixture_25k():
+    return _fixture(25_000, "25k", contig_kb=500.0)
+
+
+def _fixture_1m():
+    return _fixture(1_000_000, "1m")
+
+
+# ---- reference oracle (in-session baseline, VERDICT r4 item 4) --------
+
+def _ref_binary():
+    """Compile the reference from /root/reference via the test oracle's
+    build script (tests/refshim/build_reference.sh — seconds, cached in
+    tests/.build). Returns the binary path or None."""
+    script = os.path.join(HERE, "tests", "refshim", "build_reference.sh")
+    try:
+        p = subprocess.run(["bash", script], capture_output=True,
+                           text=True, timeout=300)
+        path = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
+        if p.returncode == 0 and os.path.isfile(path):
+            return path
+    except Exception:
+        pass
+    return None
+
+
+def _file_sig(path):
+    st = os.stat(path)
+    return f"{st.st_size}:{int(st.st_mtime)}"
+
+
+def ref_measure(key, ref_args, fixture_files, timeout):
+    """Time the reference binary on the SAME fixture an e2e leg used.
+    Results cache per (config key + fixture signature) in /tmp so reruns
+    on this box skip the (minutes-long, 1-CPU) reference run; the artifact
+    records whether the number came from this session or the cache."""
+    sig = hashlib.sha1(
+        (key + "|" + "|".join(_file_sig(f) for f in fixture_files)
+         ).encode()).hexdigest()[:16]
+    cache = {}
+    try:
+        with open(REF_CACHE) as fh:
+            cache = json.load(fh)
+    except Exception:
+        pass
+    if sig in cache:
+        e = dict(cache[sig])
+        e["measured"] = "cached-this-box"
+        return e
+    binp = _ref_binary()
+    if binp is None:
+        return {"error": "reference oracle build failed"}
+    out = f"/tmp/ngsld_ref_{key}.ld"
+    cmd = [binp] + ref_args + ["--out", out, "--n_threads", "10"]
+    t0 = time.perf_counter()
+    p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL, start_new_session=True)
+    _CHILD[0] = p
+    try:
+        p.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(p.pid, signal.SIGKILL)
+        except OSError:
+            pass
+        p.wait()
+        return {"lb_s": timeout, "measured": "session-timeout"}
+    finally:
+        _CHILD[0] = None
+    dt = time.perf_counter() - t0
+    if p.returncode != 0:
+        return {"error": f"reference exited {p.returncode}"}
+    entry = {"s": dt, "nproc": os.cpu_count(), "n_threads": 10,
+             "key": key,
+             "when": time.strftime("%Y-%m-%dT%H:%M:%S")}
+    cache[sig] = entry
+    try:
+        with open(REF_CACHE, "w") as fh:
+            json.dump(cache, fh)
+    except OSError:
+        pass
+    e = dict(entry)
+    e["measured"] = "session"
+    return e
+
+
+def _attach_ref(leg, ref, ours_key="wall_s", prior=None):
+    """Fold a ref_measure() result into an e2e leg dict: speedup either
+    from the in-session/cached measurement, a lower bound (ref timed out),
+    or — last resort — the prior-session constant, labeled as such."""
+    if not isinstance(leg, dict) or ours_key not in leg:
+        return
+    ours = leg[ours_key]
+    if isinstance(ref, dict) and "s" in ref:
+        leg["ref_seconds"] = ref["s"]
+        leg["ref_measured"] = ref["measured"]
+        leg["ref_nproc"] = ref.get("nproc")
+        leg["speedup_vs_reference"] = ref["s"] / ours
+    elif isinstance(ref, dict) and "lb_s" in ref:
+        leg["ref_seconds_lower_bound"] = ref["lb_s"]
+        leg["ref_measured"] = "session-timeout"
+        leg["speedup_vs_reference"] = ref["lb_s"] / ours
+        leg["speedup_is_lower_bound"] = True
+    elif prior is not None:
+        leg["ref_seconds"] = prior
+        leg["ref_measured"] = "prior-session-constant"
+        leg["speedup_vs_reference"] = prior / ours
+        if isinstance(ref, dict) and "error" in ref:
+            leg["ref_error"] = ref["error"]
+
+
+# ---- e2e CLI legs -----------------------------------------------------
+
 def _run_cli(cmd, out, reps=1, timeout=900.0):
     """Run an e2e CLI leg with a HARD per-attempt timeout: one tunnel
-    stall must cost one leg, never the whole bench (VERDICT r3)."""
-    best = float("inf")
+    stall must cost one leg, never the whole bench (VERDICT r3). Collects
+    ALL successful rep times plus the engine's stage split (pull/dispatch/
+    format, via NGSLD_TIMINGS_JSON) for the fastest rep."""
+    times, stages = [], None
+    tj = out + ".timings.json"
+    env = dict(os.environ, NGSLD_TIMINGS_JSON=tj)
     for _ in range(reps):
+        if os.path.exists(tj):
+            os.unlink(tj)
         t0 = time.perf_counter()
         p = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                             stderr=subprocess.PIPE,
+                             stderr=subprocess.PIPE, env=env,
                              start_new_session=True)
         _CHILD[0] = p
         try:
@@ -401,19 +648,42 @@ def _run_cli(cmd, out, reps=1, timeout=900.0):
                 pass
             p.wait()
             _CHILD[0] = None
-            if best == float("inf"):
+            if not times:
                 return None, {"error": f"timeout after {timeout:.0f}s"}
-            continue   # keep the faster completed rep
+            continue   # keep the completed reps
         finally:
             _CHILD[0] = None
         dt = time.perf_counter() - t0
         if p.returncode != 0:
             return None, {"error": errb.decode()[-300:]}
-        best = min(best, dt)
+        if not times or dt < min(times):
+            try:
+                with open(tj) as fh:
+                    stages = json.load(fh)
+            except Exception:
+                stages = None
+        times.append(dt)
+    best = min(times)
     with open(out, "rb") as fh:
         rows = sum(chunk.count(b"\n")
                    for chunk in iter(lambda: fh.read(1 << 20), b"")) - 1
-    return best, {"wall_s": best, "rows": rows, "rows_per_sec": rows / best}
+    res = {"wall_s": best, "rows": rows, "rows_per_sec": rows / best}
+    if len(times) > 1:
+        res["median_s"] = float(np.median(times))
+        res["rep_times_s"] = [round(t, 2) for t in times]
+        res["n_reps"] = len(times)
+    if stages:
+        res["stages"] = stages.get("stages", {})
+        res["phases"] = stages.get("phases", {})
+    return best, res
+
+
+def _cli_cmd(glf, pos, n_sites, extra):
+    cmd = [sys.executable, "-m", "ngsld_tpu.cli", "--geno", glf,
+           "--log_scale", "--n_ind", "100", "--n_sites", str(n_sites)]
+    if pos is not None:
+        cmd += ["--pos", pos]
+    return cmd + extra
 
 
 def e2e_bench():
@@ -425,10 +695,9 @@ def e2e_bench():
         return {"skipped": "no TPU"}
     glf, pos = _fixture_100k()
     out = "/tmp/ngsld_bench_e2e.ld"
-    cmd = [sys.executable, "-m", "ngsld_tpu.cli", "--geno", glf,
-           "--log_scale", "--n_ind", "100", "--n_sites", "100000",
-           "--pos", pos, "--max_kb_dist", "100", "--extend_out",
-           "--engine", "jax", "--out", out, "--verbose", "0"]
+    cmd = _cli_cmd(glf, pos, 100_000,
+                   ["--max_kb_dist", "100", "--extend_out",
+                    "--engine", "jax", "--out", out, "--verbose", "0"])
     best, res = _run_cli(cmd, out, reps=2, timeout=700.0)
     if best is None:
         return res
@@ -436,9 +705,28 @@ def e2e_bench():
         "config": "100k x 100, --max_kb_dist 100 --extend_out (binary GL)",
         "engine": "block (strip sweep auto-selected)",
         "pairs_per_sec": res["rows_per_sec"],
-        "ref_seconds_10threads": 870.0,
-        "speedup_vs_reference": 870.0 / best,
     })
+    return res
+
+
+def e2e_small_bench():
+    """Variance anchor (VERDICT r4 item 8): the e2e config at 25k sites,
+    NGSLD_BENCH_REPS reps (default 3), min AND median recorded. Cheap
+    enough to rep under the stall lottery."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return {"skipped": "no TPU"}
+    glf, pos = _fixture_25k()
+    out = "/tmp/ngsld_bench_25k.ld"
+    reps = int(os.environ.get("NGSLD_BENCH_REPS", "3"))
+    cmd = _cli_cmd(glf, pos, 25_000,
+                   ["--max_kb_dist", "100", "--extend_out",
+                    "--engine", "jax", "--out", out, "--verbose", "0"])
+    best, res = _run_cli(cmd, out, reps=reps, timeout=400.0)
+    if best is None:
+        return res
+    res["config"] = "25k x 100, --max_kb_dist 100 --extend_out (binary GL)"
+    res["engine"] = "block (strip sweep auto-selected)"
     return res
 
 
@@ -451,10 +739,9 @@ def e2e_ring_bench():
         return {"skipped": "no TPU"}
     glf, pos = _fixture_100k()
     out = "/tmp/ngsld_bench_ring.ld"
-    cmd = [sys.executable, "-m", "ngsld_tpu.cli", "--geno", glf,
-           "--log_scale", "--n_ind", "100", "--n_sites", "100000",
-           "--pos", pos, "--max_kb_dist", "100", "--extend_out",
-           "--engine", "jax", "--ring", "--out", out, "--verbose", "0"]
+    cmd = _cli_cmd(glf, pos, 100_000,
+                   ["--max_kb_dist", "100", "--extend_out", "--engine",
+                    "jax", "--ring", "--out", out, "--verbose", "0"])
     best, res = _run_cli(cmd, out, timeout=900.0)
     if best is None:
         return res
@@ -468,30 +755,19 @@ def e2e_sampled_bench():
     import jax
     if jax.default_backend() != "tpu":
         return {"skipped": "no TPU"}
-    fixdir = "/tmp/ngsld_bench_fix_1m"
-    glf = os.path.join(fixdir, "sim.glf")
-    pos = os.path.join(fixdir, "sim.pos")
-    if not (os.path.exists(glf) and os.path.exists(pos)):
-        from ngsld_tpu.utils.simulate import simulate, write_glf_bin, \
-            write_pos
-        os.makedirs(fixdir, exist_ok=True)
-        sim = simulate(n_ind=100, n_sites=1_000_000, seed=17)
-        write_glf_bin(sim, glf)
-        write_pos(sim, pos)
+    glf, pos = _fixture_1m()
     out = "/tmp/ngsld_bench_1m.ld"
-    cmd = [sys.executable, "-m", "ngsld_tpu.cli", "--geno", glf,
-           "--log_scale", "--n_ind", "100", "--n_sites", "1000000",
-           "--pos", pos, "--max_kb_dist", "0", "--max_snp_dist", "64",
-           "--rnd_sample", "0.05", "--seed", "12345", "--extend_out",
-           "--engine", "jax", "--out", out, "--verbose", "0"]
+    cmd = _cli_cmd(glf, pos, 1_000_000,
+                   ["--max_kb_dist", "0", "--max_snp_dist", "64",
+                    "--rnd_sample", "0.05", "--seed", "12345",
+                    "--extend_out", "--engine", "jax", "--out", out,
+                    "--verbose", "0"])
     best, res = _run_cli(cmd, out, timeout=700.0)
     if best is None:
         return res
     res.update({
         "config": "1M sites, --max_snp_dist 64 --rnd_sample 0.05",
-        "engine": "block (gather path — sparse plan)",
-        "ref_seconds_10threads": 236.5,
-        "speedup_vs_reference": 236.5 / best,
+        "engine": "block (sparse plan)",
     })
     return res
 
@@ -510,10 +786,9 @@ def e2e_allpairs_bench():
         sim = simulate(n_ind=100, n_sites=4096, seed=17)
         write_glf_bin(sim, glf)
     out = "/tmp/ngsld_bench_4k.ld"
-    cmd = [sys.executable, "-m", "ngsld_tpu.cli", "--geno", glf,
-           "--log_scale", "--n_ind", "100", "--n_sites", "4096",
-           "--max_kb_dist", "0", "--extend_out",
-           "--engine", "jax", "--out", out, "--verbose", "0"]
+    cmd = _cli_cmd(glf, None, 4096,
+                   ["--max_kb_dist", "0", "--extend_out",
+                    "--engine", "jax", "--out", out, "--verbose", "0"])
     best, res = _run_cli(cmd, out, timeout=700.0)
     if best is None:
         return res
@@ -551,7 +826,9 @@ def main():
     budget = float(os.environ.get("NGSLD_BENCH_BUDGET", "1500"))
     # self-watchdog: print whatever landed BEFORE any external timeout
     # (the driver's exact wall is unknown; r03's bench died silently)
-    signal.alarm(int(os.environ.get("NGSLD_BENCH_HARD_WALL", "2700")))
+    hard_wall = int(os.environ.get("NGSLD_BENCH_HARD_WALL", "2700"))
+    signal.alarm(hard_wall)
+    t_alarm = time.perf_counter() + hard_wall
     # persistent compile cache: the strip kernels cost 40-260 s of Mosaic
     # compile each through the tunnel; reruns on this box must not repay it
     import jax
@@ -591,6 +868,8 @@ def main():
         detail[key] = res
         return res
 
+    # 0) link weather (VERDICT item 5; seconds)
+    leg("link_canary", link_canary, always=True)
     # 1) kernel legs (minutes of evidence, cheapest first)
     strip = leg("strip_kernel", strip_kernel_bench, always=True)
     if strip is not None and "evals_per_sec" in strip:
@@ -606,9 +885,53 @@ def main():
     leg("streamed_strip_kernel", streamed_strip_kernel_bench)
     # 2) e2e legs (subprocesses with hard per-attempt timeouts)
     leg("e2e", e2e_bench, always=True)
+    leg("e2e_small", e2e_small_bench, always=True)
     leg("e2e_sampled", e2e_sampled_bench)
     leg("e2e_allpairs", e2e_allpairs_bench)
     leg("e2e_ring", e2e_ring_bench)
+
+    # 3) reference baselines on the SAME fixtures (VERDICT r4 item 4).
+    #    Pure CPU (no device) — runs last, gated on the time left before
+    #    the self-watchdog, longest-value-first: the 25k leg anchors a
+    #    guaranteed same-session speedup; the 100k/1M runs land when the
+    #    wall allows (or on a later rerun via the /tmp cache).
+    def remaining():
+        return t_alarm - time.perf_counter() - 90.0   # emission margin
+
+    def ref_leg(leg_key, ref_key, ref_args, fixtures, prior, min_s):
+        target = detail.get(leg_key)
+        if not isinstance(target, dict) or "wall_s" not in target:
+            return
+        t0 = time.perf_counter()
+        if remaining() < min_s:
+            ref = {"error": f"skipped: {remaining():.0f}s wall left"}
+        else:
+            ref = ref_measure(ref_key, ref_args, fixtures,
+                              timeout=remaining())
+        ref.setdefault("leg_wall_s", round(time.perf_counter() - t0, 2))
+        detail[f"ref_{ref_key}"] = ref
+        _attach_ref(target, ref, prior=prior)
+
+    glf25, pos25 = _fixture_25k()
+    ref_leg("e2e_small", "25k_kb100",
+            ["--geno", glf25, "--log_scale", "--n_ind", "100",
+             "--n_sites", "25000", "--pos", pos25, "--max_kb_dist", "100",
+             "--extend_out"], [glf25, pos25], prior=None, min_s=60)
+    if isinstance(detail.get("e2e_sampled"), dict) \
+            and "wall_s" in detail["e2e_sampled"]:
+        glf1m, pos1m = _fixture_1m()
+        ref_leg("e2e_sampled", "1m_snp64_s05",
+                ["--geno", glf1m, "--log_scale", "--n_ind", "100",
+                 "--n_sites", "1000000", "--pos", pos1m,
+                 "--max_kb_dist", "0", "--max_snp_dist", "64",
+                 "--rnd_sample", "0.05", "--seed", "12345",
+                 "--extend_out"], [glf1m, pos1m], prior=236.5, min_s=120)
+    glf100, pos100 = _fixture_100k()
+    ref_leg("e2e", "100k_kb100",
+            ["--geno", glf100, "--log_scale", "--n_ind", "100",
+             "--n_sites", "100000", "--pos", pos100,
+             "--max_kb_dist", "100", "--extend_out"],
+            [glf100, pos100], prior=870.0, min_s=120)
     _emit()
     return 0 if RESULT["value"] > 0 else 1
 

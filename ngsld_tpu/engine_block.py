@@ -274,8 +274,8 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
         strip_env = os.environ.get("NGSLD_BLOCK_STRIP")
         if os.environ.get("NGSLD_NO_STRIP") == "1":   # run_jax retry
             strip_env = "0"
-        if (strip_env != "0" and prec == "f32"
-                and getattr(pars, "shard_ind", 1) == 1):
+        shard_ind = getattr(pars, "shard_ind", 1)
+        if strip_env != "0" and prec == "f32":
             from .kernels.pallas_strip import TA as _TA
             from .kernels.pallas_strip import TB as _TB
             from .kernels.pallas_strip import strip_i_align, strip_tables
@@ -307,6 +307,10 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                 log.log(2, f"==> strip sweep skipped: eff util "
                            f"{u_eff:.3f} < {min_util} (gather path)")
         if strip_mode:
+            # 'ind'-sharded path: the Ip axis must split evenly across the
+            # mesh with 8-aligned local slices (parallel.strip_ind)
+            s_ialign = (8 * shard_ind if shard_ind > 1
+                        else strip_i_align(pars.n_ind))
             with log.phase("strip tables (device)"), hold():
                 padfn = jax.jit(lambda g, e: strip_tables(
                     jnp.pad(g, ((0, Sp_b - pars.n_sites), (0, 0),
@@ -314,8 +318,22 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                             constant_values=1.0 / 3.0),
                     jnp.pad(e, ((0, Sp_b - pars.n_sites),
                                 (0, 0))), pars.n_ind,
-                    i_align=strip_i_align(pars.n_ind)))
+                    i_align=s_ialign))
                 s_ga, s_gb, s_ea, s_eb = padfn(gn_d, eg_d)
+                if shard_ind > 1:
+                    # pin the tables' Ip axis to the 'ind' mesh axis (the
+                    # gn/eg inputs were 'ind'-sharded, but GSPMD may have
+                    # replicated the transposed outputs)
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as PS
+                    s_ga = jax.device_put(
+                        s_ga, NamedSharding(mesh2, PS(None, None, "ind")))
+                    s_gb = jax.device_put(
+                        s_gb, NamedSharding(mesh2, PS(None, "ind", None)))
+                    s_ea = jax.device_put(
+                        s_ea, NamedSharding(mesh2, PS(None, "ind")))
+                    s_eb = jax.device_put(
+                        s_eb, NamedSharding(mesh2, PS("ind", None)))
                 if jax.default_backend() == "tpu":
                     # the gather tables are dead weight in strip mode;
                     # free them before the sweep (ring-mode discipline)
@@ -644,9 +662,21 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                 from .kernels.pallas_strip import strip_streamed
                 if strip_streamed(pars.n_ind):
                     fc = None   # streamed kernel has its own loop
-                strip_fn = _strip_compute_fn(
-                    n_shards, pars.n_ind, pars.ignore_miss_data, interp,
-                    pars.n_ind <= 32767, fc)
+                if shard_ind > 1:
+                    # ('pairs','ind') mesh: XLA rectangle step with one
+                    # psum('ind') per EM iteration (parallel.strip_ind) —
+                    # dense large-cohort plans keep the strip layout
+                    # instead of falling back to the gathered-pair sweep
+                    from .parallel.strip_ind import strip_compute_ind_fn
+                    strip_fn, _ = strip_compute_ind_fn(
+                        n_shards, shard_ind, pars.n_ind,
+                        pars.ignore_miss_data, pars.n_ind <= 32767)
+                    log.log(2, "==> strip sweep: ('pairs','ind') 2-D "
+                               "mesh (per-iteration psum over 'ind')")
+                else:
+                    strip_fn = _strip_compute_fn(
+                        n_shards, pars.n_ind, pars.ignore_miss_data,
+                        interp, pars.n_ind <= 32767, fc)
                 # two-phase (rectangle to cap1 + per-pair tail in the
                 # warm-started column kernel): opt-in — the per-pair
                 # tail removes the intra-row convergence waste but its
@@ -654,7 +684,8 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                 # currently cost more than the saved iterations on this
                 # chip (PERF.md r4 gap decomposition)
                 strip2_fn = None
-                if (n_shards == 1 and not strip_streamed(pars.n_ind)
+                if (n_shards == 1 and shard_ind == 1
+                        and not strip_streamed(pars.n_ind)
                         and os.environ.get("NGSLD_STRIP_TWO_PHASE",
                                            "0") == "1"):
                     cap1 = int(os.environ.get("NGSLD_STRIP_CAP1", "30"))

@@ -56,7 +56,31 @@ class RunLog:
             out[:len(counts)] += counts
             self.hists[key] = out
 
+    def dump_json(self) -> None:
+        """Write phase timings / stage sub-timers / counters as JSON to
+        $NGSLD_TIMINGS_JSON (if set). Machine-readable counterpart of
+        summary(): bench.py attaches the pull/dispatch/format split to each
+        e2e leg so wall-clock variance is attributable (tunnel weather vs
+        engine changes)."""
+        import json
+        import os
+        path = os.environ.get("NGSLD_TIMINGS_JSON")
+        if not path:
+            return
+        try:
+            payload = {
+                "phases": {n: round(t, 3) for n, t in self.timings},
+                "stages": {k: round(v, 3)
+                           for k, v in sorted(self.time_counters.items())},
+                "counters": dict(self.counters),
+            }
+            with open(path, "w") as fh:
+                json.dump(payload, fh)
+        except OSError:
+            pass
+
     def summary(self) -> None:
+        self.dump_json()
         if self.verbose < 1:
             return
         total = sum(t for _, t in self.timings)
