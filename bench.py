@@ -215,11 +215,16 @@ def link_canary():
 
 
 def strip_kernel_bench():
-    """The default dense engine's kernel: one 256-tile chunk (~4M live
-    pairs) through strip_em_compact, counted-evals scalar pulled per rep."""
+    """The default dense engine's kernel leg: one 256-tile chunk (~4.07M
+    live pairs, util 0.97) through the engine's emission ladder — FLAT
+    cell-major emission (strip_em_flat: no device gather, host applies
+    sel; the auto default at this utilization since r5) with the
+    compacted form (strip_em_compact) measured alongside for
+    cross-round comparability (the r3/r4 headline path)."""
     import jax
     import jax.numpy as jnp
     from ngsld_tpu.kernels.pallas_strip import (TA, TB, strip_em_compact,
+                                                strip_em_flat,
                                                 strip_tables)
 
     if jax.default_backend() != "tpu":
@@ -238,7 +243,7 @@ def strip_kernel_bench():
              for j in range(k, min(S // TB, (k * TA + W) // TB + 1))][:256]
     ta = np.array([t[0] for t in tiles], np.int32)
     tb = np.array([t[1] for t in tiles], np.int32)
-    sels, evals_cells = [], 0
+    sels = []
     for slot, (k, j) in enumerate(tiles):
         A = (k * TA + np.arange(TA))[:, None]
         PJ = (j * TB + np.arange(TB))[None, :]
@@ -250,60 +255,92 @@ def strip_kernel_bench():
     Cq = 1 << int(np.ceil(np.log2(max(P, 1))))
     sel_pad = np.zeros(Cq, np.int32)
     sel_pad[:P] = sel
+    base = (jnp.asarray(maf), jnp.asarray(maf), jnp.asarray(lo),
+            jnp.asarray(hi), jnp.asarray(ok), jnp.asarray(ok),
+            jnp.asarray(ta), jnp.asarray(tb))
 
-    def make_fn(group, first_check=30):
-        # tables as ARGUMENTS (not closure constants): tunneled
-        # remote-compile endpoints cap the request body (HTTP 413)
+    # tables as ARGUMENTS (not closure constants): tunneled
+    # remote-compile endpoints cap the request body (HTTP 413)
+    def make_flat(first_check):
         @jax.jit
-        def fn_args(ga_, gb_, ea_, eb_, sel_d):
-            fm, im = strip_em_compact(
-                ga_, gb_, ea_, eb_, jnp.asarray(maf), jnp.asarray(maf),
-                jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(ok),
-                jnp.asarray(ok), jnp.asarray(ta), jnp.asarray(tb), sel_d,
-                n_ind=I, group=group, first_check=first_check)
-            # counted LIVE evals: sum (nIter+1) over selected in-band pairs
-            return jnp.sum(im[:P, 0].astype(jnp.int32) + 1), fm, im
-        return lambda sel_d: fn_args(ga, gb, ea, eb, sel_d)
+        def fn(ga_, gb_, ea_, eb_):
+            return strip_em_flat(ga_, gb_, ea_, eb_, *base, n_ind=I,
+                                 slim_im=True, first_check=first_check)
+        return fn
 
-    sel_d = jnp.asarray(sel_pad)
-    # compile-failure ladder: engine default (first_check=30 schedule,
-    # engine_block NGSLD_STRIP_FC) -> plain single-while structure ->
-    # give up (headline falls back to the gather kernel). A Mosaic
-    # legalization regression must degrade the headline, never zero the
-    # round.
-    group_used = None
-    for group, first_check in ((None, 30), (None, None), (1, None)):
+    def make_compact(first_check):
+        @jax.jit
+        def fn(ga_, gb_, ea_, eb_, sel_d):
+            fm, im = strip_em_compact(
+                ga_, gb_, ea_, eb_, *base, sel_d, n_ind=I,
+                slim_im=True, first_check=first_check)
+            return jnp.sum(im[:P, 0].astype(jnp.int32) + 1), fm, im
+        return fn
+
+    def timeit(callp, reps=5):
+        out = callp()
+        jax.block_until_ready(out)   # warmup + compile
+        dt = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = callp()
+            jax.block_until_ready(out)
+            dt = min(dt, time.perf_counter() - t0)
+        return dt, out
+
+    # compile-failure ladder: engine default (flat, first_check=30) ->
+    # flat plain-while -> compacted -> give up (headline falls back to
+    # the gather kernel). A Mosaic legalization regression must degrade
+    # the headline, never zero the round.
+    res = None
+    for mode, fc in (("flat", 30), ("flat", None), ("compact", 30),
+                     ("compact", None)):
         try:
-            fn = make_fn(group, first_check)
-            total = int(fn(sel_d)[0])   # warmup + compile + sync
-            group_used = (group, first_check)
+            if mode == "flat":
+                fn = make_flat(fc)
+                dt, out = timeit(lambda: fn(ga, gb, ea, eb))
+                nit = np.asarray(out[1]).reshape(-1)
+                total = int((nit[sel].astype(np.int64) + 1).sum())
+            else:
+                fn = make_compact(fc)
+                sel_d = jnp.asarray(sel_pad)
+                dt, out = timeit(lambda: fn(ga, gb, ea, eb, sel_d))
+                total = int(out[0])
+            res = {"mode": mode, "first_check": fc, "dt": dt,
+                   "total": total}
             break
         except Exception as e:
-            print(f"[bench] strip kernel (group={group}, "
-                  f"fc={first_check}) failed: "
+            print(f"[bench] strip kernel ({mode}, fc={fc}) failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr)
-    else:
+    if res is None:
         return None
-    reps, dt = 5, float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(sel_d)
-        total = int(out[0])             # scalar pull = sync
-        dt = min(dt, time.perf_counter() - t0)
+    dt, total = res["dt"], res["total"]
     evals_per_sec = total * I / dt
-    return {
+    out = {
         "evals_per_sec": evals_per_sec,
         "pairs_per_sec": P / dt,
         "n_pairs": P, "n_ind": I, "n_tiles": len(tiles),
+        "util": P / (len(tiles) * TA * TB),
         "mean_iters": total / P,
-        "kernel": "pallas-strip-compact",
-        "anchor_group": "auto" if group_used[0] is None else group_used[0],
-        "first_check": group_used[1],
+        "kernel": f"pallas-strip-{res['mode']}",
+        "first_check": res["first_check"],
         "ms_per_chunk": dt * 1e3,
         "achieved_tflops": evals_per_sec * FLOPS_PER_EVAL / 1e12,
         "exec_ceiling_evals_per_sec": EXEC_CEILING,
         "frac_of_exec_ceiling": evals_per_sec / EXEC_CEILING,
     }
+    if res["mode"] == "flat":
+        # the r3/r4 headline path, for cross-round comparability
+        try:
+            fnc = make_compact(30)
+            sel_d = jnp.asarray(sel_pad)
+            dtc, outc = timeit(lambda: fnc(ga, gb, ea, eb, sel_d),
+                               reps=3)
+            out["compact_evals_per_sec"] = int(outc[0]) * I / dtc
+            out["compact_ms_per_chunk"] = dtc * 1e3
+        except Exception as e:
+            out["compact_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    return out
 
 
 def large_cohort_kernel_bench():

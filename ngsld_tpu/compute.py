@@ -148,6 +148,22 @@ def _strip_twophase_fn(n_ind: int, ignore_miss: bool, interpret: bool,
 
 
 @functools.lru_cache(maxsize=None)
+def _strip_flat_fn(n_ind: int, ignore_miss: bool, interpret: bool,
+                   use_i16: bool, first_check: int | None = None):
+    """Flat cell-major strip compute (single device): the kernel's tile
+    outputs relayout to dense (cells, 5)/(cells, k) rows with NO device
+    gather; the host applies the chunk's sel permutation during the pull
+    stage (engine_block). Picked for near-full-utilization chunks where
+    the sel take()s were pure reordering at gather speed (PERF.md r4)."""
+    import jax
+    from .kernels.pallas_strip import strip_em_flat
+    return jax.jit(functools.partial(
+        strip_em_flat, n_ind=n_ind, ignore_miss=ignore_miss,
+        interpret=interpret, use_i16=use_i16, slim_im=not ignore_miss,
+        first_check=first_check))
+
+
+@functools.lru_cache(maxsize=None)
 def _strip_compute_fn(n_shards: int, n_ind: int, ignore_miss: bool,
                       interpret: bool, use_i16: bool,
                       first_check: int | None = None):

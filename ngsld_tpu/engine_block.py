@@ -18,7 +18,8 @@ import numpy as np
 from . import strict
 from .checkpoint import _Checkpoint
 from .compute import (_compute_block_fn, _compute_block_ind_fn,
-                      _strip_compute_fn, _strip_twophase_fn)
+                      _strip_compute_fn, _strip_flat_fn,
+                      _strip_twophase_fn)
 from .loaders import _StreamedGLLoader, _StreamedTextLoader
 
 
@@ -359,6 +360,7 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
             CTARGET = int(os.environ.get("NGSLD_STRIP_CTARGET",
                                          str(1 << 20)))
             jdead = Sp_b // _TB - 1
+            TA_TB = _TA * _TB
             log.log(2, f"==> strip sweep: {len(s_ta)} tiles, "
                        f"chunk<= {GMAXT} tiles/{CTARGET} pairs, "
                        f"util {s_util:.2f}")
@@ -397,7 +399,7 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
         fmt_rw = writer if writer is not None \
             else RowWriter(None, labels, pars.extend_out)
 
-        def pull(bi, blk, dev_out, meta=None, retry=None):
+        def pull(bi, blk, dev_out, meta=None, retry=None, flat_sel=None):
             """Stage 1 (tunnel IO): device results -> host numpy. Outputs
             are sliced to the live row count BEFORE the transfer (strip
             outputs are device-compacted into a fixed capacity; gather
@@ -416,8 +418,18 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                     if int(dev_out[2]) > _SURV_FRAC(len(dev_out[0])):
                         log.count("strip_twophase_overflow")
                         dev_out = retry()
-                fm = np.asarray(dev_out[0][:P])
-                im = np.asarray(dev_out[1][:P])
+                if flat_sel is not None:
+                    # flat cell-major emission: the chunk's whole tile
+                    # rectangle crosses the link (near-full utilization,
+                    # so the dead-cell overhead is bounded) and the sel
+                    # permutation applies HERE as a numpy take — the
+                    # device never runs the 0.6 GB/s row gathers
+                    sel_h, n_cells = flat_sel
+                    fm = np.asarray(dev_out[0][:n_cells])[sel_h]
+                    im = np.asarray(dev_out[1][:n_cells])[sel_h]
+                else:
+                    fm = np.asarray(dev_out[0][:P])
+                    im = np.asarray(dev_out[1][:P])
             touch()
             log.count_time("sweep: result pull", time.perf_counter() - t0)
             return bi, blk, fm, im, meta
@@ -677,6 +689,24 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                     strip_fn = _strip_compute_fn(
                         n_shards, pars.n_ind, pars.ignore_miss_data,
                         interp, pars.n_ind <= 32767, fc)
+                # flat cell-major emission for near-full chunks: the sel
+                # take()s cost ~80-108 ms per 4M-pair chunk at ~0.6 GB/s
+                # (PERF.md r4); a dense chunk replaces them with one
+                # transpose-speed relayout and a host-side numpy take in
+                # the (pipelined) pull stage. Trade: pull bytes scale
+                # with CELLS, so only chunks with live/cells >= the
+                # threshold qualify. NGSLD_STRIP_EMIT=compact|flat|auto.
+                strip_flat_fn = None
+                flat_util = 1.1
+                emit_mode = os.environ.get("NGSLD_STRIP_EMIT", "auto")
+                if (emit_mode != "compact" and n_shards == 1
+                        and shard_ind == 1):
+                    strip_flat_fn = _strip_flat_fn(
+                        pars.n_ind, pars.ignore_miss_data, interp,
+                        pars.n_ind <= 32767, fc)
+                    flat_util = (-1.0 if emit_mode == "flat" else
+                                 float(os.environ.get(
+                                     "NGSLD_STRIP_FLAT_UTIL", "0.92")))
                 # two-phase (rectangle to cap1 + per-pair tail in the
                 # warm-started column kernel): opt-in — the per-pair
                 # tail removes the intra-row convergence waste but its
@@ -844,14 +874,13 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                             log.log(3, f"> Strip chunk {bi}: {gc} tiles "
                                        f"(anchor tiles {ta_slots[0]}.."
                                        f"{ta_slots[-1]}), {P} pairs")
-                        # sel capacity on a power-of-2 ladder (min 64k):
-                        # a handful of compiled shapes; pulls slice [:P]
-                        # so the padding never crosses the link
-                        Cq = 65536
-                        while Cq < P:
-                            Cq <<= 1
-                        sel_pad = np.zeros(Cq, np.int32)
-                        sel_pad[:P] = sel
+                        # emission mode: flat cell-major for near-full
+                        # chunks (host-side sel, no device gather);
+                        # compacted rows otherwise
+                        use_flat = (strip_flat_fn is not None
+                                    and strip2_fn is None
+                                    and P >= flat_util * gc * TA_TB)
+                        flat_sel = (sel, gc * TA_TB) if use_flat else None
                         ta_arr = np.concatenate([
                             ta_slots, np.zeros(GMAXT - gc, np.int32)])
                         tb_arr = np.concatenate([
@@ -860,8 +889,17 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                         t0 = time.perf_counter()
                         args = (s_ga, s_gb, s_ea, s_eb, s_maf, s_maf,
                                 s_lo, s_hi, s_ok, s_ok,
-                                jnp.asarray(ta_arr), jnp.asarray(tb_arr),
-                                jnp.asarray(sel_pad))
+                                jnp.asarray(ta_arr), jnp.asarray(tb_arr))
+                        if not use_flat:
+                            # sel capacity on a power-of-2 ladder (min
+                            # 64k): a handful of compiled shapes; pulls
+                            # slice [:P] so padding never crosses the link
+                            Cq = 65536
+                            while Cq < P:
+                                Cq <<= 1
+                            sel_pad = np.zeros(Cq, np.int32)
+                            sel_pad[:P] = sel
+                            args = args + (jnp.asarray(sel_pad),)
                         retry = None
                         try:
                             with hold():
@@ -873,6 +911,8 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                                     # pull stage if n_surv > budget
                                     retry = functools.partial(strip_fn,
                                                               *args)
+                                elif use_flat:
+                                    dev_out = strip_flat_fn(*args)
                                 else:
                                     dev_out = strip_fn(*args)
                         except Exception as e:
@@ -891,7 +931,8 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                         touch()
                         log.count_time("sweep: dispatch",
                                        time.perf_counter() - t0)
-                        emit_q.put((bi, blk, dev_out, meta, retry))
+                        emit_q.put((bi, blk, dev_out, meta, retry,
+                                    flat_sel))
                 finally:
                     emit_q.put(None)
                     for t in stages:

@@ -804,6 +804,51 @@ def strip_em_compact(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b,
     return fm, im
 
 
+@functools.partial(jax.jit, static_argnames=("n_ind", "iter_cap",
+                                              "ignore_miss", "interpret",
+                                              "use_i16", "slim_im",
+                                              "group", "unroll",
+                                              "first_check"))
+def strip_em_flat(ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b,
+                  ta, tb, *, n_ind: int,
+                  iter_cap: int = ITER_MAX, ignore_miss: bool = False,
+                  interpret: bool = False, use_i16: bool = True,
+                  slim_im: bool = False,
+                  group: int | None = None, unroll: int = _UNROLL,
+                  first_check: int | None = None):
+    """strip_em + FLAT cell-major emission (no on-device gather).
+
+    Returns every cell of the chunk's tiles as dense rows in (tile, a, b)
+    order: fm (n*TA*TB, 5) f32, im (n*TA*TB, 1) i8 / (…, 2) i16 — the
+    SAME flat index space strip_em_compact's `sel` addresses, so the
+    host applies sel as a numpy take instead of the device gather.
+
+    Why: the r4 chip decomposition (PERF.md) put the sel-compaction
+    take()s at ~80-108 ms per 4M-pair chunk — TPU gathers of 16 B rows
+    run at ~0.6 GB/s effective, while this relayout (one transpose +
+    concat) moves at transpose speed. The trade is pull bytes: ALL cells
+    cross the link (21 B/cell vs 21 B/live-pair), so the engine picks
+    this form only for chunks whose live-cell fraction is near 1
+    (engine_block NGSLD_STRIP_EMIT auto rule) — exactly the dense-band
+    chunks where the take() was pure reordering overhead."""
+    f, r2p, nit, nu = strip_em(
+        ga, gb, ea, eb, maf_a, maf_b, lo, hi, ok_a, ok_b, ta, tb,
+        n_ind=n_ind, iter_cap=iter_cap, ignore_miss=ignore_miss,
+        interpret=interpret, group=group, unroll=unroll,
+        first_check=first_check)
+    n = ta.shape[0]
+    ff = f.transpose(0, 2, 3, 1).reshape(n * TA * TB, 4)
+    fm = jnp.concatenate([r2p.reshape(n * TA * TB, 1), ff], axis=1)
+    if slim_im:
+        assert not ignore_miss, "slim_im requires the constant-n_used mode"
+        im = nit.reshape(n * TA * TB).astype(jnp.int8)[:, None]
+    else:
+        idt = jnp.int16 if use_i16 else jnp.int32
+        im = jnp.stack([nit.reshape(-1).astype(idt),
+                        nu.reshape(-1).astype(idt)], axis=1)
+    return fm, im
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n_ind", "cap1", "surv_cap", "iter_cap", "ignore_miss", "interpret",
     "use_i16", "slim_im", "group", "unroll", "phase2_tile",

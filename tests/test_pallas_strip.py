@@ -840,3 +840,27 @@ def test_strip_eps_export_semantics():
         if (~conv).any():
             un = epsl[t][live][~conv]
             assert (un[np.isfinite(un)] >= EPSILON).all()
+
+
+def test_flat_emission_byte_equal_to_compact(tmp_path, monkeypatch):
+    """NGSLD_STRIP_EMIT=flat (dense cell-major pull + host-side sel take,
+    no device gather — PERF.md r5) must be byte-identical to the
+    compacted default: same kernel, same values, different transport."""
+    from ngsld_tpu.cli import params_from_args
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_all
+
+    sim = simulate(n_ind=12, n_sites=384, seed=9, contig_kb=500.0)
+    files = write_all(sim, str(tmp_path / "fx"))
+    argv = ["--geno", files["beagle"], "--probs", "--n_ind", "12",
+            "--n_sites", "384", "--pos", files["pos"], "--max_kb_dist",
+            "0", "--extend_out", "--verbose", "0"]
+    monkeypatch.setenv("NGSLD_BLOCK_STRIP", "1")
+    outs = {}
+    for mode in ("compact", "flat"):
+        monkeypatch.setenv("NGSLD_STRIP_EMIT", mode)
+        out = tmp_path / f"{mode}.ld"
+        run_jax(params_from_args(argv + ["--out", str(out)]))
+        outs[mode] = out.read_bytes()
+    assert outs["flat"].count(b"\n") > 70000
+    assert outs["flat"] == outs["compact"]
