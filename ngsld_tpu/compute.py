@@ -132,22 +132,6 @@ def _compute_block_fn(ignore_miss_data: bool, use_pallas: bool,
 
 
 @functools.lru_cache(maxsize=None)
-def _strip_twophase_fn(n_ind: int, ignore_miss: bool, interpret: bool,
-                       use_i16: bool, cap1: int):
-    """Two-phase strip compute (single device): rectangle phase to cap1,
-    unconverged tail finishes per-pair in the warm-started column kernel
-    (pallas_strip.strip_em_twophase). Returns a callable taking the
-    strip_em_compact args + (n_live, surv_cap); its result carries an
-    extra n_surv scalar — n_surv > surv_cap means the caller must redo
-    the chunk with the single-phase fn."""
-    from .kernels.pallas_strip import strip_em_twophase
-    return functools.partial(
-        strip_em_twophase, n_ind=n_ind, ignore_miss=ignore_miss,
-        interpret=interpret, use_i16=use_i16, slim_im=not ignore_miss,
-        cap1=cap1)
-
-
-@functools.lru_cache(maxsize=None)
 def _strip_flat_fn(n_ind: int, ignore_miss: bool, interpret: bool,
                    use_i16: bool, first_check: int | None = None):
     """Flat cell-major strip compute (single device): the kernel's tile

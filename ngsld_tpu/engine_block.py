@@ -18,24 +18,13 @@ import numpy as np
 from . import strict
 from .checkpoint import _Checkpoint
 from .compute import (_compute_block_fn, _compute_block_ind_fn,
-                      _strip_compute_fn, _strip_flat_fn,
-                      _strip_twophase_fn)
+                      _strip_compute_fn, _strip_flat_fn)
 from .loaders import _StreamedGLLoader, _StreamedTextLoader
 
 
 # pipeline-stage return sentinel: "nothing to forward downstream yet"
 # (the fmt stage is accumulating chunks of a split anchor-tile group)
 _PENDING = object()
-
-
-def _SURV_FRAC(cq: int) -> int:
-    """Static phase-B survivor budget for a two-phase strip chunk of
-    capacity cq (multiple of the 256 pair tile; cq is on a power-of-2
-    ladder >= 65536). An eighth covers the measured tail at cap1=30
-    (8.3% on the bench workload, dev/exp_sched.py) with ~1.9x headroom;
-    phase-B cost scales with the budget (pad tiles still gather + run
-    one unroll), and overflow falls back to the single-phase sweep."""
-    return cq // 8
 
 
 class StripCompileError(RuntimeError):
@@ -399,25 +388,16 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
         fmt_rw = writer if writer is not None \
             else RowWriter(None, labels, pars.extend_out)
 
-        def pull(bi, blk, dev_out, meta=None, retry=None, flat_sel=None):
+        def pull(bi, blk, dev_out, meta=None, flat_sel=None):
             """Stage 1 (tunnel IO): device results -> host numpy. Outputs
             are sliced to the live row count BEFORE the transfer (strip
             outputs are device-compacted into a fixed capacity; gather
             outputs carry tail padding), so link bytes scale with live
-            pairs.
-
-            Two-phase strip chunks carry an n_surv scalar: when the
-            unconverged tail overflowed the static survivor budget the
-            overflow rows still hold phase-A state, so the chunk redoes
-            single-phase via `retry` (rare: budget is ~25% of the chunk,
-            real tails measure ~10-15%)."""
+            pairs. Flat strip chunks (flat_sel) pull their whole tile
+            rectangle instead and apply the sel permutation here."""
             P = len(blk.s1)
             t0 = time.perf_counter()
             with hold():
-                if len(dev_out) == 3 and retry is not None:
-                    if int(dev_out[2]) > _SURV_FRAC(len(dev_out[0])):
-                        log.count("strip_twophase_overflow")
-                        dev_out = retry()
                 if flat_sel is not None:
                     # flat cell-major emission: the chunk's whole tile
                     # rectangle crosses the link (near-full utilization,
@@ -707,23 +687,10 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                     flat_util = (-1.0 if emit_mode == "flat" else
                                  float(os.environ.get(
                                      "NGSLD_STRIP_FLAT_UTIL", "0.92")))
-                # two-phase (rectangle to cap1 + per-pair tail in the
-                # warm-started column kernel): opt-in — the per-pair
-                # tail removes the intra-row convergence waste but its
-                # XLA compaction overheads (gather/scatter at ~1 GB/s)
-                # currently cost more than the saved iterations on this
-                # chip (PERF.md r4 gap decomposition)
-                strip2_fn = None
-                if (n_shards == 1 and shard_ind == 1
-                        and not strip_streamed(pars.n_ind)
-                        and os.environ.get("NGSLD_STRIP_TWO_PHASE",
-                                           "0") == "1"):
-                    cap1 = int(os.environ.get("NGSLD_STRIP_CAP1", "30"))
-                    strip2_fn = _strip_twophase_fn(
-                        pars.n_ind, pars.ignore_miss_data, interp,
-                        pars.n_ind <= 32767, cap1)
-                    log.log(2, f"==> strip sweep: two-phase (cap1="
-                               f"{cap1}, per-pair tail)")
+                # (the r4 two-phase variant — rectangle to cap1 +
+                # per-pair tail — lives in dev/strip_twophase.py: its
+                # XLA survivor compaction costs more than the saved
+                # iterations on this chip, PERF.md r4/r5)
                 if n_shards > 1:
                     log.log(2, f"==> strip sweep: {n_shards}-device "
                                "'pairs' mesh (tiles sharded per chunk)")
@@ -878,7 +845,6 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                         # chunks (host-side sel, no device gather);
                         # compacted rows otherwise
                         use_flat = (strip_flat_fn is not None
-                                    and strip2_fn is None
                                     and P >= flat_util * gc * TA_TB)
                         flat_sel = (sel, gc * TA_TB) if use_flat else None
                         ta_arr = np.concatenate([
@@ -900,18 +866,9 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                             sel_pad = np.zeros(Cq, np.int32)
                             sel_pad[:P] = sel
                             args = args + (jnp.asarray(sel_pad),)
-                        retry = None
                         try:
                             with hold():
-                                if strip2_fn is not None:
-                                    dev_out = strip2_fn(
-                                        *args, jnp.int32(P),
-                                        surv_cap=_SURV_FRAC(Cq))
-                                    # overflow fallback, invoked from the
-                                    # pull stage if n_surv > budget
-                                    retry = functools.partial(strip_fn,
-                                                              *args)
-                                elif use_flat:
+                                if use_flat:
                                     dev_out = strip_flat_fn(*args)
                                 else:
                                     dev_out = strip_fn(*args)
@@ -922,8 +879,8 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                                     "first chunk (compile/legalization?) "
                                     "— rerun with NGSLD_BLOCK_STRIP=0 to "
                                     "force the gathered-pair sweep, "
-                                    "NGSLD_STRIP_TWO_PHASE=0 to disable "
-                                    "the per-pair tail, or "
+                                    "NGSLD_STRIP_EMIT=compact to disable "
+                                    "flat emission, or "
                                     "NGSLD_STRIP_GROUP=1 to disable "
                                     "anchor grouping") from e
                             raise
@@ -931,8 +888,7 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                         touch()
                         log.count_time("sweep: dispatch",
                                        time.perf_counter() - t0)
-                        emit_q.put((bi, blk, dev_out, meta, retry,
-                                    flat_sel))
+                        emit_q.put((bi, blk, dev_out, meta, flat_sel))
                 finally:
                     emit_q.put(None)
                     for t in stages:

@@ -702,100 +702,6 @@ def test_strip_compile_failure_falls_back(tmp_path, monkeypatch, ring):
             == [r.split("\t")[:2] for r in fb_out.read_text().splitlines()]
 
 
-@pytest.mark.parametrize("ignore_miss", [False, True])
-def test_strip_twophase_matches_single_phase(ignore_miss):
-    """strip_em_twophase (phase A rectangle to cap1 + warm-started
-    per-pair column-kernel tail) vs single-phase strip_em_compact:
-    pairs converged within cap1 are BIT-identical (freeze semantics);
-    survivors land within the established cross-kernel contract
-    (f ~3e-5, nIter +/-1 on knife-edges, n_used exact)."""
-    from ngsld_tpu.kernels.pallas_strip import (strip_em_compact,
-                                                strip_em_twophase)
-
-    S, I, W = 384, 8, 120
-    glp, maf, lo, hi, ok, tiles, tabs = _tables(S, I, seed=13, W=W)
-    Sp = len(lo)
-    mafp = np.pad(maf, (0, Sp - S), constant_values=0.5)
-    ta = jnp.asarray([t[0] for t in tiles], jnp.int32)
-    tb = jnp.asarray([t[1] for t in tiles], jnp.int32)
-    sel_rows = []
-    for t, (k, j) in enumerate(tiles):
-        A = (k * TA + np.arange(TA))[:, None]
-        PJ = (j * TB + np.arange(TB))[None, :]
-        valid = (PJ >= lo[np.minimum(A, Sp - 1)]) \
-            & (PJ < hi[np.minimum(A, Sp - 1)]) & (A < S) & (PJ < S)
-        a_loc, b_loc = np.nonzero(valid)
-        sel_rows.append(((t * TA + a_loc) * TB + b_loc).astype(np.int32))
-    sel = np.concatenate(sel_rows)
-    P = len(sel)
-    assert P > 1000
-    Cq = 1 << int(np.ceil(np.log2(P + 7)))   # exercise sel padding
-    sel_pad = np.zeros(Cq, np.int32)
-    sel_pad[:P] = sel
-    m = jnp.asarray(mafp)
-    okj = jnp.asarray(ok)
-    args = (*tabs, m, m, jnp.asarray(lo), jnp.asarray(hi), okj, okj,
-            ta, tb, jnp.asarray(sel_pad))
-    fm1, im1 = strip_em_compact(*args, n_ind=I, interpret=True,
-                                ignore_miss=ignore_miss,
-                                slim_im=not ignore_miss)
-    cap1 = 10
-    fm2, im2, n_surv = strip_em_twophase(
-        *args, jnp.int32(P), n_ind=I, interpret=True,
-        ignore_miss=ignore_miss, slim_im=not ignore_miss, cap1=cap1,
-        surv_cap=32768, phase2_tile=256, phase2_unroll=5)
-    fm1, im1 = np.asarray(fm1)[:P], np.asarray(im1)[:P]
-    fm2, im2 = np.asarray(fm2)[:P], np.asarray(im2)[:P]
-    it1 = im1[:, 0].astype(np.int32)
-    it2 = im2[:, 0].astype(np.int32)
-    n_surv = int(n_surv)
-    assert 0 < n_surv <= 32768, n_surv
-    conv_a = it1 < cap1
-    assert conv_a.sum() > 0 and (~conv_a).sum() > 0
-    # converged-in-A rows: bit-identical (phase A == single phase there)
-    np.testing.assert_array_equal(fm1[conv_a], fm2[conv_a])
-    np.testing.assert_array_equal(it1[conv_a], it2[conv_a])
-    # survivors: cross-kernel contract
-    d = np.abs(fm1[~conv_a] - fm2[~conv_a])
-    assert np.nanmax(d) < 5e-5, np.nanmax(d)
-    dd = np.abs(it1[~conv_a] - it2[~conv_a])
-    assert (dd <= 1).mean() > 0.95, dd.max()
-    if ignore_miss:
-        np.testing.assert_array_equal(im1[:, 1], im2[:, 1])
-
-
-def test_strip_twophase_overflow_detected():
-    """n_surv above the static survivor budget must be reported so the
-    engine can redo the chunk single-phase (overflow rows hold phase-A
-    state)."""
-    from ngsld_tpu.kernels.pallas_strip import strip_em_twophase
-
-    S, I, W = 256, 6, 80
-    glp, maf, lo, hi, ok, tiles, tabs = _tables(S, I, seed=4, W=W)
-    Sp = len(lo)
-    mafp = np.pad(maf, (0, Sp - S), constant_values=0.5)
-    ta = jnp.asarray([t[0] for t in tiles], jnp.int32)
-    tb = jnp.asarray([t[1] for t in tiles], jnp.int32)
-    sel_rows = []
-    for t, (k, j) in enumerate(tiles):
-        A = (k * TA + np.arange(TA))[:, None]
-        PJ = (j * TB + np.arange(TB))[None, :]
-        valid = (PJ >= lo[np.minimum(A, Sp - 1)]) \
-            & (PJ < hi[np.minimum(A, Sp - 1)]) & (A < S) & (PJ < S)
-        a_loc, b_loc = np.nonzero(valid)
-        sel_rows.append(((t * TA + a_loc) * TB + b_loc).astype(np.int32))
-    sel = np.concatenate(sel_rows)
-    P = len(sel)
-    m = jnp.asarray(mafp)
-    okj = jnp.asarray(ok)
-    # cap1=10 leaves most pairs unconverged; budget 256 overflows
-    _, _, n_surv = strip_em_twophase(
-        *tabs, m, m, jnp.asarray(lo), jnp.asarray(hi), okj, okj,
-        ta, tb, jnp.asarray(sel), jnp.int32(P), n_ind=I, interpret=True,
-        cap1=10, surv_cap=256, phase2_tile=256, phase2_unroll=5)
-    assert int(n_surv) > 256
-
-
 def test_strip_eps_export_semantics():
     """want_eps=True: epsl/epsp carry the last two update magnitudes
     under freeze semantics — converged lanes stop below EPSILON, capped
