@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="auto: JAX engine (TPU/CPU); strict: bit-exact reference-concordant CPU engine")
     p.add_argument("--precision", choices=["auto", "f32", "f64"], default="auto",
                    help="EM precision for the JAX engine (auto: f32 on TPU, f64 on CPU)")
-    p.add_argument("--chunk_pairs", type=int, default=1 << 17,
+    p.add_argument("--chunk_pairs", type=int, default=1 << 19,
                    help="pairs per device batch for the JAX engine")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a JAX profiler trace of the run to DIR")

@@ -45,7 +45,10 @@ def _compute_block_ind_fn(ignore_miss_data: bool, n_shards: int,
                      devices=jax.devices()[:n_shards * n_ind_shards])
     step = sweep_step(mesh, ignore_miss_data, extend_out=True)
 
-    def compute(gn, eg, maf, s1, s2):
+    def compute(gn, eg, maf, sidx):
+        # sidx (2, P): both index vectors ride ONE host->device transfer
+        # (each small upload pays a full tunnel round-trip)
+        s1, s2 = sidx[0], sidx[1]
         gn1, gn2 = jnp.take(gn, s1, axis=0), jnp.take(gn, s2, axis=0)
         eg1, eg2 = jnp.take(eg, s1, axis=0), jnp.take(eg, s2, axis=0)
         maf1, maf2 = jnp.take(maf, s1), jnp.take(maf, s2)
@@ -81,7 +84,9 @@ def _compute_block_fn(ignore_miss_data: bool, use_pallas: bool,
     from .ops.em import pair_em
     from .ops.stats import pearson_r2
 
-    def compute(gn, eg, maf, s1, s2):
+    def compute(gn, eg, maf, sidx):
+        # sidx (2, P): one fused index upload per block (see above)
+        s1, s2 = sidx[0], sidx[1]
         gn1, gn2 = jnp.take(gn, s1, axis=0), jnp.take(gn, s2, axis=0)
         eg1, eg2 = jnp.take(eg, s1, axis=0), jnp.take(eg, s2, axis=0)
         maf1, maf2 = jnp.take(maf, s1), jnp.take(maf, s2)
@@ -126,7 +131,7 @@ def _compute_block_fn(ignore_miss_data: bool, use_pallas: bool,
         rep, shd = PS(), PS("pairs")
         compute = shard_map(
             compute, mesh=mesh,
-            in_specs=(rep, rep, rep, shd, shd),
+            in_specs=(rep, rep, rep, PS(None, "pairs")),
             out_specs=(shd, shd), check_vma=False)
     return jax.jit(compute)
 

@@ -42,7 +42,10 @@ class Params:
     # engine extensions (not in the reference)
     engine: str = "auto"          # auto | jax | strict
     precision: str = "auto"       # auto | f32 | f64
-    chunk_pairs: int = 1 << 17    # device batch size for the pair EM
+    chunk_pairs: int = 1 << 19   # device batch size for the pair EM (r5:
+    # 512k — fewer per-block round-trips; dispatch latency dominated the
+    # sampled e2e on tunneled links. ~1.3 GB of gathered GL tiles at
+    # I=100 fits any TPU HBM; big-cohort runs lower it via the CLI)
     profile: str = None           # JAX profiler trace dir
     checkpoint: str = None        # per-block shard dir (resume support)
     shard: int = 1                # devices for the pair sweep (0 = all local)

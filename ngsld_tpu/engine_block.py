@@ -241,7 +241,7 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                     eg_d, NamedSharding(mesh2, PS(None, "ind")))
                 maf_d = jax.device_put(maf_d, NamedSharding(mesh2, PS()))
             touch()
-            idx_shd = NamedSharding(mesh2, PS("pairs"))
+            idx_shd = NamedSharding(mesh2, PS(None, "pairs"))
             log.log(2, f"==> mesh: {n_shards} pair-shards x "
                        f"{pars.shard_ind} individual-shards")
         else:
@@ -930,15 +930,16 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                         s2 = np.concatenate([blk.s2, np.ones(pad, np.int64)
                                              * min(1, pars.n_sites - 1)])
                         t0 = time.perf_counter()
-                        s1j = (jnp.asarray(s1, jnp.int32) if idx_shd is None
-                               else jax.device_put(s1.astype(np.int32),
-                                                   idx_shd))
-                        s2j = (jnp.asarray(s2, jnp.int32) if idx_shd is None
-                               else jax.device_put(s2.astype(np.int32),
-                                                   idx_shd))
+                        # one fused (2, P) index upload per block: each
+                        # separate small transfer pays a full round-trip
+                        # on tunneled links (r5 stage split: dispatch
+                        # dominated the sampled e2e)
+                        sidx = np.stack([s1, s2]).astype(np.int32)
+                        sj = (jnp.asarray(sidx) if idx_shd is None
+                              else jax.device_put(sidx, idx_shd))
                         with hold():
-                            dev_out = compute(gn_d, eg_d, maf_d, s1j,
-                                              s2j)  # async
+                            dev_out = compute(gn_d, eg_d, maf_d,
+                                              sj)  # async
                         touch()
                         log.count_time("sweep: dispatch",
                                        time.perf_counter() - t0)

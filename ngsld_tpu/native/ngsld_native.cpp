@@ -1203,15 +1203,32 @@ int ngsld_strict_siteprep(double* rows, int64_t m, int64_t I,
         // LOG-scale row
         double num = 0.0, den = 0.0, freq1, freq2;
         const double* base = rows + s * I * 3;
+        // per-individual accumulator terms are pass-invariant (the row is
+        // unchanged between the two passes): compute once, replay in pass
+        // 1 — identical values added in the identical order, so the
+        // non-resetting accumulator quirk (gen_func.cpp:976-1005) stays
+        // bit-exact while the post_prob/exp work halves
+        std::vector<double> numi(I), deni(I);
         for (int pass = 0; pass < 2; pass++) {
             for (int64_t i = 0; i < I; i++) {
-                const double* g = base + i * 3;
-                if (ignore_miss && miss3_log(g)) continue;
-                double p[3] = {g[0], g[1], g[2]};
-                post_prob3_c(p);
-                double pp0 = exp(p[0]), pp1 = exp(p[1]), pp2 = exp(p[2]);
-                num += pp1 + pp2 * 2.0;
-                den += 2.0 * pp1 + (pp0 + pp2) * 2.0;
+                if (pass == 0) {
+                    const double* g = base + i * 3;
+                    if (ignore_miss && miss3_log(g)) {
+                        numi[i] = 0.0;
+                        deni[i] = 0.0;
+                        continue;
+                    }
+                    double p[3] = {g[0], g[1], g[2]};
+                    post_prob3_c(p);
+                    double pp0 = exp(p[0]), pp1 = exp(p[1]),
+                           pp2 = exp(p[2]);
+                    numi[i] = pp1 + pp2 * 2.0;
+                    deni[i] = 2.0 * pp1 + (pp0 + pp2) * 2.0;
+                } else if (deni[i] == 0.0 && numi[i] == 0.0) {
+                    continue;   // the pass-0 miss skip (adds nothing)
+                }
+                num += numi[i];
+                den += deni[i];
             }
             if (pass == 0) {
                 freq1 = num / den;

@@ -28,7 +28,9 @@ set -euo pipefail
 SIM_DATA=${NGSSIM_EXAMPLES:-../../ngsSim/examples}
 ANGSD=${ANGSD_BIN:-../../angsd/angsd}
 REF=${NGSLD_REFERENCE_DIR:-/root/reference}
-RUNNER=${NGSLD_RUNNER:-python -m ngsld_tpu.cli}
+# --engine strict = the bit-exact conformance engine (byte-parity with
+# the reference binary is its contract; the jax engine is f32)
+RUNNER=${NGSLD_RUNNER:-python -m ngsld_tpu.cli --engine strict}
 WORK=${1:-$(mktemp -d --suffix .ngsld_upstream)}
 
 for f in "$SIM_DATA/testA.geno" "$SIM_DATA/testA.glf.gz" \
