@@ -32,16 +32,28 @@ def _build() -> str | None:
     # multi-host pods on shared storage) must not interleave writes into
     # one tmp file; os.replace makes the winner atomic either way
     tmp = f"{so}.tmp.{os.getpid()}"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread", _SRC,
-           "-lz", "-o", tmp]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True)
-        os.replace(tmp, so)
-        return so
-    except Exception as e:  # no compiler / no zlib headers
-        sys.stderr.write(f"ngsld: native build unavailable ({e}); "
-                         "using pure-Python host path\n")
-        return None
+    # -march=native lets the lane-parallel strict EM vectorize (8 f64
+    # lanes on AVX-512 hosts); -ffp-contract=off keeps it bit-exact by
+    # forbidding mul+add -> fma contraction (per-lane IEEE ops are
+    # otherwise identical to scalar). Falls back to the portable build
+    # on toolchains that reject the flags.
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+            _SRC, "-lz", "-o", tmp]
+    for extra in (["-march=native", "-ffp-contract=off"], []):
+        cmd = base[:1] + extra + base[1:]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp, so)
+            return so
+        except subprocess.CalledProcessError:
+            continue
+        except Exception as e:  # no compiler / no zlib headers
+            sys.stderr.write(f"ngsld: native build unavailable ({e}); "
+                             "using pure-Python host path\n")
+            return None
+    sys.stderr.write("ngsld: native build unavailable (compile failed); "
+                     "using pure-Python host path\n")
+    return None
 
 
 def get_lib():

@@ -1255,11 +1255,340 @@ int ngsld_strict_siteprep(double* rows, int64_t m, int64_t I,
 // Bit-exact pair_freq_iter (gen_func.cpp:1027-1119 / strict.pair_em_batch)
 // over k pairs: gn1/gn2 (k, I, 3) NORMAL-space GLs, maf1/maf2 (k,).
 // Outputs f (k, 4), n_iter (k,), n_used (k,).
+// Lane-parallel variant: VW pairs advance together, each lane replaying
+// the scalar sequence EXACTLY (its own 16-term kk-major fold, its own
+// sequential in-place normalization, its own break point — frozen lanes
+// keep their converged f while the group finishes). Per-lane IEEE f64
+// ops are bit-identical to the scalar path (the build forbids fma
+// contraction), so results match ngsld_strict_pair_em bit-for-bit; the
+// win is throughput on the refine tier's DEGENERATE pairs, which run at
+// or near ITER_MAX (r5 profile: the strict EM was ~half the knife-edge
+// repair wall). Group GLs transpose once into lane-major scratch so the
+// hot loop reads contiguous VW-vectors.
+#define VW 8
+#if defined(__AVX512F__)
+#include <immintrin.h>
+// One EM iteration's individual loop, 8 pairs per zmm lane set.
+// Every op mirrors the scalar sequence per lane (mul/add/div in the
+// exact fold order, no fma); the masked add IS the scalar
+// ignore-missing `continue` (untouched lanes keep their ff).
+static inline void em_iter_lanes(
+        const double* __restrict A, const double* __restrict B,
+        const double* __restrict inc, int64_t I,
+        const double f[4][VW], double ffout[4][VW]) {
+    const __m512d zero = _mm512_setzero_pd();
+    __m512d fv0 = _mm512_loadu_pd(f[0]), fv1 = _mm512_loadu_pd(f[1]),
+            fv2 = _mm512_loadu_pd(f[2]), fv3 = _mm512_loadu_pd(f[3]);
+    __m512d ff0 = zero, ff1 = zero, ff2 = zero, ff3 = zero;
+    const __m512d fp00 = _mm512_mul_pd(fv0, fv0);
+    const __m512d fp01 = _mm512_mul_pd(fv0, fv1);
+    const __m512d fp02 = _mm512_mul_pd(fv0, fv2);
+    const __m512d fp03 = _mm512_mul_pd(fv0, fv3);
+    const __m512d fp10 = _mm512_mul_pd(fv1, fv0);
+    const __m512d fp11 = _mm512_mul_pd(fv1, fv1);
+    const __m512d fp12 = _mm512_mul_pd(fv1, fv2);
+    const __m512d fp13 = _mm512_mul_pd(fv1, fv3);
+    const __m512d fp20 = _mm512_mul_pd(fv2, fv0);
+    const __m512d fp21 = _mm512_mul_pd(fv2, fv1);
+    const __m512d fp22 = _mm512_mul_pd(fv2, fv2);
+    const __m512d fp23 = _mm512_mul_pd(fv2, fv3);
+    const __m512d fp30 = _mm512_mul_pd(fv3, fv0);
+    const __m512d fp31 = _mm512_mul_pd(fv3, fv1);
+    const __m512d fp32 = _mm512_mul_pd(fv3, fv2);
+    const __m512d fp33 = _mm512_mul_pd(fv3, fv3);
+    for (int64_t i = 0; i < I; i++) {
+        __m512d a0 = _mm512_loadu_pd(A + (i * 3 + 0) * VW);
+        __m512d a1 = _mm512_loadu_pd(A + (i * 3 + 1) * VW);
+        __m512d a2 = _mm512_loadu_pd(A + (i * 3 + 2) * VW);
+        __m512d b0 = _mm512_loadu_pd(B + (i * 3 + 0) * VW);
+        __m512d b1 = _mm512_loadu_pd(B + (i * 3 + 1) * VW);
+        __m512d b2 = _mm512_loadu_pd(B + (i * 3 + 2) * VW);
+        __mmask8 m = _mm512_cmp_pd_mask(
+            _mm512_loadu_pd(inc + i * VW), zero, _CMP_NEQ_OQ);
+        __m512d sum = _mm512_mul_pd(_mm512_mul_pd(fp00, a0), b0);
+        sum = _mm512_add_pd(sum, _mm512_mul_pd(_mm512_mul_pd(fp01, a0), b1));
+        sum = _mm512_add_pd(sum, _mm512_mul_pd(_mm512_mul_pd(fp02, a1), b0));
+        sum = _mm512_add_pd(sum, _mm512_mul_pd(_mm512_mul_pd(fp03, a1), b1));
+        sum = _mm512_add_pd(sum, _mm512_mul_pd(_mm512_mul_pd(fp10, a0), b1));
+        sum = _mm512_add_pd(sum, _mm512_mul_pd(_mm512_mul_pd(fp11, a0), b2));
+        sum = _mm512_add_pd(sum, _mm512_mul_pd(_mm512_mul_pd(fp12, a1), b1));
+        sum = _mm512_add_pd(sum, _mm512_mul_pd(_mm512_mul_pd(fp13, a1), b2));
+        sum = _mm512_add_pd(sum, _mm512_mul_pd(_mm512_mul_pd(fp20, a1), b0));
+        sum = _mm512_add_pd(sum, _mm512_mul_pd(_mm512_mul_pd(fp21, a1), b1));
+        sum = _mm512_add_pd(sum, _mm512_mul_pd(_mm512_mul_pd(fp22, a2), b0));
+        sum = _mm512_add_pd(sum, _mm512_mul_pd(_mm512_mul_pd(fp23, a2), b1));
+        sum = _mm512_add_pd(sum, _mm512_mul_pd(_mm512_mul_pd(fp30, a1), b1));
+        sum = _mm512_add_pd(sum, _mm512_mul_pd(_mm512_mul_pd(fp31, a1), b2));
+        sum = _mm512_add_pd(sum, _mm512_mul_pd(_mm512_mul_pd(fp32, a2), b1));
+        sum = _mm512_add_pd(sum, _mm512_mul_pd(_mm512_mul_pd(fp33, a2), b2));
+        __m512d u00 = _mm512_mul_pd(a0, b0);
+        u00 = _mm512_add_pd(u00, u00);
+        u00 = _mm512_mul_pd(u00, fp00);
+        __m512d t0 = u00;
+        __m512d u01 = _mm512_mul_pd(a0, b1);
+        u01 = _mm512_add_pd(u01, u01);
+        u01 = _mm512_mul_pd(u01, fp01);
+        t0 = _mm512_add_pd(t0, u01);
+        __m512d u02 = _mm512_mul_pd(a1, b0);
+        u02 = _mm512_add_pd(u02, u02);
+        u02 = _mm512_mul_pd(u02, fp02);
+        t0 = _mm512_add_pd(t0, u02);
+        __m512d u03 = _mm512_mul_pd(a1, b1);
+        u03 = _mm512_add_pd(u03, u03);
+        u03 = _mm512_mul_pd(u03, fp03);
+        t0 = _mm512_add_pd(t0, u03);
+        ff0 = _mm512_mask_add_pd(ff0, m, ff0, _mm512_div_pd(t0, sum));
+        __m512d u10 = _mm512_mul_pd(a0, b1);
+        u10 = _mm512_add_pd(u10, u10);
+        u10 = _mm512_mul_pd(u10, fp10);
+        __m512d t1 = u10;
+        __m512d u11 = _mm512_mul_pd(a0, b2);
+        u11 = _mm512_add_pd(u11, u11);
+        u11 = _mm512_mul_pd(u11, fp11);
+        t1 = _mm512_add_pd(t1, u11);
+        __m512d u12 = _mm512_mul_pd(a1, b1);
+        u12 = _mm512_add_pd(u12, u12);
+        u12 = _mm512_mul_pd(u12, fp12);
+        t1 = _mm512_add_pd(t1, u12);
+        __m512d u13 = _mm512_mul_pd(a1, b2);
+        u13 = _mm512_add_pd(u13, u13);
+        u13 = _mm512_mul_pd(u13, fp13);
+        t1 = _mm512_add_pd(t1, u13);
+        ff1 = _mm512_mask_add_pd(ff1, m, ff1, _mm512_div_pd(t1, sum));
+        __m512d u20 = _mm512_mul_pd(a1, b0);
+        u20 = _mm512_add_pd(u20, u20);
+        u20 = _mm512_mul_pd(u20, fp20);
+        __m512d t2 = u20;
+        __m512d u21 = _mm512_mul_pd(a1, b1);
+        u21 = _mm512_add_pd(u21, u21);
+        u21 = _mm512_mul_pd(u21, fp21);
+        t2 = _mm512_add_pd(t2, u21);
+        __m512d u22 = _mm512_mul_pd(a2, b0);
+        u22 = _mm512_add_pd(u22, u22);
+        u22 = _mm512_mul_pd(u22, fp22);
+        t2 = _mm512_add_pd(t2, u22);
+        __m512d u23 = _mm512_mul_pd(a2, b1);
+        u23 = _mm512_add_pd(u23, u23);
+        u23 = _mm512_mul_pd(u23, fp23);
+        t2 = _mm512_add_pd(t2, u23);
+        ff2 = _mm512_mask_add_pd(ff2, m, ff2, _mm512_div_pd(t2, sum));
+        __m512d u30 = _mm512_mul_pd(a1, b1);
+        u30 = _mm512_add_pd(u30, u30);
+        u30 = _mm512_mul_pd(u30, fp30);
+        __m512d t3 = u30;
+        __m512d u31 = _mm512_mul_pd(a1, b2);
+        u31 = _mm512_add_pd(u31, u31);
+        u31 = _mm512_mul_pd(u31, fp31);
+        t3 = _mm512_add_pd(t3, u31);
+        __m512d u32 = _mm512_mul_pd(a2, b1);
+        u32 = _mm512_add_pd(u32, u32);
+        u32 = _mm512_mul_pd(u32, fp32);
+        t3 = _mm512_add_pd(t3, u32);
+        __m512d u33 = _mm512_mul_pd(a2, b2);
+        u33 = _mm512_add_pd(u33, u33);
+        u33 = _mm512_mul_pd(u33, fp33);
+        t3 = _mm512_add_pd(t3, u33);
+        ff3 = _mm512_mask_add_pd(ff3, m, ff3, _mm512_div_pd(t3, sum));
+    }
+    _mm512_storeu_pd(ffout[0], ff0);
+    _mm512_storeu_pd(ffout[1], ff1);
+    _mm512_storeu_pd(ffout[2], ff2);
+    _mm512_storeu_pd(ffout[3], ff3);
+}
+#endif  // __AVX512F__
+
+static void strict_pair_em_group(
+        const double* __restrict gn1, const double* __restrict gn2,
+        const double* __restrict maf1, const double* __restrict maf2,
+        int ignore_miss, int64_t I, int nl,
+        const int G1[4][4], const int G2[4][4],
+        double* __restrict A, double* __restrict B,
+        double* __restrict inc,                // (I, 3, VW) x2, (I, VW)
+        double* __restrict f_out, int32_t* __restrict n_iter,
+        int32_t* __restrict n_used) {
+    for (int64_t i = 0; i < I; i++)
+        for (int c = 0; c < 3; c++)
+            for (int w = 0; w < VW; w++) {
+                int wl = w < nl ? w : nl - 1;   // pad lanes mirror the last
+                A[(i * 3 + c) * VW + w] = gn1[(wl * I + i) * 3 + c];
+                B[(i * 3 + c) * VW + w] = gn2[(wl * I + i) * 3 + c];
+            }
+    double x[VW];
+    for (int w = 0; w < VW; w++) x[w] = 0.0;
+    for (int64_t i = 0; i < I; i++) {
+        for (int w = 0; w < VW; w++) {
+            double m = 0.0;
+            if (ignore_miss) {
+                const double* a = A + i * 3 * VW + w;
+                const double* b = B + i * 3 * VW + w;
+                int ma = fabs(a[0 * VW] - a[1 * VW]) < K_EPSILON
+                    && fabs(a[1 * VW] - a[2 * VW]) < K_EPSILON;
+                int mb = fabs(b[0 * VW] - b[1 * VW]) < K_EPSILON
+                    && fabs(b[1 * VW] - b[2 * VW]) < K_EPSILON;
+                m = (ma || mb) ? 1.0 : 0.0;
+            }
+            inc[i * VW + w] = 1.0 - m;
+            if (m == 0.0) x[w] += 1.0;
+        }
+    }
+    double f[4][VW];
+    for (int w = 0; w < VW; w++) {
+        int wl = w < nl ? w : nl - 1;
+        f[0][w] = (1 - maf1[wl]) * (1 - maf2[wl]);
+        f[1][w] = (1 - maf1[wl]) * maf2[wl];
+        f[2][w] = maf1[wl] * (1 - maf2[wl]);
+        f[3][w] = maf1[wl] * maf2[wl];
+    }
+    double act[VW];
+    int32_t nit[VW];
+    for (int w = 0; w < VW; w++) { act[w] = 1.0; nit[w] = K_ITER_MAX; }
+    for (int it = 0; it < K_ITER_MAX; it++) {
+        int any = 0;
+        for (int w = 0; w < VW; w++) any |= act[w] != 0.0;
+        if (!any) break;
+        double ff[4][VW];
+#if defined(__AVX512F__)
+        em_iter_lanes(A, B, inc, I, f, ff);
+#else
+
+        for (int kk = 0; kk < 4; kk++)
+            for (int w = 0; w < VW; w++) ff[kk][w] = 0.0;
+        for (int64_t i = 0; i < I; i++) {
+            const double* __restrict a = A + i * 3 * VW;
+            const double* __restrict b = B + i * 3 * VW;
+            const double* __restrict iv = inc + i * VW;
+// 16-term fold fully unrolled with CONSTANT genotype indices
+            // (G1/G2 are symmetric: u and v of the reference's two
+            // orderings coincide bit-for-bit, gen_func.cpp:1099-1104;
+            // u+v is emitted as u+u on the identical value) so the
+            // w-loop body is straight-line lane math the vectorizer
+            // maps to 8-wide zmm ops — the loop-variant f[h][w]
+            // accesses of the rolled form defeated it
+#pragma omp simd
+            for (int w = 0; w < VW; w++) {
+                double f0 = f[0][w], f1 = f[1][w], f2 = f[2][w], f3 = f[3][w];
+                double a0 = a[0 * VW + w], a1 = a[1 * VW + w], a2 = a[2 * VW + w];
+                double b0 = b[0 * VW + w], b1 = b[1 * VW + w], b2 = b[2 * VW + w];
+                double fp00 = f0 * f0;
+                double fp01 = f0 * f1;
+                double fp02 = f0 * f2;
+                double fp03 = f0 * f3;
+                double fp10 = f1 * f0;
+                double fp11 = f1 * f1;
+                double fp12 = f1 * f2;
+                double fp13 = f1 * f3;
+                double fp20 = f2 * f0;
+                double fp21 = f2 * f1;
+                double fp22 = f2 * f2;
+                double fp23 = f2 * f3;
+                double fp30 = f3 * f0;
+                double fp31 = f3 * f1;
+                double fp32 = f3 * f2;
+                double fp33 = f3 * f3;
+                double sum = (fp00 * a0) * b0;
+                sum += (fp01 * a0) * b1;
+                sum += (fp02 * a1) * b0;
+                sum += (fp03 * a1) * b1;
+                sum += (fp10 * a0) * b1;
+                sum += (fp11 * a0) * b2;
+                sum += (fp12 * a1) * b1;
+                sum += (fp13 * a1) * b2;
+                sum += (fp20 * a1) * b0;
+                sum += (fp21 * a1) * b1;
+                sum += (fp22 * a2) * b0;
+                sum += (fp23 * a2) * b1;
+                sum += (fp30 * a1) * b1;
+                sum += (fp31 * a1) * b2;
+                sum += (fp32 * a2) * b1;
+                sum += (fp33 * a2) * b2;
+                double t0;
+                { double u = a0 * b0; u += u; u *= fp00; t0 = u; }
+                { double u = a0 * b1; u += u; u *= fp01; t0 += u; }
+                { double u = a1 * b0; u += u; u *= fp02; t0 += u; }
+                { double u = a1 * b1; u += u; u *= fp03; t0 += u; }
+                double q0 = t0 / sum;
+                ff[0][w] += iv[w] != 0.0 ? q0 : 0.0;
+                double t1;
+                { double u = a0 * b1; u += u; u *= fp10; t1 = u; }
+                { double u = a0 * b2; u += u; u *= fp11; t1 += u; }
+                { double u = a1 * b1; u += u; u *= fp12; t1 += u; }
+                { double u = a1 * b2; u += u; u *= fp13; t1 += u; }
+                double q1 = t1 / sum;
+                ff[1][w] += iv[w] != 0.0 ? q1 : 0.0;
+                double t2;
+                { double u = a1 * b0; u += u; u *= fp20; t2 = u; }
+                { double u = a1 * b1; u += u; u *= fp21; t2 += u; }
+                { double u = a2 * b0; u += u; u *= fp22; t2 += u; }
+                { double u = a2 * b1; u += u; u *= fp23; t2 += u; }
+                double q2 = t2 / sum;
+                ff[2][w] += iv[w] != 0.0 ? q2 : 0.0;
+                double t3;
+                { double u = a1 * b1; u += u; u *= fp30; t3 = u; }
+                { double u = a1 * b2; u += u; u *= fp31; t3 += u; }
+                { double u = a2 * b1; u += u; u *= fp32; t3 += u; }
+                { double u = a2 * b2; u += u; u *= fp33; t3 += u; }
+                double q3 = t3 / sum;
+                ff[3][w] += iv[w] != 0.0 ? q3 : 0.0;
+            }
+                }
+#endif
+        for (int w = 0; w < VW; w++) {
+            if (act[w] == 0.0) continue;
+            double two_x = 2.0 * x[w];
+            double fn[4];
+            for (int kk = 0; kk < 4; kk++) fn[kk] = ff[kk][w] / two_x;
+            for (int kk = 0; kk < 4; kk++) {
+                double denom = ((fn[0] + fn[1]) + fn[2]) + fn[3];
+                fn[kk] = fn[kk] / denom;
+            }
+            double eps = 0.0;
+            for (int kk = 0; kk < 4; kk++) {
+                double d = fabs(fn[kk] - f[kk][w]);
+                if (d > eps) eps = d;
+            }
+            for (int kk = 0; kk < 4; kk++) f[kk][w] = fn[kk];
+            if (eps < K_EPSILON) { nit[w] = it; act[w] = 0.0; }
+        }
+    }
+    for (int w = 0; w < nl; w++) {
+        n_used[w] = (int32_t)x[w];
+        n_iter[w] = nit[w];
+        for (int kk = 0; kk < 4; kk++) f_out[w * 4 + kk] = f[kk][w];
+    }
+}
+
 void ngsld_strict_pair_em(const double* gn1, const double* gn2,
                           const double* maf1, const double* maf2,
                           int ignore_miss, int64_t k, int64_t I,
                           double* f_out, int32_t* n_iter,
                           int32_t* n_used) {
+    {
+        // lane-parallel fast path (bit-identical; see above)
+        int G1[4][4], G2[4][4];
+        for (int a = 0; a < 4; a++)
+            for (int h = 0; h < 4; h++) {
+                G1[a][h] = (a >> 1) + (h >> 1);
+                G2[a][h] = (a & 1) + (h & 1);
+            }
+        std::vector<double> A(I * 3 * VW), B(I * 3 * VW), inc(I * VW);
+        for (int64_t p0 = 0; p0 < k; p0 += VW) {
+            int nl = (int)((k - p0) < VW ? (k - p0) : VW);
+            strict_pair_em_group(
+                gn1 + p0 * I * 3, gn2 + p0 * I * 3, maf1 + p0,
+                maf2 + p0, ignore_miss, I, nl, G1, G2,
+                A.data(), B.data(), inc.data(),
+                f_out + p0 * 4, n_iter + p0, n_used + p0);
+        }
+    }
+}
+
+// The original one-pair-at-a-time loop, kept as the verification oracle
+// for the lane-parallel path above (tests pin byte equality).
+void ngsld_strict_pair_em_scalar(const double* gn1, const double* gn2,
+                                 const double* maf1, const double* maf2,
+                                 int ignore_miss, int64_t k, int64_t I,
+                                 double* f_out, int32_t* n_iter,
+                                 int32_t* n_used) {
     // genotype-sum index maps (gen_func.cpp:1073-1074)
     int G1[4][4], G2[4][4];
     for (int a = 0; a < 4; a++)

@@ -364,3 +364,43 @@ def test_pearson_r2_native_matches_longdouble():
         nan = np.isnan(want) & np.isnan(got)
         np.testing.assert_array_equal(np.where(nan, 0, got),
                                       np.where(nan, 0, want))
+
+
+def test_lane_parallel_strict_em_byte_equal_scalar():
+    """The lane-parallel (8-wide) strict pair EM must be BYTE-identical
+    to the one-pair-at-a-time scalar oracle kept in the library
+    (ngsld_strict_pair_em_scalar): per-lane IEEE ops in the exact scalar
+    fold order, fma contraction disabled at build time (r5)."""
+    import ctypes
+
+    import numpy as np
+    import pytest
+
+    from ngsld_tpu.native import _dp, get_lib, strict_pair_em_native
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    fn = lib.ngsld_strict_pair_em_scalar
+    fn.restype = None
+    fn.argtypes = lib.ngsld_strict_pair_em.argtypes
+
+    rng = np.random.default_rng(33)
+    for k, I, im in [(257, 100, False), (64, 9, True), (5, 3, False)]:
+        gl = rng.dirichlet([2.0, 1.0, 1.0], size=(2 * k, I))
+        gl[rng.random((2 * k, I)) < 0.2] = 1 / 3   # missing rows
+        gn1 = np.ascontiguousarray(gl[:k])
+        gn2 = np.ascontiguousarray(gl[k:])
+        maf1 = rng.uniform(0, 0.5, k)
+        maf2 = rng.uniform(0, 0.5, k)
+        maf1[: k // 3] = rng.uniform(0, 1e-4, k // 3)  # degenerate band
+        f_v, it_v, nu_v = strict_pair_em_native(gn1, gn2, maf1, maf2, im)
+        f_s = np.empty((k, 4))
+        it_s = np.empty(k, np.int32)
+        nu_s = np.empty(k, np.int32)
+        fn(_dp(gn1), _dp(gn2), _dp(np.ascontiguousarray(maf1)),
+           _dp(np.ascontiguousarray(maf2)), int(im), k, I, _dp(f_s),
+           it_s.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+           nu_s.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        assert f_v.tobytes() == f_s.tobytes()
+        assert np.array_equal(it_v, it_s)
+        assert np.array_equal(nu_v, nu_s)
