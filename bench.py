@@ -712,6 +712,7 @@ def _run_cli(cmd, out, reps=1, timeout=900.0):
     if stages:
         res["stages"] = stages.get("stages", {})
         res["phases"] = stages.get("phases", {})
+        res["counters"] = stages.get("counters", {})
     return best, res
 
 
