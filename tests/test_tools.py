@@ -416,3 +416,41 @@ def test_n_threads_validation():
     with _pytest.raises(ConfigError, match="number of threads cannot be less than 1!"):
         Params(in_geno="x", n_ind=1, n_sites=1, max_kb_dist=0,
                n_threads=0).finalize()
+
+
+def test_bench_compact_line_stays_small():
+    """The driver records only a tail window of bench.py's stdout; two
+    rounds of headline numbers died to artifact plumbing (VERDICT r3/r4).
+    Pin the contract: the final line stays < 1.5 KB with the headline
+    fields FIRST, even with every leg populated."""
+    import importlib.util
+    import json
+    import pathlib
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    detail = {
+        "headline_from": "strip_kernel",
+        "link_canary": {"push_mb_s": 238.123456, "pull_mb_s": 16.62345,
+                        "roundtrip_latency_s": 0.181234},
+        "strip_kernel": {"evals_per_sec": 1.8993009e10},
+        "gather_kernel": {"evals_per_sec": 8.1504321e9},
+        "large_cohort_kernel": {"evals_per_sec": 7.0554321e9},
+        "streamed_strip_kernel": {"evals_per_sec": 1.1324321e10},
+    }
+    for leg in ("e2e", "e2e_small", "e2e_sampled", "e2e_allpairs",
+                "e2e_ring"):
+        detail[leg] = {"wall_s": 162.4123, "median_s": 213.0123,
+                       "n_reps": 3, "speedup_vs_reference": 4.20123,
+                       "ref_measured": "session", "ref_seconds": 686.74}
+    compact = {"metric": "pair_em_evals_per_sec",
+               "value": bench._r4(1.8993009e10), "unit": "pair*ind*iter/s",
+               "vs_baseline": bench._r4(18.993),
+               "detail": bench._compact_detail(detail)}
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1200, len(line)
+    assert line.startswith('{"metric":"pair_em_evals_per_sec","value":')
+    parsed = json.loads(line)
+    assert parsed["value"] == 1.899e10
+    assert parsed["detail"]["e2e"]["x"] == 4.201
