@@ -685,6 +685,10 @@ def _run_cli(cmd, out, reps=1, timeout=900.0):
                 pass
             p.wait()
             _CHILD[0] = None
+            # killing a device-attached child mid-op poisons the tunnel
+            # lease for the NEXT process (FAILED_PRECONDITION, PERF.md);
+            # give it a recovery window before another attempt
+            time.sleep(45)
             if not times:
                 return None, {"error": f"timeout after {timeout:.0f}s"}
             continue   # keep the completed reps
@@ -760,7 +764,9 @@ def e2e_small_bench():
     cmd = _cli_cmd(glf, pos, 25_000,
                    ["--max_kb_dist", "100", "--extend_out",
                     "--engine", "jax", "--out", out, "--verbose", "0"])
-    best, res = _run_cli(cmd, out, reps=reps, timeout=400.0)
+    # expected ~45-60 s/rep; a tighter per-attempt timeout stops one
+    # stalled rep from eating the secondary legs' budget
+    best, res = _run_cli(cmd, out, reps=reps, timeout=240.0)
     if best is None:
         return res
     res["config"] = "25k x 100, --max_kb_dist 100 --extend_out (binary GL)"
@@ -921,10 +927,13 @@ def main():
         detail["headline_from"] = "gather_kernel"
     leg("large_cohort_kernel", large_cohort_kernel_bench)
     leg("streamed_strip_kernel", streamed_strip_kernel_bench)
-    # 2) e2e legs (subprocesses with hard per-attempt timeouts)
+    # 2) e2e legs (subprocesses with hard per-attempt timeouts). The
+    # three VERDICT-tracked metrics (dense, sampled, variance anchor)
+    # run regardless of budget; allpairs/ring are budget-gated — a
+    # stall-lottery session must never skip a tracked number.
     leg("e2e", e2e_bench, always=True)
+    leg("e2e_sampled", e2e_sampled_bench, always=True)
     leg("e2e_small", e2e_small_bench, always=True)
-    leg("e2e_sampled", e2e_sampled_bench)
     leg("e2e_allpairs", e2e_allpairs_bench)
     leg("e2e_ring", e2e_ring_bench)
 
