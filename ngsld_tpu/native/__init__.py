@@ -148,6 +148,12 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int, i64, i64, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.ngsld_strict_siteprep_mt.restype = ctypes.c_int
+        lib.ngsld_strict_siteprep_mt.argtypes = \
+            lib.ngsld_strict_siteprep.argtypes + [ctypes.c_int]
+        lib.ngsld_strict_pair_em_mt.restype = None
+        lib.ngsld_strict_pair_em_mt.argtypes = \
+            lib.ngsld_strict_pair_em.argtypes + [ctypes.c_int]
         lib.ngsld_plan_slab.restype = i64
         lib.ngsld_plan_slab.argtypes = [
             i64, i64, ctypes.POINTER(i64), ctypes.POINTER(ctypes.c_double),
@@ -548,10 +554,10 @@ def strict_siteprep_native(rows, in_logscale: bool, text_norm: bool,
     gn = np.empty_like(rows)
     maf = np.empty(m, np.float64)
     eg = np.empty((m, I), np.float64)
-    rc = lib.ngsld_strict_siteprep(
+    rc = lib.ngsld_strict_siteprep_mt(
         _dp(rows), m, I, int(in_logscale), int(text_norm), int(call_geno),
         N_thresh, call_thresh, int(ignore_miss), _dp(gn), _dp(maf),
-        _dp(eg))
+        _dp(eg), min(os.cpu_count() or 1, 8))
     if rc != 0:
         raise StrictError("read_geno",
                           "NaN found! Is the file format correct?")
@@ -570,10 +576,11 @@ def strict_pair_em_native(gn1, gn2, maf1, maf2, ignore_miss: bool):
     f = np.empty((k, 4), np.float64)
     n_iter = np.empty(k, np.int32)
     n_used = np.empty(k, np.int32)
-    lib.ngsld_strict_pair_em(
+    lib.ngsld_strict_pair_em_mt(
         _dp(gn1), _dp(gn2), _dp(np.ascontiguousarray(maf1, np.float64)),
         _dp(np.ascontiguousarray(maf2, np.float64)), int(ignore_miss),
         k, I, _dp(f),
         n_iter.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        n_used.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        n_used.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        min(os.cpu_count() or 1, 8))
     return f, n_iter.astype(np.int64), n_used.astype(np.int64)

@@ -1252,6 +1252,38 @@ int ngsld_strict_siteprep(double* rows, int64_t m, int64_t I,
     return 0;
 }
 
+// Threaded siteprep: sites partition across workers (each site's outputs
+// are independent, so results are byte-identical at any thread count).
+// Returns nonzero if any slice hit the reference's NaN error.
+int ngsld_strict_siteprep_mt(double* rows, int64_t m, int64_t I,
+                             int in_logscale, int text_norm, int call_geno,
+                             double N_thresh, double call_thresh,
+                             int ignore_miss, double* gn, double* maf,
+                             double* eg, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if ((int64_t)n_threads > m) n_threads = (int)(m ? m : 1);
+    if (n_threads == 1)
+        return ngsld_strict_siteprep(rows, m, I, in_logscale, text_norm,
+                                     call_geno, N_thresh, call_thresh,
+                                     ignore_miss, gn, maf, eg);
+    std::vector<int> rcs((size_t)n_threads, 0);
+    auto work = [&](int t) {
+        int64_t lo = m * t / n_threads;
+        int64_t hi = m * (t + 1) / n_threads;
+        if (hi <= lo) return;
+        rcs[(size_t)t] = ngsld_strict_siteprep(
+            rows + lo * I * 3, hi - lo, I, in_logscale, text_norm,
+            call_geno, N_thresh, call_thresh, ignore_miss,
+            gn + lo * I * 3, maf + lo, eg + lo * I);
+    };
+    std::vector<std::thread> ths;
+    for (int t = 1; t < n_threads; t++) ths.emplace_back(work, t);
+    work(0);
+    for (auto& th : ths) th.join();
+    for (int r : rcs) if (r) return r;
+    return 0;
+}
+
 // Bit-exact pair_freq_iter (gen_func.cpp:1027-1119 / strict.pair_em_batch)
 // over k pairs: gn1/gn2 (k, I, 3) NORMAL-space GLs, maf1/maf2 (k,).
 // Outputs f (k, 4), n_iter (k,), n_used (k,).
@@ -1580,6 +1612,39 @@ void ngsld_strict_pair_em(const double* gn1, const double* gn2,
                 f_out + p0 * 4, n_iter + p0, n_used + p0);
         }
     }
+}
+
+// Threaded front-end: pairs partition across worker threads, each
+// running the lane-parallel path on its slice. Results are
+// partition-invariant (lanes never interact — grouping affects only
+// execution time), so any thread count produces byte-identical output;
+// tests pin _mt == single-thread == scalar. On a 1-core host this is a
+// pass-through.
+void ngsld_strict_pair_em_mt(const double* gn1, const double* gn2,
+                             const double* maf1, const double* maf2,
+                             int ignore_miss, int64_t k, int64_t I,
+                             double* f_out, int32_t* n_iter,
+                             int32_t* n_used, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if ((int64_t)n_threads > k) n_threads = (int)(k ? k : 1);
+    if (n_threads == 1) {
+        ngsld_strict_pair_em(gn1, gn2, maf1, maf2, ignore_miss, k, I,
+                             f_out, n_iter, n_used);
+        return;
+    }
+    auto work = [&](int t) {
+        int64_t lo = k * t / n_threads;
+        int64_t hi = k * (t + 1) / n_threads;
+        if (hi <= lo) return;
+        ngsld_strict_pair_em(gn1 + lo * I * 3, gn2 + lo * I * 3,
+                             maf1 + lo, maf2 + lo, ignore_miss,
+                             hi - lo, I, f_out + lo * 4, n_iter + lo,
+                             n_used + lo);
+    };
+    std::vector<std::thread> ths;
+    for (int t = 1; t < n_threads; t++) ths.emplace_back(work, t);
+    work(0);
+    for (auto& th : ths) th.join();
 }
 
 // The original one-pair-at-a-time loop, kept as the verification oracle

@@ -404,3 +404,55 @@ def test_lane_parallel_strict_em_byte_equal_scalar():
         assert f_v.tobytes() == f_s.tobytes()
         assert np.array_equal(it_v, it_s)
         assert np.array_equal(nu_v, nu_s)
+
+
+def test_mt_strict_paths_partition_invariant():
+    """ngsld_strict_pair_em_mt / ngsld_strict_siteprep_mt: results are
+    byte-identical at ANY thread count (per-pair/per-site work never
+    crosses a partition; r5 — multi-core hosts scale the knife-edge
+    repair like the MT formatter)."""
+    import ctypes
+
+    import numpy as np
+    import pytest
+
+    from ngsld_tpu.native import (_dp, get_lib, strict_pair_em_native,
+                                  strict_siteprep_native)
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    k, I = 403, 17
+    gl = rng.dirichlet([2.0, 1.0, 1.0], size=(2 * k, I))
+    gl[rng.random((2 * k, I)) < 0.1] = 1 / 3
+    gn1 = np.ascontiguousarray(gl[:k])
+    gn2 = np.ascontiguousarray(gl[k:])
+    maf1 = rng.uniform(0, 0.5, k)
+    maf2 = rng.uniform(0, 0.5, k)
+    ref = strict_pair_em_native(gn1, gn2, maf1, maf2, True)
+    for nt in (2, 5, 8):
+        f = np.empty((k, 4))
+        it = np.empty(k, np.int32)
+        nu = np.empty(k, np.int32)
+        lib.ngsld_strict_pair_em_mt(
+            _dp(gn1), _dp(gn2), _dp(np.ascontiguousarray(maf1)),
+            _dp(np.ascontiguousarray(maf2)), 1, k, I, _dp(f),
+            it.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            nu.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), nt)
+        assert f.tobytes() == ref[0].tobytes()
+        assert np.array_equal(it, ref[1]) and np.array_equal(nu, ref[2])
+    raw = np.log(rng.dirichlet([2.0, 1.0, 1.0], size=(397, 13)))
+    ref2 = strict_siteprep_native(raw.copy(), True, False, True, 0.3,
+                                  0.9, True)
+    for nt in (3, 7):
+        rows = np.ascontiguousarray(raw.copy())
+        gn = np.empty_like(rows)
+        maf = np.empty(397)
+        eg = np.empty((397, 13))
+        rc = lib.ngsld_strict_siteprep_mt(
+            _dp(rows), 397, 13, 1, 0, 1, 0.3, 0.9, 1, _dp(gn), _dp(maf),
+            _dp(eg), nt)
+        assert rc == 0
+        assert gn.tobytes() == ref2[0].tobytes()
+        assert maf.tobytes() == ref2[1].tobytes()
+        assert eg.tobytes() == ref2[2].tobytes()
