@@ -979,6 +979,12 @@ def main():
              "--n_sites", "100000", "--pos", pos100,
              "--max_kb_dist", "100", "--extend_out"],
             [glf100, pos100], prior=870.0, min_s=120)
+    glf4k = "/tmp/ngsld_bench_fix_4k/sim.glf"
+    if os.path.exists(glf4k):
+        ref_leg("e2e_allpairs", "4k_allpairs",
+                ["--geno", glf4k, "--log_scale", "--n_ind", "100",
+                 "--n_sites", "4096", "--max_kb_dist", "0",
+                 "--extend_out"], [glf4k], prior=None, min_s=120)
     _emit()
     return 0 if RESULT["value"] > 0 else 1
 
