@@ -660,15 +660,31 @@ def _attach_ref(leg, ref, ours_key="wall_s", prior=None):
 
 # ---- e2e CLI legs -----------------------------------------------------
 
+# absolute deadline (perf_counter) for e2e reps, set by main() from the
+# self-watchdog alarm. Killing a stalled rep poisons the tunnel lease for
+# every later leg (FAILED_PRECONDITION cascade — observed wiping a whole
+# bench run), so reps get GENEROUS timeouts bounded by the remaining wall
+# instead of tight per-rep ones.
+_DEADLINE = [None]
+
+
 def _run_cli(cmd, out, reps=1, timeout=900.0):
-    """Run an e2e CLI leg with a HARD per-attempt timeout: one tunnel
-    stall must cost one leg, never the whole bench (VERDICT r3). Collects
-    ALL successful rep times plus the engine's stage split (pull/dispatch/
-    format, via NGSLD_TIMINGS_JSON) for the fastest rep."""
+    """Run an e2e CLI leg, collecting ALL successful rep times plus the
+    engine's stage split (pull/dispatch/format, via NGSLD_TIMINGS_JSON)
+    for the fastest rep. Per-rep timeout is clamped to the wall left
+    before the self-watchdog; further reps are skipped rather than
+    killed when the wall runs short."""
     times, stages = [], None
     tj = out + ".timings.json"
     env = dict(os.environ, NGSLD_TIMINGS_JSON=tj)
     for _ in range(reps):
+        if _DEADLINE[0] is not None:
+            rem = _DEADLINE[0] - time.perf_counter()
+            if rem < 90:
+                if not times:
+                    return None, {"error": "no wall left before watchdog"}
+                break
+            timeout = min(timeout, rem - 60)
         if os.path.exists(tj):
             os.unlink(tj)
         t0 = time.perf_counter()
@@ -688,7 +704,7 @@ def _run_cli(cmd, out, reps=1, timeout=900.0):
             # killing a device-attached child mid-op poisons the tunnel
             # lease for the NEXT process (FAILED_PRECONDITION, PERF.md);
             # give it a recovery window before another attempt
-            time.sleep(45)
+            time.sleep(90)
             if not times:
                 return None, {"error": f"timeout after {timeout:.0f}s"}
             continue   # keep the completed reps
@@ -740,7 +756,7 @@ def e2e_bench():
     cmd = _cli_cmd(glf, pos, 100_000,
                    ["--max_kb_dist", "100", "--extend_out",
                     "--engine", "jax", "--out", out, "--verbose", "0"])
-    best, res = _run_cli(cmd, out, reps=2, timeout=700.0)
+    best, res = _run_cli(cmd, out, reps=2, timeout=1100.0)
     if best is None:
         return res
     res.update({
@@ -766,7 +782,7 @@ def e2e_small_bench():
                     "--engine", "jax", "--out", out, "--verbose", "0"])
     # expected ~45-60 s/rep; a tighter per-attempt timeout stops one
     # stalled rep from eating the secondary legs' budget
-    best, res = _run_cli(cmd, out, reps=reps, timeout=240.0)
+    best, res = _run_cli(cmd, out, reps=reps, timeout=420.0)
     if best is None:
         return res
     res["config"] = "25k x 100, --max_kb_dist 100 --extend_out (binary GL)"
@@ -873,6 +889,9 @@ def main():
     hard_wall = int(os.environ.get("NGSLD_BENCH_HARD_WALL", "2700"))
     signal.alarm(hard_wall)
     t_alarm = time.perf_counter() + hard_wall
+    # e2e reps stop (not kill) when the watchdog wall nears: a killed
+    # device-attached child poisons the tunnel lease for every later leg
+    _DEADLINE[0] = t_alarm - 150.0
     # persistent compile cache: the strip kernels cost 40-260 s of Mosaic
     # compile each through the tunnel; reruns on this box must not repay it
     import jax
