@@ -203,7 +203,9 @@ def link_canary():
     lat = time.perf_counter() - t0
     t0 = time.perf_counter()
     dev = jax.device_put(host)
-    dev.block_until_ready()
+    # sync via a dependent 32 B pull: block_until_ready proved unreliable
+    # on the tunneled backend (see strip_kernel_bench.timeit)
+    _ = np.asarray(dev[:8])
     push = time.perf_counter() - t0
     t0 = time.perf_counter()
     _ = np.asarray(dev)
@@ -260,12 +262,17 @@ def strip_kernel_bench():
             jnp.asarray(ta), jnp.asarray(tb))
 
     # tables as ARGUMENTS (not closure constants): tunneled
-    # remote-compile endpoints cap the request body (HTTP 413)
+    # remote-compile endpoints cap the request body (HTTP 413).
+    # Every timed fn returns a SCALAR depending on the kernel outputs and
+    # timeit pulls it per rep: block_until_ready proved unreliable on the
+    # tunneled backend (one degraded-link session returned in ~30 us and
+    # produced a 2.7e14 "headline"); a host scalar pull is a real sync.
     def make_flat(first_check):
         @jax.jit
         def fn(ga_, gb_, ea_, eb_):
-            return strip_em_flat(ga_, gb_, ea_, eb_, *base, n_ind=I,
-                                 slim_im=True, first_check=first_check)
+            fm, im = strip_em_flat(ga_, gb_, ea_, eb_, *base, n_ind=I,
+                                   slim_im=True, first_check=first_check)
+            return jnp.sum(im[:, 0].astype(jnp.int32)), fm, im
         return fn
 
     def make_compact(first_check):
@@ -279,13 +286,17 @@ def strip_kernel_bench():
 
     def timeit(callp, reps=5):
         out = callp()
-        jax.block_until_ready(out)   # warmup + compile
+        sync = int(out[0])           # warmup + compile + real sync
         dt = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             out = callp()
-            jax.block_until_ready(out)
+            sync = int(out[0])       # scalar pull = sync
             dt = min(dt, time.perf_counter() - t0)
+        if not (dt > 0.01):          # 4M-pair EM cannot finish in 10 ms
+            raise RuntimeError(
+                f"implausible kernel timing {dt * 1e3:.3f} ms — "
+                "device sync is broken on this link")
         return dt, out
 
     # compile-failure ladder: engine default (flat, first_check=30) ->
@@ -299,7 +310,7 @@ def strip_kernel_bench():
             if mode == "flat":
                 fn = make_flat(fc)
                 dt, out = timeit(lambda: fn(ga, gb, ea, eb))
-                nit = np.asarray(out[1]).reshape(-1)
+                nit = np.asarray(out[2]).reshape(-1)
                 total = int((nit[sel].astype(np.int64) + 1).sum())
             else:
                 fn = make_compact(fc)

@@ -6,6 +6,13 @@ Measures, best-of-5 each:
   compact strip_em_compact + counted-evals scalar     — r4 default
   flat    strip_em_flat (transpose+concat epilogue)   — r5 candidate
 Counted evals come from one nit pull outside the timed reps.
+
+NOTE: timings here sync via jax.block_until_ready, which one degraded
+tunnel session silently turned into a no-op (bench.py now syncs every
+timed rep with a scalar host pull instead and rejects implausible
+times). The numbers recorded in PERF.md r5 from this harness are
+corroborated by the scalar-pull compact leg (513.7 ms) minus the known
+take() cost, and by bench run artifacts from healthy sessions.
 """
 import sys
 import time
