@@ -589,11 +589,13 @@ def _file_sig(path):
     return f"{st.st_size}:{int(st.st_mtime)}"
 
 
-def ref_measure(key, ref_args, fixture_files, timeout):
+def ref_measure(key, ref_args, fixture_files, timeout, min_run_s=0.0):
     """Time the reference binary on the SAME fixture an e2e leg used.
     Results cache per (config key + fixture signature) in /tmp so reruns
     on this box skip the (minutes-long, 1-CPU) reference run; the artifact
-    records whether the number came from this session or the cache."""
+    records whether the number came from this session or the cache.
+    min_run_s: smallest timeout worth STARTING a run for (the cache is
+    consulted regardless)."""
     sig = hashlib.sha1(
         (key + "|" + "|".join(_file_sig(f) for f in fixture_files)
          ).encode()).hexdigest()[:16]
@@ -607,6 +609,8 @@ def ref_measure(key, ref_args, fixture_files, timeout):
         e = dict(cache[sig])
         e["measured"] = "cached-this-box"
         return e
+    if timeout < min_run_s:
+        return {"error": f"skipped: {timeout:.0f}s wall left"}
     binp = _ref_binary()
     if binp is None:
         return {"error": "reference oracle build failed"}
@@ -980,11 +984,12 @@ def main():
         if not isinstance(target, dict) or "wall_s" not in target:
             return
         t0 = time.perf_counter()
-        if remaining() < min_s:
-            ref = {"error": f"skipped: {remaining():.0f}s wall left"}
-        else:
-            ref = ref_measure(ref_key, ref_args, fixtures,
-                              timeout=remaining())
+        # the /tmp cache costs nothing — consult it even with no wall
+        # left (ref_measure returns immediately on a hit); only an
+        # actual reference RUN is gated on the remaining wall
+        ref = ref_measure(ref_key, ref_args, fixtures,
+                          timeout=max(remaining(), 1.0),
+                          min_run_s=min_s)
         ref.setdefault("leg_wall_s", round(time.perf_counter() - t0, 2))
         detail[f"ref_{ref_key}"] = ref
         _attach_ref(target, ref, prior=prior)
