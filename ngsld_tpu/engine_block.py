@@ -968,6 +968,12 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                 out_fh.write(hdr if hasattr(out_fh, "encoding")
                              else hdr.encode())
                 ckpt.concatenate(out_fh, n_blocks)
+        if refiner is not None:
+            # sub-stage attribution of the strict-repair wall (read/prep/
+            # gather/pearson/em/stats) — the dominant host cost on every
+            # e2e leg, now visible in the timings artifact
+            for k, v in sorted(refiner.t.items()):
+                log.count_time(f"sweep: fmt/refine/{k}", v)
         log.summary()
     finally:
         if profile_dir:

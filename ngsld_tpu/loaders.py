@@ -43,7 +43,8 @@ class _StreamedGLLoader:
             return False
         return size == pars.n_sites * pars.n_ind * 3 * 8
 
-    def __init__(self, pars, np_dtype, touch=lambda: None, hold=None):
+    def __init__(self, pars, np_dtype, touch=lambda: None, hold=None,
+                 stream_np=False):
         import queue
         import threading
         self._pars = pars
@@ -56,10 +57,12 @@ class _StreamedGLLoader:
         self._err = []
         self._reader = threading.Thread(
             target=self._read, daemon=True, name="ngsld-gl-read")
-        self._uploader = threading.Thread(
-            target=self._upload, daemon=True, name="ngsld-gl-upload")
         self._reader.start()
-        self._uploader.start()
+        self._uploader = None
+        if not stream_np:
+            self._uploader = threading.Thread(
+                target=self._upload, daemon=True, name="ngsld-gl-upload")
+            self._uploader.start()
 
     def _read(self):
         p = self._pars
@@ -115,6 +118,19 @@ class _StreamedGLLoader:
             # drain so the reader never blocks on a full queue
             while self._q.get() is not None:
                 pass
+
+    def np_slabs(self):
+        """stream_np mode: yield host slabs in file order (the reader
+        thread keeps at most 2 queued); raises the reader's error (the
+        reference's NaN semantics) after the stream ends."""
+        while True:
+            a = self._q.get()
+            if a is None:
+                break
+            yield a
+        self._reader.join()
+        if self._err:
+            raise self._err[0]
 
     def join(self):
         import jax.numpy as jnp

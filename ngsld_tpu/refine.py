@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 
 import numpy as np
 
@@ -291,24 +292,46 @@ class StrictRefiner:
         # pair batches with ONE fancy-index per array instead of 2k+
         # per-site np.stack items (the r5 profile measured the stacked
         # dict layout at ~1.7 s per 50k-pair batch, per array)
-        self._idx = {}   # site -> row in the cache arrays
+        # site -> cache row as a flat int32 lookup (-1 = absent): the
+        # membership test, the insert and the pair->row gather are all
+        # single vectorized numpy ops. The previous dict[site] layout plus
+        # concatenate-per-batch growth cost 12-15 s of the 1M sampled
+        # leg's refine wall (r5 probe) — Python-loop inserts and O(N^2)
+        # recopies on the fmt thread of a 1-core host.
+        self._idx_arr = np.full(pars.n_sites, -1, np.int32)
+        # capacity-doubling row buffers: appending a batch is O(batch)
+        # amortized
+        self._n = 0
+        self._cap = 0
         self._gn = np.empty((0, pars.n_ind, 3), np.float64)
         self._eg = np.empty((0, pars.n_ind), np.float64)
         self._maf_arr = np.empty(0, np.float64)
+        # wall-seconds by sub-stage (read/prep/gather/pearson/em/stats) —
+        # surfaced as `sweep: fmt/refine/<k>` in --verbose timings so e2e
+        # artifacts attribute the refine wall (the top CPU stage on every
+        # leg) without a profiler run
+        self.t = {}
+
+    def _tick(self, key, t0) -> float:
+        now = time.perf_counter()
+        self.t[key] = self.t.get(key, 0.0) + (now - t0)
+        return now
 
     def _ensure(self, sites) -> None:
-        missing = sorted({int(s) for s in sites} - self._idx.keys())
-        if not missing:
+        uniq = np.unique(np.asarray(sites, np.int64))
+        arr = uniq[self._idx_arr[uniq] < 0]
+        if not len(arr):
             return
-        arr = np.asarray(missing, np.int64)
         # native fast path: raw rows + the whole strict site pipeline
         # (post_prob/call_geno/est_maf/E[G]) in C, bit-identical to the
         # Python strict path (ngsld_strict_siteprep)
         done = False
+        t0 = time.perf_counter()
         if os.environ.get("NGSLD_NO_NATIVE") != "1":
             try:
                 from .native import strict_siteprep_native
                 raw, text_norm = self._read_raw_rows(arr)
+                t0 = self._tick("read", t0)
                 if raw is not None:
                     out = strict_siteprep_native(
                         raw, self.pars.in_logscale, text_norm,
@@ -321,23 +344,34 @@ class StrictRefiner:
                 pass
         if not done:
             rows = load_gl_rows(self.pars, arr)
+            t0 = self._tick("read", t0)
             if self.pars.call_geno:
                 strict.call_geno_inplace(rows, self.pars.N_thresh,
                                          self.pars.call_thresh)
             maf = strict.est_maf_all(rows, self.pars.ignore_miss_data)
             gn = strict.libm_exp(rows)
             eg = gn[:, :, 1] + 2 * gn[:, :, 2]
-        base = len(self._maf_arr)
-        self._gn = np.concatenate([self._gn, gn])
-        self._eg = np.concatenate([self._eg, eg])
-        self._maf_arr = np.concatenate(
-            [self._maf_arr, np.asarray(maf, np.float64)])
-        for j, s in enumerate(missing):
-            self._idx[s] = base + j
+        t0 = self._tick("prep", t0)
+        base = self._n
+        need = base + len(arr)
+        if need > self._cap:
+            cap = max(need, 2 * self._cap, 4096)
+            I = self.pars.n_ind
+            for name, shape in (("_gn", (cap, I, 3)), ("_eg", (cap, I)),
+                                ("_maf_arr", (cap,))):
+                buf = np.empty(shape, np.float64)
+                buf[:base] = getattr(self, name)[:base]
+                setattr(self, name, buf)
+            self._cap = cap
+        self._gn[base:need] = gn
+        self._eg[base:need] = eg
+        self._maf_arr[base:need] = np.asarray(maf, np.float64)
+        self._n = need
+        self._idx_arr[arr] = np.arange(base, need, dtype=np.int32)
+        self._tick("cache", t0)
 
     def _rows(self, sites) -> np.ndarray:
-        return np.fromiter((self._idx[int(s)] for s in sites),
-                           np.int64, len(sites))
+        return self._idx_arr[np.asarray(sites, np.int64)].astype(np.int64)
 
     def _read_raw_rows(self, sites):
         """(rows, text_norm) for the native siteprep: binary input reads
@@ -368,11 +402,14 @@ class StrictRefiner:
         s1 = np.asarray(s1, np.int64)
         s2 = np.asarray(s2, np.int64)
         self._ensure(np.concatenate([s1, s2]))
+        t0 = time.perf_counter()
         i1, i2 = self._rows(s1), self._rows(s2)
         gn1, gn2 = self._gn[i1], self._gn[i2]
         eg1, eg2 = self._eg[i1], self._eg[i2]
         maf1, maf2 = self._maf_arr[i1], self._maf_arr[i2]
+        t0 = self._tick("gather", t0)
         r2p = strict.pearson_r2_batch(eg1, eg2)
+        t0 = self._tick("pearson", t0)
         em = None
         if os.environ.get("NGSLD_NO_NATIVE") != "1":
             try:
@@ -385,8 +422,10 @@ class StrictRefiner:
             em = strict.pair_em_batch(gn1, gn2, maf1, maf2,
                                       self.pars.ignore_miss_data)
         f, n_iter, n_used = em
+        t0 = self._tick("em", t0)
         hmaf0, hmaf1, D, Dp, r2 = strict.ld_stats_batch(f)
         chi2 = strict.chi2_batch(f)
+        self._tick("stats", t0)
         return dict(r2p=r2p, f=f, n_iter=n_iter, n_used=n_used,
                     maf1=maf1, maf2=maf2, hmaf1=hmaf0, hmaf2=hmaf1,
                     D=D, Dp=Dp, r2=r2, chi2=chi2)
