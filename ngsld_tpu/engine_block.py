@@ -131,14 +131,32 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
     import jax.numpy as jnp
     from .ops.preprocess import preprocess
 
+    ingest = None
     try:
         loader = None
         raw_gl = False  # loader delivers UNNORMALIZED records
         np_dt = np.float64 if dt == jnp.float64 else np.float32
+        # upload/compute overlap (loaders._OverlapIngest): slab-wise
+        # preprocess + coverage-gated dispatch hides the GL transfer under
+        # the sweep. Engaged only when the PLAN cannot depend on unloaded
+        # data (min_maf <= 0: the maf filter is constant-true,
+        # ngsLD.cpp:264,270), on a single-device mesh, and when a
+        # mid-sweep read error can keep the reference's no-output surface
+        # (seekable out -> truncate; checkpoint mode never wrote to out).
+        overlap = (
+            _StreamedGLLoader.applicable(pars)
+            and os.environ.get("NGSLD_OVERLAP_UPLOAD", "1") != "0"
+            and pars.min_maf <= 0
+            and pars.shard == 1 and getattr(pars, "shard_ind", 1) == 1
+            and pars.verbose < 7
+            and (bool(getattr(pars, "checkpoint", None))
+                 or bool(getattr(out_fh, "seekable", lambda: False)())))
+        ingest = None
         if _StreamedGLLoader.applicable(pars):
             # binary input: stream file slabs straight to the device while
             # the positions parse below runs; normalize on device
-            loader = _StreamedGLLoader(pars, np_dt, touch=touch, hold=hold)
+            loader = _StreamedGLLoader(pars, np_dt, touch=touch, hold=hold,
+                                       stream_np=overlap)
             raw_gl = True
         elif _StreamedTextLoader.applicable(pars):
             # gz-text input: native line parsing streams to the device the
@@ -161,12 +179,25 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                 log.log(6, f"{s}\t{pos_dist[s]:f}")
 
         with log.phase("Preprocessing (call_geno, MAF, E[G]) on device"):
-            pre = jax.jit(functools.partial(
+            pre_partial = functools.partial(
                 preprocess, call=pars.call_geno, N_thresh=pars.N_thresh,
                 call_thresh=pars.call_thresh,
                 ignore_miss_data=pars.ignore_miss_data,
-                raw=raw_gl, in_log=pars.in_logscale))
-            if loader is not None:
+                raw=raw_gl, in_log=pars.in_logscale)
+            pre = jax.jit(pre_partial)
+            if overlap:
+                from .loaders import _OverlapIngest
+                ingest = _OverlapIngest(loader, pars, dt, pre_partial,
+                                        touch=touch, hold=hold)
+                gn_d = eg_d = maf_d = None
+                maf = ingest.maf_host   # filled slab-by-slab, read by fmt
+                # the PLAN's maf consumer is constant-true at min_maf<=0;
+                # give it defined values so nothing reads uninitialized
+                # memory (knife_edge_sites is empty at min_maf<=0 too)
+                maf_plan = np.zeros(pars.n_sites, np.float64)
+                log.log(2, "==> overlap ingest: GL upload + preprocess "
+                           "run under the sweep (coverage-gated blocks)")
+            elif loader is not None:
                 with log.phase("  gl stream+upload", level=2), hold():
                     gl_d = loader.join()
             else:
@@ -180,15 +211,17 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                     gl_d.block_until_ready()
                     touch()
                 del host_gl
-            with log.phase("  preprocess jit", level=2):
-                gn_d, maf_d, eg_d = pre(gl_d)
-                touch()
-            # only MAF returns to the host (the plan needs it); GL/E[G]
-            # tables stay device-resident for the sweep
-            with log.phase("  maf to host", level=2), hold():
-                # np.array: a writable copy (knife-edge refinement writes)
-                maf = np.array(maf_d, np.float64)
-                touch()
+            if not overlap:
+                with log.phase("  preprocess jit", level=2):
+                    gn_d, maf_d, eg_d = pre(gl_d)
+                    touch()
+                # only MAF returns to the host (the plan needs it); GL/E[G]
+                # tables stay device-resident for the sweep
+                with log.phase("  maf to host", level=2), hold():
+                    # np.array: writable copy (knife-edge refinement writes)
+                    maf = np.array(maf_d, np.float64)
+                    touch()
+                maf_plan = maf
 
         from .refine import (StrictRefiner, degenerate_tiers,
                              knife_edge_sites)
@@ -275,7 +308,10 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
             # limit the STREAMED strip kernel takes over automatically
             # (pallas_strip.strip_streamed)
             hi_b = _bl(pos_dist, pars.max_kb_dist, pars.max_snp_dist)
-            ok_b = ~(maf < pars.min_maf)
+            # overlap mode: maf_plan is the dummy (min_maf<=0 makes the
+            # filter constant-true), so the strip decision never reads
+            # not-yet-ingested values
+            ok_b = ~(maf_plan < pars.min_maf)
             # + one extra all-dead partner tile: grid padding points
             # unused dispatch slots at it, so pad tiles die at
             # iteration 0 instead of recomputing a live tile
@@ -297,6 +333,12 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                 log.log(2, f"==> strip sweep skipped: eff util "
                            f"{u_eff:.3f} < {min_util} (gather path)")
         if strip_mode:
+            if ingest is not None:
+                # strip tables consume the WHOLE gn/eg tables: wait for
+                # ingest (the upload still overlapped the pos parse, the
+                # plan and the strip decision above)
+                with log.phase("  gl ingest join (strip tables)", level=2):
+                    gn_d, eg_d, maf_d = ingest.join_all()
             # 'ind'-sharded path: the Ip axis must split evenly across the
             # mesh with 8-aligned local slices (parallel.strip_ind)
             s_ialign = (8 * shard_ind if shard_ind > 1
@@ -770,7 +812,7 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                             if rem:
                                 yield flush(rem)
 
-                    for blk0 in iter_pair_blocks(pars, maf, pos_dist,
+                    for blk0 in iter_pair_blocks(pars, maf_plan, pos_dist,
                                                  block_pairs=chunk):
                         ks = blk0.s1 // _TA
                         edges = np.r_[0, np.flatnonzero(np.diff(ks)) + 1,
@@ -897,7 +939,7 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                     raise emit_err[0]
             else:
                 blocks_it = enumerate(_prefetch_blocks(
-                    iter_pair_blocks(pars, maf, pos_dist,
+                    iter_pair_blocks(pars, maf_plan, pos_dist,
                                      block_pairs=chunk)))
                 try:
                     while True:
@@ -921,6 +963,14 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                         if pars.verbose >= 3:
                             log.log(3, f"> Block {bi}: anchors "
                                        f"{blk.s1[0]}..{blk.s1[-1]}, {P} pairs")
+                        if ingest is not None:
+                            # overlap ingest: dispatch only after every
+                            # site this block touches is device-resident
+                            tw = time.perf_counter()
+                            gn_d, eg_d, maf_d = ingest.wait(
+                                int(blk.s2.max()) + 1)
+                            log.count_time("sweep: ingest wait",
+                                           time.perf_counter() - tw)
                         # pad to a multiple of 16K*n_shards (tail blocks and
                         # sampling variance then hit a few compiled shapes, and
                         # padding stays <= 12% instead of up to 2x with pow2)
@@ -954,6 +1004,11 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
                 if emit_err:
                     raise emit_err[0]
 
+        if ingest is not None and not interrupted:
+            # surface a tail-of-file read error (NaN/EOF) even when no
+            # block needed the last sites — the reference reads the whole
+            # table before computing anything (read_data.cpp:13-116)
+            ingest.join_all()
         if interrupted:
             hint = (f"resume with the same --checkpoint {ckpt.dir}"
                     if ckpt is not None else
@@ -975,6 +1030,19 @@ def _run_jax_body(pars, out_fh, log, prec, dt, profile_dir,
             for k, v in sorted(refiner.t.items()):
                 log.count_time(f"sweep: fmt/refine/{k}", v)
         log.summary()
+    except BaseException:
+        if (ingest is not None and ingest.failed
+                and getattr(pars, "checkpoint", None) is None):
+            # overlap mode wrote rows before the read error surfaced;
+            # the reference prints NOTHING on bad input (it reads the
+            # whole table first) — restore that surface (the overlap
+            # gate required a seekable out_fh)
+            try:
+                out_fh.seek(0)
+                out_fh.truncate()
+            except Exception:
+                pass
+        raise
     finally:
         if profile_dir:
             jax.profiler.stop_trace()

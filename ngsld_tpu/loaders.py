@@ -67,7 +67,12 @@ class _StreamedGLLoader:
     def _read(self):
         p = self._pars
         n, m = p.n_sites, p.n_ind
-        slab_sites = max(1, self.SLAB_BYTES // (m * 3 * 8))
+        # NGSLD_SLAB_BYTES: test/tuning override (small values force the
+        # multi-slab paths — overlap ingest coverage gating — on tiny
+        # fixtures)
+        slab_bytes = int(os.environ.get("NGSLD_SLAB_BYTES",
+                                        self.SLAB_BYTES))
+        slab_sites = max(1, slab_bytes // (m * 3 * 8))
         try:
             with open(p.in_geno, "rb") as fh:
                 s = 0
@@ -445,3 +450,114 @@ def _ring_sharded_tables(pars, mesh, n_dev, B, Sp, np_dt, log,
             buf[:rows] = np.asarray(geno_log[lo:lo + rows], np_dt)
         put_block(k, buf, shards)
     return assemble(shards), False
+
+
+class _OverlapIngest:
+    """Slab-wise upload + preprocess that OVERLAPS the banded pair sweep.
+
+    The serial chain `join() -> preprocess(full table) -> sweep` puts the
+    whole host->device GL transfer on the critical path (the 1M-site
+    sampled leg measured 19-51 s of upload before the first block could
+    dispatch). Here an ingest thread consumes the reader's host slabs,
+    uploads each, runs the SAME jitted per-site preprocess on it, and
+    writes the results into full-size device tables via
+    dynamic_update_slice; a coverage counter (sites resident) gates block
+    dispatch in the engine, so the sweep starts as soon as the first
+    slab's sites are live. Per-site preprocessing makes slab-wise
+    evaluation value-identical to the monolithic call (reductions are
+    within a site's row).
+
+    Only engaged when the plan cannot depend on not-yet-loaded data:
+    min_maf <= 0 (the plan's only maf consumer, ngsLD.cpp:264,270, is
+    then a constant-true filter — the engine passes the plan a dummy maf
+    and the real per-slab values land in `maf_host` before any block
+    touching them reaches the fmt stage). `failed` drives the engine's
+    output-truncation on a mid-sweep read error, preserving the
+    reference's nothing-printed-on-bad-input surface (read_data.cpp:44).
+    """
+
+    def __init__(self, loader, pars, dt, pre_partial, touch=lambda: None,
+                 hold=None):
+        import contextlib
+        import threading
+        self._loader = loader
+        self._pars = pars
+        self._dt = dt
+        self._pre_partial = pre_partial
+        self._touch = touch
+        self._hold = hold or contextlib.nullcontext
+        self.maf_host = np.empty(pars.n_sites, np.float64)
+        self.failed = False
+        self._err = None
+        self._cov = 0
+        self._bufs = None
+        self._cv = threading.Condition()
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="ngsld-ingest")
+        self._thread.start()
+
+    def _run(self):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        p = self._pars
+        n, m = p.n_sites, p.n_ind
+        try:
+            pre = jax.jit(self._pre_partial)
+
+            @jax.jit
+            def upd(gn, eg, mf, gs, es, ms, off):
+                z = jnp.zeros((), off.dtype)  # DUS wants one index dtype
+                return (lax.dynamic_update_slice(gn, gs, (off, z, z)),
+                        lax.dynamic_update_slice(eg, es, (off, z)),
+                        lax.dynamic_update_slice(mf, ms, (off,)))
+
+            with self._hold():
+                gn = jnp.zeros((n, m, 3), self._dt)
+                eg = jnp.zeros((n, m), self._dt)
+                mf = jnp.zeros((n,), self._dt)
+            off = 0
+            for slab in self._loader.np_slabs():
+                k = len(slab)
+                with self._hold():
+                    sd = jax.device_put(slab)
+                    gs, ms, es = pre(sd)
+                    gn, eg, mf = upd(gn, eg, mf, gs, es, ms,
+                                     np.int32(off))
+                    # the host pull synchronizes this slab's whole chain
+                    mh = np.array(ms, np.float64)
+                self._touch()
+                self.maf_host[off:off + k] = mh
+                off += k
+                with self._cv:
+                    self._bufs = (gn, eg, mf)
+                    self._cov = off
+                    self._cv.notify_all()
+            if off != n:   # reader stopped early without raising
+                raise strict.StrictError(
+                    "read_geno", "GENO file at premature EOF. "
+                    "Check GENO file and number of sites!")
+        except BaseException as e:
+            with self._cv:
+                self._err = e
+                self.failed = True
+                self._cv.notify_all()
+
+    def wait(self, need: int):
+        """Block until `need` sites are resident; returns the current
+        (gn, eg, maf) device tables. Raises the ingest error if the read
+        failed (reference NaN/EOF semantics)."""
+        with self._cv:
+            while self._cov < need and self._err is None:
+                self._cv.wait()
+            if self._err is not None and self._cov < need:
+                raise self._err
+            return self._bufs
+
+    def join_all(self):
+        """Wait for the whole table (strip mode / end-of-run error
+        surfacing); returns the final (gn, eg, maf) device tables."""
+        self._thread.join()
+        if self._err is not None:
+            raise self._err
+        return self._bufs

@@ -6,6 +6,7 @@ the overwhelming majority of rows byte-identical after %f formatting.
 """
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -210,3 +211,62 @@ def test_streamed_loader_rejects_nonfinite(tmp_path, val, logscale):
     assert _StreamedGLLoader.applicable(pars)
     with pytest.raises(strict.StrictError, match="NaN found"):
         run_jax(pars, out_fh=io.BytesIO())
+
+
+def test_overlap_ingest_parity_multislab(tmp_path, monkeypatch):
+    """Upload/compute overlap (loaders._OverlapIngest): coverage-gated
+    slab-wise preprocessing must emit byte-identical output to the
+    monolithic join path. NGSLD_SLAB_BYTES forces many slabs so the
+    dispatch loop really gates on partial coverage."""
+    import io
+
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_glf_bin, write_pos
+
+    sim = simulate(n_ind=8, n_sites=300, seed=33, mono_rate=0.05)
+    glf = str(tmp_path / "ov.glf")
+    posf = str(tmp_path / "ov.pos")
+    write_glf_bin(sim, glf)
+    write_pos(sim, posf)
+    base = dict(in_geno=glf, in_probs=True, in_logscale=True, n_ind=8,
+                n_sites=300, in_pos=posf, max_kb_dist=5, extend_out=True,
+                precision="f64")
+
+    monkeypatch.setenv("NGSLD_SLAB_BYTES", "4000")  # ~20 sites/slab
+    monkeypatch.setenv("NGSLD_OVERLAP_UPLOAD", "1")
+    ov = io.BytesIO()
+    run_jax(Params(**base).finalize(), out_fh=ov)
+
+    monkeypatch.setenv("NGSLD_OVERLAP_UPLOAD", "0")
+    mono = io.BytesIO()
+    run_jax(Params(**base).finalize(), out_fh=mono)
+    assert ov.getvalue() == mono.getvalue()
+    assert ov.getvalue().count(b"\n") > 300
+
+
+def test_overlap_ingest_error_truncates_output(tmp_path, monkeypatch):
+    """A NaN near EOF surfaces only after early blocks already emitted
+    rows; the reference prints NOTHING on bad input (it reads the whole
+    table first, read_data.cpp:44-45) — the overlap path must truncate
+    the partial output before re-raising."""
+    from ngsld_tpu import strict
+    from ngsld_tpu.engine import run_jax
+    from ngsld_tpu.utils.simulate import simulate, write_glf_bin, write_pos
+
+    sim = simulate(n_ind=8, n_sites=300, seed=34)
+    glf = str(tmp_path / "bad.glf")
+    posf = str(tmp_path / "bad.pos")
+    write_glf_bin(sim, glf)
+    write_pos(sim, posf)
+    raw = np.memmap(glf, np.float64, mode="r+")
+    raw[len(raw) - 3] = np.nan
+    del raw
+
+    monkeypatch.setenv("NGSLD_SLAB_BYTES", "4000")
+    out = str(tmp_path / "bad.ld")
+    pars = Params(in_geno=glf, in_probs=True, in_logscale=True, n_ind=8,
+                  n_sites=300, in_pos=posf, max_kb_dist=5).finalize()
+    with open(out, "wb") as fh:
+        with pytest.raises(strict.StrictError, match="NaN found"):
+            run_jax(pars, out_fh=fh)
+    assert os.path.getsize(out) == 0
