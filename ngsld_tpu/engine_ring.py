@@ -670,6 +670,11 @@ def _run_jax_ring(pars, out_fh, log, prec, dt, profile_dir,
                         hmaf2=cols["hmaf2"], chi2=cols["chi2"],
                         n_iter=cols["n_iter"])
                     log.count("pairs_emitted", len(af))
+        if refiner is not None:
+            # sub-stage attribution of the strict-repair wall (same keys
+            # as the block engine: read/prep/cache/gather/pearson/em/stats)
+            for k, v in sorted(refiner.t.items()):
+                log.count_time(f"emit: refine/{k}", v)
         log.summary()
     finally:
         if tmp_spill is not None:
